@@ -1,0 +1,99 @@
+"""Headline benchmark: hierarchical NeRF training throughput (rays/sec/chip).
+
+Runs the flagship lego.yml-scale configuration (FlexibleNeRFModel 8x128,
+10/4 frequency encodings, 64 coarse + 64 fine samples/ray, Adam + exp decay)
+as full jitted train steps (render + loss + grads + update) on synthetic
+posed views, and reports sustained rays/sec on one chip.
+
+Baseline: the reference (nerf-pytorch on an RTX 2080 Ti, the deployment GPU
+in job-example.yaml) trains 1024-ray iterations of the same hierarchical
+pipeline; from the repo's own "few hours to a day" for 200k iterations
+(README:59) that is ~7-18 it/s => ~12.5k rays/s mid-estimate. vs_baseline
+reports our throughput against BASELINE_RAYS_PER_SEC = 12500.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 12_500.0  # estimated reference on RTX 2080 Ti (see above)
+
+BATCH = 4096
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.data import build_ray_store
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render import RenderSettings
+    from dexnerf_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    enc_xyz, enc_dir = 10, 4
+    settings = RenderSettings(
+        num_coarse=64,
+        num_fine=64,
+        perturb=True,
+        radiance_field_noise_std=0.2,
+        num_encoding_fn_xyz=enc_xyz,
+        num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=8,
+        hidden_size=128,
+        skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz,
+        num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+
+    # synthetic 400x400 views (lego-scale frame), on-device ray store
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, 400, 400, 3).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    poses[:, 2, 3] = 4.0
+    store = build_ray_store(images, poses, [400, 400, 555.0], 2.0, 6.0)
+
+    tx = make_optimizer(5e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(model.apply, model.apply, tx, settings, BATCH)
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

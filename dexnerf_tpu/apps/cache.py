@@ -1,0 +1,129 @@
+"""Offline ray-bundle cache (reference ``cache_dataset.py``).
+
+The on-device pipeline (``dexnerf_tpu.data.pipeline``) supersedes this for
+training on TPU, but the offline-cache mode is kept for workflow parity:
+precompute sampled train ray shards and full-image validation bundles to
+``.npz`` files (instead of ``torch.save`` ``.data`` shards).
+
+Shard schema mirrors the reference (``cache_dataset.py:104-132``):
+train shards: {height, width, focal_length, ray_bundle[2, N, 3], target[N, 3]};
+val shards:   {height, width, focal_length, ray_origins, ray_directions, target}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--datapath", type=str, required=True)
+    p.add_argument("--type", type=str, default="blender",
+                   choices=["blender", "llff", "messytable"])
+    p.add_argument("--savedir", type=str, required=True)
+    p.add_argument("--halfres", action="store_true")
+    p.add_argument("--num-random-rays", type=int, default=8192)
+    p.add_argument("--num-variations", type=int, default=1,
+                   help="sampled shards per train image")
+    p.add_argument("--testskip", type=int, default=1)
+    return p
+
+
+def cache_nerf_dataset(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w, get_ray_bundle_w2c
+
+    intrinsics = None
+    if args.type == "blender":
+        from dexnerf_tpu.data import load_blender_data
+
+        images, poses, _, hwf, i_split = load_blender_data(
+            args.datapath, half_res=args.halfres, testskip=args.testskip
+        )
+        i_train, i_val = i_split[0], i_split[1]
+    elif args.type == "messytable":
+        from dexnerf_tpu.data import load_messytable_data
+
+        images, poses, _, hwf, i_split, intrinsics, _ = load_messytable_data(
+            args.datapath, half_res=args.halfres, testskip=args.testskip
+        )
+        i_train, i_val = i_split[0], i_split[1]
+    else:
+        from dexnerf_tpu.data import load_llff_data
+
+        images, poses_llff, _, _, i_test = load_llff_data(args.datapath)
+        hwf = [int(poses_llff[0, 0, 4]), int(poses_llff[0, 1, 4]),
+               float(poses_llff[0, 2, 4])]
+        n = images.shape[0]
+        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses[:, :3, :4] = poses_llff[:, :3, :4]
+        i_val = np.array([i_test])
+        i_train = np.array([i for i in range(n) if i != i_test])
+
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    os.makedirs(os.path.join(args.savedir, "train"), exist_ok=True)
+    os.makedirs(os.path.join(args.savedir, "val"), exist_ok=True)
+
+    rng = np.random.RandomState(0)
+
+    def bundle(idx):
+        if intrinsics is not None:
+            ro, rd = get_ray_bundle_w2c(
+                H, W, jnp.asarray(poses[idx]), jnp.asarray(intrinsics[idx])
+            )
+        else:
+            ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(poses[idx]))
+        return np.asarray(ro), np.asarray(rd)
+
+    shard = 0
+    for idx in i_train:
+        ro, rd = bundle(int(idx))
+        target = images[int(idx)][..., :3].reshape(-1, 3)
+        ro_f, rd_f = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        for _ in range(args.num_variations):
+            sel = rng.choice(
+                ro_f.shape[0],
+                size=min(args.num_random_rays, ro_f.shape[0]),
+                replace=False,
+            )
+            np.savez(
+                os.path.join(args.savedir, "train", f"{shard:04d}.npz"),
+                height=H,
+                width=W,
+                focal_length=focal,
+                ray_bundle=np.stack([ro_f[sel], rd_f[sel]], 0),
+                target=target[sel],
+            )
+            shard += 1
+
+    for k, idx in enumerate(i_val):
+        ro, rd = bundle(int(idx))
+        np.savez(
+            os.path.join(args.savedir, "val", f"{k:04d}.npz"),
+            height=H,
+            width=W,
+            focal_length=focal,
+            ray_origins=ro,
+            ray_directions=rd,
+            target=images[int(idx)][..., :3],
+        )
+    print(f"cached {shard} train shards, {len(i_val)} val bundles -> {args.savedir}")
+
+
+def load_cached_shard(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def main(argv=None) -> int:
+    cache_nerf_dataset(build_parser().parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

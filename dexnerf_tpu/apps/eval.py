@@ -1,0 +1,122 @@
+"""Novel-view rendering from a checkpoint (reference ``eval_nerf.py``).
+
+Loads a config + checkpoint, renders the dataset's generated camera path
+(``render_poses``) to PNGs, optionally with disparity and jet-colormap
+disparity images, and prints the average seconds per frame
+(``eval_nerf.py:206``). Works for blender, llff (NDC) and messytable scenes —
+the reference's eval is blender/llff-only and was broken against the 5-arg
+ray API (SURVEY.md §2 consistency note); here all formats share one path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def cast_to_image(rgb: np.ndarray) -> np.ndarray:
+    return (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
+    """Clamp disparity to [0, 2] and scale to uint8 (reference
+    ``eval_nerf.py:34-45`` behavior)."""
+    img = np.clip(disp, 0.0, 2.0) / 2.0
+    return (img * 255).astype(np.uint8)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--savedir", type=str, default="renders")
+    p.add_argument("--save-disparity-image", action="store_true")
+    p.add_argument(
+        "--num-poses", type=int, default=None, help="limit render path length"
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.config import load_config, render_settings_from_cfg
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.render import render_image
+    from dexnerf_tpu.train import restore_checkpoint
+    from dexnerf_tpu.train.loop import load_scene, setup_models
+
+    cfg = load_config(args.config)
+    scene = load_scene(cfg)
+    coarse_fn, fine_fn, params = setup_models(
+        cfg, int(cfg.experiment.randomseed)
+    )
+
+    if args.checkpoint.endswith(".ckpt"):
+        # reference PyTorch checkpoint
+        from dexnerf_tpu.train import import_torch_checkpoint
+
+        imported = import_torch_checkpoint(args.checkpoint)
+        params = {"coarse": imported["coarse"]}
+        if imported["fine"] is not None:
+            params["fine"] = imported["fine"]
+    else:
+        payload = restore_checkpoint(args.checkpoint)
+        params = payload["params"]
+
+    s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
+    H, W, focal = scene.hwf
+    poses = scene.render_poses
+    if args.num_poses:
+        poses = poses[: args.num_poses]
+
+    os.makedirs(args.savedir, exist_ok=True)
+    if args.save_disparity_image:
+        os.makedirs(os.path.join(args.savedir, "disparity"), exist_ok=True)
+
+    times = []
+    for i, pose in enumerate(poses):
+        t0 = time.time()
+        ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
+        out = render_image(
+            coarse_fn,
+            fine_fn,
+            params,
+            ro,
+            rd,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            s_val,
+            use_ndc=scene.use_ndc,
+            height=H,
+            width=W,
+            focal_length=focal,
+        )
+        rendered = out.fine if out.fine is not None else out.coarse
+        rgb = np.asarray(rendered.rgb)
+        jax.block_until_ready(rendered.rgb)
+        times.append(time.time() - t0)
+        imageio.imwrite(
+            os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
+        )
+        if args.save_disparity_image:
+            disp = np.asarray(rendered.disparity)
+            imageio.imwrite(
+                os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
+                cast_to_disparity_image(disp),
+            )
+        print(f"frame {i}: {times[-1]:.3f}s")
+
+    print(f"Avg time per image: {np.mean(times):.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,71 @@
+"""Unified training CLI.
+
+One command replaces the reference's four entry scripts (SURVEY.md §2.3):
+
+    python -m dexnerf_tpu.apps.train --config configs/lego.yml
+    python -m dexnerf_tpu.apps.train --config configs/messytable-obj.yml --dex
+    python -m dexnerf_tpu.apps.train --config ... --ir            # luminance loss
+    python -m dexnerf_tpu.apps.train --config ... --dex --ir
+
+Flags mirror the reference CLI (``--config``, ``--load-checkpoint``,
+``train_nerf_rgb.py:25-35``) plus the two mode switches.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True, help="YAML config path")
+    p.add_argument(
+        "--load-checkpoint",
+        type=str,
+        default="",
+        help="checkpoint dir/path to resume from",
+    )
+    p.add_argument(
+        "--dex",
+        action="store_true",
+        help="Dex-NeRF validation: sigma-threshold depth sweep",
+    )
+    p.add_argument(
+        "--ir",
+        action="store_true",
+        help="IR supervision: Rec.601-luminance MSE instead of RGB MSE",
+    )
+    p.add_argument(
+        "--max-iters", type=int, default=None, help="override train_iters"
+    )
+    p.add_argument(
+        "--num-devices",
+        type=int,
+        default=None,
+        help="train data-parallel over this many devices (default: 1)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train import run_training
+
+    cfg = load_config(args.config)
+    out = run_training(
+        cfg,
+        dex=args.dex,
+        supervision="luminance" if args.ir else "rgb",
+        load_ckpt=args.load_checkpoint or None,
+        max_iters=args.max_iters,
+    )
+    print(
+        f"done: {out['rays_per_sec']:.0f} rays/s, "
+        f"final train metrics {out['final_train_metrics']}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,34 @@
+"""Dataset loaders (blender / LLFF / messytable), synthetic scenes, and the
+on-device ray pipeline."""
+
+from dexnerf_tpu.data.blender import (
+    load_blender_data,
+    pose_spherical,
+    spherical_render_poses,
+)
+from dexnerf_tpu.data.llff import load_llff_data
+from dexnerf_tpu.data.messytable import load_messytable_data
+from dexnerf_tpu.data.pipeline import RayStore, build_ray_store, sample_ray_batch
+from dexnerf_tpu.data.synthetic import (
+    analytic_field,
+    make_synthetic_scene,
+    render_analytic_image,
+    write_blender_dataset,
+    write_messytable_dataset,
+)
+
+__all__ = [
+    "load_blender_data",
+    "pose_spherical",
+    "spherical_render_poses",
+    "load_llff_data",
+    "load_messytable_data",
+    "RayStore",
+    "build_ray_store",
+    "sample_ray_batch",
+    "analytic_field",
+    "make_synthetic_scene",
+    "render_analytic_image",
+    "write_blender_dataset",
+    "write_messytable_dataset",
+]

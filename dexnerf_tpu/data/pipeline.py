@@ -1,0 +1,123 @@
+"""On-device ray pipeline: the TPU-native replacement for ``cache_dataset.py``.
+
+The reference precomputes ray bundles to thousands of ``torch.save`` shards
+on disk and reloads one per training iteration (reference
+``cache_dataset.py``, consumed at ``train_nerf_rgb.py:186-220``), or
+re-generates the full-image bundle on the GPU every step and samples 1024
+pixels from it. Both keep the host in the hot loop.
+
+Here, ray generation runs ONCE, vectorized over all training images
+(``vmap`` over poses/intrinsics), and the result lives on device as a single
+flat float32 array of packed rays — [N_rays, 12] = (origin 3, direction 3,
+viewdir 3, rgb 3). Each training step then just gathers a random batch of
+rows *inside* the jitted step (``jax.random.randint`` + ``take``), so steps
+are fully device-resident. NDC conversion (LLFF) is applied once at build
+time; viewdirs are computed from pre-NDC directions (reference semantics,
+``train_utils.py:222-245``).
+
+Memory: 100 images × 400×400 × 12 × 4 B ≈ 768 MB — fine for a TPU HBM; for
+larger sets the store can be host-sharded (see ``dexnerf_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexnerf_tpu.core.rays import (
+    get_ray_bundle_c2w,
+    get_ray_bundle_w2c,
+    ndc_rays,
+)
+from dexnerf_tpu.render.renderer import RayBatch
+
+
+class RayStore(NamedTuple):
+    """Flat packed rays on device + scene constants."""
+
+    data: jnp.ndarray  # [N, 12]: ro(3) rd(3) viewdir(3) rgb(3)
+    near: float
+    far: float
+
+    @property
+    def num_rays(self) -> int:
+        return self.data.shape[0]
+
+
+def _pack(ro, rd, viewdirs, rgb):
+    return jnp.concatenate(
+        [
+            ro.reshape(-1, 3),
+            rd.reshape(-1, 3),
+            viewdirs.reshape(-1, 3),
+            rgb.reshape(-1, 3),
+        ],
+        axis=-1,
+    )
+
+
+def build_ray_store(
+    images: np.ndarray,
+    poses: np.ndarray,
+    hwf,
+    near: float,
+    far: float,
+    *,
+    intrinsics: Optional[np.ndarray] = None,
+    use_ndc: bool = False,
+) -> RayStore:
+    """Generate and pack rays for every image.
+
+    ``poses`` are c2w [N,4,4] (blender/llff convention) unless ``intrinsics``
+    is given, in which case they are w2c and rays use the full K
+    (messytable convention). ``use_ndc`` applies the LLFF NDC projection.
+    """
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    images = jnp.asarray(images[..., :3], dtype=jnp.float32)
+    poses = jnp.asarray(poses, dtype=jnp.float32)
+
+    if intrinsics is not None:
+        Ks = jnp.asarray(intrinsics, dtype=jnp.float32)
+        gen = jax.vmap(
+            lambda p, K: get_ray_bundle_w2c(H, W, p, K), in_axes=(0, 0)
+        )
+        ro, rd = gen(poses, Ks)
+    else:
+        gen = jax.vmap(
+            lambda p: get_ray_bundle_c2w(H, W, focal, p), in_axes=0
+        )
+        ro, rd = gen(poses[:, :4, :4])
+
+    viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    if use_ndc:
+        ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
+
+    data = _pack(ro, rd, viewdirs, images)
+    return RayStore(data=jax.device_put(data), near=float(near), far=float(far))
+
+
+def sample_ray_batch(
+    store: RayStore, key: jax.Array, batch_size: int
+) -> Tuple[RayBatch, jnp.ndarray]:
+    """Gather a random ray batch (jit-safe). Returns (RayBatch, target_rgb).
+
+    Sampling is uniform over all training rays. (The reference samples one
+    random image then ``num_random_rays`` pixels within it,
+    ``train_nerf_rgb.py:222-241``; uniform-over-all-rays is the standard
+    "batching" variant of NeRF training and converges at least as well.)
+    """
+    idx = jax.random.randint(key, (batch_size,), 0, store.num_rays)
+    rows = jnp.take(store.data, idx, axis=0)
+    n = batch_size
+    dtype = rows.dtype
+    rays = RayBatch(
+        origins=rows[:, 0:3],
+        directions=rows[:, 3:6],
+        viewdirs=rows[:, 6:9],
+        near=jnp.full((n,), store.near, dtype=dtype),
+        far=jnp.full((n,), store.far, dtype=dtype),
+    )
+    return rays, rows[:, 9:12]

@@ -1,0 +1,184 @@
+"""Procedural synthetic scenes: self-contained data for tests and benchmarks.
+
+The reference relies on external datasets (lego, MessyTable) plus a
+``debug=True`` 25×25 loader mode as its only built-in fixture (SURVEY.md §4).
+Here we go further: an analytic emission–absorption field (soft spheres)
+rendered with the framework's own compositor produces ground-truth posed
+images — so end-to-end convergence tests (PSNR rising while fitting an MLP to
+the analytic field) and benchmarks run hermetically, with no downloads.
+
+Also provides writers that lay synthetic scenes out on disk in the
+blender-JSON and messytable-pickle formats, to exercise the real loaders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+from dexnerf_tpu.core.volrend import volume_render_radiance_field
+from dexnerf_tpu.data.blender import pose_spherical
+
+# Soft-sphere scene constants: centers, radii, albedos, densities.
+_SPHERES = (
+    ((0.0, 0.0, 0.0), 1.0, (0.9, 0.2, 0.2), 40.0),
+    ((0.9, 0.9, 0.0), 0.5, (0.2, 0.4, 0.9), 60.0),
+)
+
+
+def analytic_field(pts: jnp.ndarray) -> jnp.ndarray:
+    """Map points [..., 3] to raw radiance-field logits [..., 4].
+
+    Each sphere contributes density ``d * sigmoid(8 * (r - |p - c|))`` — a
+    smooth solid blob an MLP can fit. Outputs are *logits* (pre-sigmoid rgb,
+    pre-relu σ) so they can be fed straight into the compositor.
+    """
+    rgb_accum = jnp.zeros((*pts.shape[:-1], 3))
+    sigma = jnp.zeros(pts.shape[:-1])
+    total_w = jnp.zeros(pts.shape[:-1])
+    for center, radius, albedo, density in _SPHERES:
+        dist = jnp.linalg.norm(pts - jnp.asarray(center), axis=-1)
+        inside = jax.nn.sigmoid(8.0 * (radius - dist))
+        sigma = sigma + density * inside
+        rgb_accum = rgb_accum + inside[..., None] * jnp.asarray(albedo)
+        total_w = total_w + inside
+    rgb = rgb_accum / jnp.maximum(total_w, 1e-6)[..., None]
+    # convert rgb in (0,1) to logits; sigma stays as a positive pre-relu value
+    rgb_logit = jnp.log(jnp.clip(rgb, 1e-4, 1 - 1e-4)) - jnp.log1p(
+        -jnp.clip(rgb, 1e-4, 1 - 1e-4)
+    )
+    return jnp.concatenate([rgb_logit, sigma[..., None]], axis=-1)
+
+
+def render_analytic_image(
+    c2w: np.ndarray,
+    height: int,
+    width: int,
+    focal: float,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_samples: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ground-truth (rgb, depth) of the analytic scene from one pose."""
+    ro, rd = get_ray_bundle_c2w(height, width, focal, jnp.asarray(c2w))
+    t = jnp.linspace(near, far, num_samples)
+    pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
+    raw = analytic_field(pts)
+    z = jnp.broadcast_to(t, (*rd.shape[:-1], num_samples))
+    out = volume_render_radiance_field(raw, z, rd, white_background=True)
+    return np.asarray(out.rgb), np.asarray(out.depth)
+
+
+def make_synthetic_scene(
+    num_views: int = 8,
+    height: int = 32,
+    width: int = 32,
+    focal: float | None = None,
+    near: float = 2.0,
+    far: float = 6.0,
+    seed: int = 0,
+):
+    """Posed ground-truth views of the analytic scene.
+
+    Returns (images[N,H,W,3], depths[N,H,W], poses_c2w[N,4,4], [H, W, focal]).
+    """
+    if focal is None:
+        focal = 1.2 * width
+    rng = np.random.RandomState(seed)
+    thetas = np.linspace(-180, 180, num_views, endpoint=False)
+    phis = -30.0 + rng.uniform(-10, 10, size=num_views)
+    poses = np.stack(
+        [pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)], 0
+    )
+    images, depths = [], []
+    for c2w in poses:
+        rgb, depth = render_analytic_image(c2w, height, width, focal, near, far)
+        images.append(rgb)
+        depths.append(depth)
+    return (
+        np.stack(images, 0).astype(np.float32),
+        np.stack(depths, 0).astype(np.float32),
+        poses.astype(np.float32),
+        [height, width, float(focal)],
+    )
+
+
+def write_blender_dataset(
+    basedir: str, height: int = 25, width: int = 25, views_per_split=(4, 2, 2)
+) -> None:
+    """Write a tiny blender-format dataset (transforms JSONs + PNGs)."""
+    import imageio.v2 as imageio
+
+    focal = 1.2 * width
+    camera_angle_x = 2.0 * np.arctan(0.5 * width / focal)
+    idx = 0
+    for split, n in zip(["train", "val", "test"], views_per_split):
+        frames = []
+        os.makedirs(os.path.join(basedir, split), exist_ok=True)
+        for k in range(n):
+            theta = -180 + 360.0 * (idx / float(sum(views_per_split)))
+            c2w = pose_spherical(theta, -30.0, 4.0)
+            rgb, _ = render_analytic_image(c2w, height, width, focal)
+            rel = f"./{split}/r_{k}"
+            imageio.imwrite(
+                os.path.join(basedir, f"{rel}.png"),
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            )
+            frames.append(
+                {"file_path": rel, "transform_matrix": c2w.tolist()}
+            )
+            idx += 1
+        with open(os.path.join(basedir, f"transforms_{split}.json"), "w") as f:
+            json.dump(
+                {"camera_angle_x": float(camera_angle_x), "frames": frames}, f
+            )
+
+
+def write_messytable_dataset(
+    basedir: str,
+    height: int = 32,
+    width: int = 32,
+    views_per_split=(2, 1, 1),
+    imgname: str = "0128_irL_kuafu_half.png",
+) -> None:
+    """Write a tiny messytable-format dataset (meta.pkl + image + depth PNG).
+
+    Poses are w2c (inverted spherical c2w); depth PNGs are uint16
+    millimeters, matching the real format.
+    """
+    import imageio.v2 as imageio
+    from PIL import Image
+
+    focal = 1.2 * width
+    K = np.array(
+        [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1]],
+        dtype=np.float64,
+    )
+    idx = 0
+    total = sum(views_per_split)
+    for split, n in zip(["train", "val", "test"], views_per_split):
+        for k in range(n):
+            d = os.path.join(basedir, split, f"scene-{k}")
+            os.makedirs(d, exist_ok=True)
+            theta = -180 + 360.0 * (idx / float(total))
+            c2w = pose_spherical(theta, -30.0, 4.0).astype(np.float64)
+            w2c = np.linalg.inv(c2w)
+            rgb, depth = render_analytic_image(c2w, height, width, focal)
+            gray = (np.clip(rgb.mean(-1), 0, 1) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(d, imgname), gray)
+            depth_mm = (depth * 1000).astype(np.uint16)
+            Image.fromarray(depth_mm, mode="I;16").save(
+                os.path.join(d, "depthL.png")
+            )
+            with open(os.path.join(d, "meta.pkl"), "wb") as f:
+                pickle.dump(
+                    {"extrinsic_l": w2c, "intrinsic_l": K}, f
+                )
+            idx += 1

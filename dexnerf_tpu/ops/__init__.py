@@ -1,0 +1,17 @@
+"""TPU kernels (Pallas) and native host ops."""
+
+from dexnerf_tpu.ops.fused_mlp import (
+    flatten_flex_params,
+    make_fused_flexible_field,
+)
+from dexnerf_tpu.ops.sample_pdf_pallas import (
+    sample_pdf_branchless,
+    sample_pdf_pallas,
+)
+
+__all__ = [
+    "flatten_flex_params",
+    "make_fused_flexible_field",
+    "sample_pdf_branchless",
+    "sample_pdf_pallas",
+]

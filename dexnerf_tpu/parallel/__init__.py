@@ -1,0 +1,21 @@
+"""Multi-chip parallelism: device mesh + shard_map train/render."""
+
+from dexnerf_tpu.parallel.mesh import (
+    RAY_AXIS,
+    make_mesh,
+    ray_sharding,
+    replicated,
+)
+from dexnerf_tpu.parallel.sharding import (
+    make_parallel_render,
+    make_parallel_train_step,
+)
+
+__all__ = [
+    "RAY_AXIS",
+    "make_mesh",
+    "ray_sharding",
+    "replicated",
+    "make_parallel_render",
+    "make_parallel_train_step",
+]

@@ -1,0 +1,145 @@
+"""Multi-chip training & rendering via ``shard_map`` over the device mesh.
+
+Design (SURVEY.md §2.2 "TPU-native equivalent"):
+
+* **Training**: each device samples its own sub-batch of rays from the
+  (replicated) ray store using a per-device folded PRNG key, computes local
+  gradients, and joins them with ``psum`` over the ICI mesh axis. Parameters
+  and optimizer state are replicated; the update is computed identically on
+  every device (no broadcast needed).
+* **Rendering**: full frames are tiled across chips — each device renders a
+  contiguous block of rays; results concatenate along the ray axis
+  (``all_gather``-free: outputs stay sharded and the host assembles).
+
+Everything works on any 1-D mesh — including a CPU mesh created with
+``--xla_force_host_platform_device_count`` (how the tests run, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dexnerf_tpu.data.pipeline import RayStore, sample_ray_batch
+from dexnerf_tpu.parallel.mesh import RAY_AXIS
+from dexnerf_tpu.render.renderer import (
+    ModelFn,
+    RayBatch,
+    RenderSettings,
+    render_rays,
+)
+from dexnerf_tpu.train.step import TrainState, nerf_loss
+
+
+def make_parallel_train_step(
+    mesh: Mesh,
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    tx: optax.GradientTransformation,
+    settings: RenderSettings,
+    global_batch_size: int,
+    *,
+    supervision: str = "rgb",
+) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
+    """Data-parallel train step: per-device ray sampling, gradient psum.
+
+    ``global_batch_size`` must divide by the mesh size; each device renders
+    ``global/num_devices`` rays. The returned function is jitted with
+    replicated in/out shardings for params and store.
+    """
+    n_dev = mesh.devices.size
+    if global_batch_size % n_dev:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {n_dev} devices"
+        )
+    local_batch = global_batch_size // n_dev
+
+    def local_grads(params, store, key):
+        # distinct stream per device
+        key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+        k_sample, k_render = jax.random.split(key)
+        rays, target = sample_ray_batch(store, k_sample, local_batch)
+        result = render_rays(coarse_fn, fine_fn, params, rays, k_render, settings)
+        loss, metrics = nerf_loss(result, target, supervision=supervision)
+        return loss, metrics
+
+    def sharded_step(state: TrainState, store: RayStore, key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            local_grads, has_aux=True
+        )(state.params, store, key)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        metrics = jax.lax.pmean(metrics, RAY_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    shard_mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped)
+
+
+def make_parallel_render(
+    mesh: Mesh,
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    settings: RenderSettings,
+) -> Callable[[Any, RayBatch], Any]:
+    """Frame renderer tiling rays across the mesh.
+
+    Input RayBatch arrays must have a leading axis divisible by the mesh
+    size (pad first — see ``render_image``'s padding logic). Each device
+    renders its shard; outputs come back sharded along the ray axis and
+    device_get assembles them.
+    """
+
+    def render_shard(params, rays: RayBatch):
+        return render_rays(coarse_fn, fine_fn, params, rays, None, settings)
+
+    shard_mapped = jax.shard_map(
+        render_shard,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS)),
+        out_specs=_render_out_specs(settings, has_fine=fine_fn is not None),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped)
+
+
+def _render_out_specs(settings: RenderSettings, *, has_fine: bool):
+    """Output PartitionSpecs for RenderResult: everything sharded on rays
+    (dex depth has a leading threshold axis -> shard axis 1)."""
+    from dexnerf_tpu.core.volrend import VolumeRenderOutputs
+    from dexnerf_tpu.render.renderer import RenderResult
+
+    ray_spec = P(RAY_AXIS)
+    dex_spec = P(None, RAY_AXIS)
+
+    def vol(with_dex: bool):
+        return VolumeRenderOutputs(
+            rgb=ray_spec,
+            disparity=ray_spec,
+            accumulation=ray_spec,
+            weights=ray_spec,
+            depth=ray_spec,
+            depth_dex=dex_spec if with_dex else None,
+        )
+
+    has_dex = bool(settings.m_thres_cand)
+    return RenderResult(
+        coarse=vol(False),
+        fine=vol(has_dex) if (has_fine and settings.num_fine > 0) else None,
+    )

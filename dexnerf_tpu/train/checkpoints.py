@@ -1,0 +1,164 @@
+"""Checkpointing: Orbax save/restore + importer for reference PyTorch ckpts.
+
+The reference checkpoints are ``torch.save`` dicts with keys ``{iter,
+model_coarse_state_dict, model_fine_state_dict|None, optimizer_state_dict,
+loss, psnr}`` written every ``save_every`` iters
+(``train_nerf_rgb.py:427-441``). Here the same logical schema is stored with
+Orbax (async-capable, TPU-friendly), and :func:`import_torch_checkpoint`
+converts the reference's shipped ``pretrained/*.ckpt`` files into our flax
+param trees (torch ``Linear`` stores [out, in] weights — transposed on
+import).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any, extra: Optional[Dict] = None):
+    """Save {params, opt_state, step} at ``ckpt_dir/checkpoint_<step>``.
+
+    Scalar ``extra`` metadata (loss, psnr — the reference stores these in its
+    ckpt dict, ``train_nerf_rgb.py:427-441``) goes to a sidecar JSON so the
+    orbax tree schema stays fixed regardless of what extras are logged.
+    """
+    import json
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    name = f"checkpoint_{step:07d}"
+    if _HAS_ORBAX:
+        path = os.path.join(os.path.abspath(ckpt_dir), name)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+    else:  # pragma: no cover
+        np.save(os.path.join(ckpt_dir, name + ".npy"), payload,
+                allow_pickle=True)
+    if extra:
+        with open(os.path.join(ckpt_dir, name + ".meta.json"), "w") as f:
+            json.dump({k: float(v) for k, v in extra.items()}, f)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [
+        d for d in os.listdir(ckpt_dir) if re.fullmatch(r"checkpoint_\d+", d)
+    ]
+    if not cands:
+        return None
+    return os.path.join(ckpt_dir, max(cands))
+
+
+def restore_checkpoint(path: str, template: Any = None) -> Dict:
+    """Restore a checkpoint payload saved by :func:`save_checkpoint`."""
+    if path.endswith(".npy"):  # pragma: no cover
+        return np.load(path, allow_pickle=True).item()
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        payload = {
+            "step": np.asarray(template.step),
+            "params": jax.device_get(template.params),
+            "opt_state": jax.device_get(template.opt_state),
+        }
+        restored = ckptr.restore(os.path.abspath(path), item=payload)
+    else:
+        restored = ckptr.restore(os.path.abspath(path))
+    return restored
+
+
+# ---------------------------------------------------------------------------
+# Reference (PyTorch) checkpoint import
+# ---------------------------------------------------------------------------
+
+def _torch_state_dict_to_flax(
+    state_dict: Dict[str, np.ndarray], use_viewdirs: bool = True
+) -> Dict:
+    """Map a reference ``FlexibleNeRFModel`` state_dict to our param tree.
+
+    Reference module names (``nerf/models.py:185-231``): ``layer1``,
+    ``layers_xyz.{i}``, ``fc_feat``, ``fc_alpha``, ``layers_dir.{i}``,
+    ``fc_rgb`` / ``fc_out``. Our flax tree names Dense submodules in call
+    order: Dense_0 (layer1), Dense_1..Dense_{t} (trunk), then for viewdirs
+    [feat, alpha, dir0, rgb].
+    """
+    def wb(prefix):
+        w = np.asarray(state_dict[f"{prefix}.weight"]).T  # [in, out]
+        b = np.asarray(state_dict[f"{prefix}.bias"])
+        return {"kernel": w, "bias": b}
+
+    trunk_ids = sorted(
+        int(m.group(1))
+        for k in state_dict
+        if (m := re.match(r"layers_xyz\.(\d+)\.weight", k))
+    )
+    params = {}
+    idx = 0
+    params[f"Dense_{idx}"] = wb("layer1")
+    idx += 1
+    for i in trunk_ids:
+        params[f"Dense_{idx}"] = wb(f"layers_xyz.{i}")
+        idx += 1
+    if use_viewdirs:
+        params[f"Dense_{idx}"] = wb("fc_feat")
+        idx += 1
+        params[f"Dense_{idx}"] = wb("fc_alpha")
+        idx += 1
+        dir_ids = sorted(
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"layers_dir\.(\d+)\.weight", k))
+        )
+        for i in dir_ids:
+            params[f"Dense_{idx}"] = wb(f"layers_dir.{i}")
+            idx += 1
+        params[f"Dense_{idx}"] = wb("fc_rgb")
+    else:
+        params[f"Dense_{idx}"] = wb("fc_out")
+    return {"params": params}
+
+
+def import_torch_checkpoint(path: str, use_viewdirs: bool = True) -> Dict:
+    """Load a reference ``.ckpt`` and return
+    ``{"coarse": flax_params, "fine": flax_params|None, "step": int, ...}``.
+
+    Note the flax trees use our Dense call-order naming; they plug directly
+    into the renderer's ``model.apply``.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {
+        "step": int(ckpt.get("iter", 0)),
+        "coarse": _torch_state_dict_to_flax(
+            {k: v.numpy() for k, v in ckpt["model_coarse_state_dict"].items()},
+            use_viewdirs,
+        ),
+        "fine": None,
+    }
+    if ckpt.get("model_fine_state_dict"):
+        out["fine"] = _torch_state_dict_to_flax(
+            {k: v.numpy() for k, v in ckpt["model_fine_state_dict"].items()},
+            use_viewdirs,
+        )
+    for k in ("height", "width", "focal_length"):
+        if k in ckpt:
+            out[k] = ckpt[k]
+    return out

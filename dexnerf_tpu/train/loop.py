@@ -1,0 +1,411 @@
+"""Unified training driver.
+
+One loop covers the reference's four copy-pasted entry scripts
+(``train_nerf_rgb.py`` / ``train_dexnerf_rgb.py`` / ``train_nerf_ir.py`` /
+``train_dexnerf_ir.py``) as two orthogonal flags:
+
+* ``supervision``: ``"rgb"`` (photometric MSE) or ``"luminance"``
+  (Rec.601-luma MSE, the IR variants);
+* ``dex``: when True, validation sweeps the σ-threshold candidate grid and
+  selects the min-abs-error depth (``train_dexnerf_rgb.py:393-428``);
+  when False, validation evaluates the standard expected depth
+  (``train_nerf_rgb.py:361-425``).
+
+The hot loop is fully device-resident (see ``dexnerf_tpu.train.step``); the
+host handles logging, validation renders, and checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexnerf_tpu.config import (
+    CfgNode,
+    models_from_cfg,
+    render_settings_from_cfg,
+)
+from dexnerf_tpu.core.encoding import encoding_dim
+from dexnerf_tpu.core.metrics import compute_err_metric, mse2psnr
+from dexnerf_tpu.data.blender import load_blender_data
+from dexnerf_tpu.data.llff import load_llff_data
+from dexnerf_tpu.data.messytable import load_messytable_data
+from dexnerf_tpu.data.pipeline import build_ray_store
+from dexnerf_tpu.render.renderer import RenderSettings, render_image
+from dexnerf_tpu.train.checkpoints import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dexnerf_tpu.train.logging import MetricsLogger, save_depth_png_mm
+from dexnerf_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclass
+class SceneData:
+    """Loaded scene, normalized across the three dataset formats."""
+
+    images: np.ndarray  # [N, H, W, 3]
+    poses: np.ndarray  # [N, 4, 4] (c2w) or [N, 4, 4] w2c for messytable
+    hwf: list
+    i_train: np.ndarray
+    i_val: np.ndarray
+    intrinsics: Optional[np.ndarray] = None  # [N, 3, 3] (messytable)
+    depths: Optional[np.ndarray] = None  # [N, H, W] GT depth in meters
+    render_poses: Optional[np.ndarray] = None
+    use_ndc: bool = False
+
+
+def load_scene(cfg: CfgNode) -> SceneData:
+    """Load the dataset named by ``cfg.dataset`` into a SceneData."""
+    ds = cfg.dataset
+    dtype = str(ds.type).lower()
+    if dtype == "blender":
+        images, poses, render_poses, hwf, i_split = load_blender_data(
+            ds.basedir,
+            half_res=bool(_get(ds, "half_res", False)),
+            testskip=int(_get(ds, "testskip", 1)),
+            debug=bool(_get(ds, "debug", False)),
+        )
+        images = images[..., :3]
+        return SceneData(
+            images=images,
+            poses=poses,
+            hwf=hwf,
+            i_train=i_split[0],
+            i_val=i_split[1],
+            render_poses=render_poses,
+        )
+    if dtype == "messytable":
+        (
+            images,
+            poses,
+            render_poses,
+            hwf,
+            i_split,
+            intrinsics,
+            depths,
+        ) = load_messytable_data(
+            ds.basedir,
+            half_res=bool(_get(ds, "half_res", False)),
+            testskip=int(_get(ds, "testskip", 1)),
+            debug=bool(_get(ds, "debug", False)),
+            imgname=str(_get(ds, "imgname", "0128_irL_kuafu_half.png")),
+            is_real_rgb=bool(_get(ds, "is_real_rgb", False)),
+        )
+        return SceneData(
+            images=images,
+            poses=poses,
+            hwf=hwf,
+            i_train=i_split[0],
+            i_val=i_split[1],
+            intrinsics=intrinsics,
+            depths=depths,
+            render_poses=render_poses,
+        )
+    if dtype == "llff":
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            ds.basedir, factor=int(_get(ds, "downsample_factor", 8))
+        )
+        hwf = poses[0, :3, -1]
+        poses34 = poses[:, :3, :4]
+        n = images.shape[0]
+        poses44 = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses44[:, :3, :4] = poses34
+        llffhold = int(_get(ds, "llffhold", 8))
+        if llffhold > 0:
+            i_val = np.arange(n)[::llffhold]
+        else:
+            i_val = np.array([i_test])
+        i_train = np.array(
+            [i for i in np.arange(n) if i not in set(i_val.tolist())]
+        )
+        return SceneData(
+            images=images,
+            poses=poses44,
+            hwf=[int(hwf[0]), int(hwf[1]), float(hwf[2])],
+            i_train=i_train,
+            i_val=i_val,
+            render_poses=render_poses,
+            use_ndc=not bool(_get(ds, "no_ndc", True)),
+        )
+    raise ValueError(f"unknown dataset type: {ds.type}")
+
+
+def _get(node, key, default):
+    try:
+        return node[key]
+    except (KeyError, TypeError):
+        return default
+
+
+def setup_models(cfg: CfgNode, seed: int):
+    """Init coarse/fine models + params; returns (apply_c, apply_f, params)."""
+    coarse, fine = models_from_cfg(cfg)
+    s = render_settings_from_cfg(cfg, "train")
+    in_dim = encoding_dim(
+        3, s.num_encoding_fn_xyz, s.include_input_xyz
+    ) + (
+        encoding_dim(3, s.num_encoding_fn_dir, s.include_input_dir)
+        if s.use_viewdirs
+        else 0
+    )
+    key = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((1, in_dim))
+    params = {"coarse": coarse.init(key, dummy)}
+    fine_apply = None
+    if fine is not None:
+        params["fine"] = fine.init(jax.random.fold_in(key, 1), dummy)
+        fine_apply = fine.apply
+    return coarse.apply, fine_apply, params
+
+
+def validate(
+    coarse_fn,
+    fine_fn,
+    params,
+    scene: SceneData,
+    cfg: CfgNode,
+    *,
+    dex: bool,
+    supervision: str,
+    val_idx: Optional[int] = None,
+    block_size: int = 4096,
+) -> Dict[str, Any]:
+    """Full-image validation render + metrics.
+
+    Standard mode: PSNR of the fine rgb vs target; expected-depth metrics
+    when GT depth exists (``train_nerf_rgb.py:304-425``). Dex mode:
+    σ-threshold sweep, min-abs-err selection (``train_dexnerf_rgb.py:363-428``).
+    """
+    s_val = render_settings_from_cfg(cfg, "validation", dex=dex)
+    H, W, focal = scene.hwf
+    idx = int(scene.i_val[0]) if val_idx is None else int(val_idx)
+
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w, get_ray_bundle_w2c
+
+    if scene.intrinsics is not None:
+        ro, rd = get_ray_bundle_w2c(
+            H, W, jnp.asarray(scene.poses[idx]), jnp.asarray(scene.intrinsics[idx])
+        )
+    else:
+        ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(scene.poses[idx]))
+
+    out = render_image(
+        coarse_fn,
+        fine_fn,
+        params,
+        ro,
+        rd,
+        float(cfg.dataset.near),
+        float(cfg.dataset.far),
+        s_val,
+        block_size=block_size,
+        use_ndc=scene.use_ndc,
+        height=H,
+        width=W,
+        focal_length=focal,
+    )
+    target = scene.images[idx][..., :3]
+    rendered = out.fine if out.fine is not None else out.coarse
+    if supervision == "luminance":
+        from dexnerf_tpu.train.step import luminance
+
+        mse = float(
+            jnp.mean(
+                (luminance(rendered.rgb) - luminance(jnp.asarray(target))) ** 2
+            )
+        )
+    else:
+        mse = float(jnp.mean((rendered.rgb - jnp.asarray(target)) ** 2))
+    metrics: Dict[str, Any] = {
+        "loss": mse,
+        "psnr": mse2psnr(mse),
+        "rgb": np.asarray(rendered.rgb),
+        "depth": np.asarray(rendered.depth),
+        "index": idx,
+    }
+
+    if scene.depths is not None:
+        gt = scene.depths[idx]
+        # validity mask 0 < d < 1.25 m (reference train_nerf_rgb.py:390)
+        mask = (gt > 0) & (gt < 1.25)
+        if dex and rendered.depth_dex is not None:
+            depth_dex = np.asarray(rendered.depth_dex)  # [T, H, W]
+            errs = []
+            for t in range(depth_dex.shape[0]):
+                err = compute_err_metric(
+                    jnp.asarray(gt), jnp.asarray(depth_dex[t]), jnp.asarray(mask)
+                )
+                errs.append(err)
+            abs_errs = [e["depth_abs_err"] for e in errs]
+            best = int(np.argmin(abs_errs))
+            metrics["dex_errors"] = errs
+            metrics["best_threshold_index"] = best
+            metrics["best_threshold"] = float(s_val.m_thres_cand[best])
+            metrics["min_abs_err"] = float(abs_errs[best])
+            metrics["best_depth"] = depth_dex[best]
+            metrics["err4"] = errs[best]["depth_err4"]
+        else:
+            err = compute_err_metric(
+                jnp.asarray(gt), jnp.asarray(rendered.depth), jnp.asarray(mask)
+            )
+            metrics.update(err)
+    return metrics
+
+
+def run_training(
+    cfg: CfgNode,
+    *,
+    dex: bool = False,
+    supervision: str = "rgb",
+    scene: Optional[SceneData] = None,
+    load_ckpt: Optional[str] = None,
+    max_iters: Optional[int] = None,
+    logdir: Optional[str] = None,
+    use_tensorboard: bool = True,
+    save_artifacts: bool = True,
+) -> Dict[str, Any]:
+    """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
+
+    ``scene`` may be injected (tests / synthetic data); otherwise loaded from
+    ``cfg.dataset``. ``max_iters`` overrides ``cfg.experiment.train_iters``.
+    """
+    seed = int(_get(cfg.experiment, "randomseed", 42))
+    np.random.seed(seed)
+
+    if scene is None:
+        scene = load_scene(cfg)
+
+    logdir = logdir or os.path.join(
+        str(cfg.experiment.logdir), str(cfg.experiment.id)
+    )
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "config.yml"), "w") as f:
+        f.write(cfg.dump())
+    logger = MetricsLogger(logdir, use_tensorboard=use_tensorboard)
+
+    coarse_fn, fine_fn, params = setup_models(cfg, seed)
+    tx = make_optimizer(
+        float(cfg.optimizer.lr),
+        float(cfg.scheduler.lr_decay),
+        float(cfg.scheduler.lr_decay_factor),
+    )
+    state = init_train_state(params, tx)
+
+    # resume
+    start_iter = 0
+    if load_ckpt:
+        payload = restore_checkpoint(load_ckpt, template=state)
+        state = TrainState(
+            step=jnp.asarray(payload["step"]),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+        )
+        start_iter = int(payload["step"])
+
+    s_train = render_settings_from_cfg(cfg, "train", dex=False)
+    batch_size = int(cfg.nerf.train.num_random_rays)
+    store = build_ray_store(
+        scene.images[scene.i_train],
+        scene.poses[scene.i_train],
+        scene.hwf,
+        float(cfg.dataset.near),
+        float(cfg.dataset.far),
+        intrinsics=(
+            scene.intrinsics[scene.i_train]
+            if scene.intrinsics is not None
+            else None
+        ),
+        use_ndc=scene.use_ndc,
+    )
+    train_step = make_train_step(
+        coarse_fn, fine_fn, tx, s_train, batch_size, supervision=supervision
+    )
+
+    train_iters = (
+        int(max_iters)
+        if max_iters is not None
+        else int(cfg.experiment.train_iters)
+    )
+    validate_every = int(_get(cfg.experiment, "validate_every", 0) or 0)
+    save_every = int(_get(cfg.experiment, "save_every", 0) or 0)
+    print_every = int(_get(cfg.experiment, "print_every", 100) or 100)
+
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    rays_done = 0
+    last_val: Dict[str, Any] = {}
+    last_metrics: Dict[str, float] = {}
+
+    for i in range(start_iter, train_iters):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, store, sub)
+
+        if i % print_every == 0 or i == train_iters - 1:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            last_metrics = metrics
+            logger.scalars(
+                {f"train/{k}": v for k, v in metrics.items()}, i
+            )
+            elapsed = time.time() - t0
+            rays_done = (i - start_iter + 1) * batch_size
+            logger.scalar("train/rays_per_sec", rays_done / max(elapsed, 1e-9), i)
+
+        if validate_every and (
+            i % validate_every == 0 or i == train_iters - 1
+        ):
+            val = validate(
+                coarse_fn,
+                fine_fn,
+                state.params,
+                scene,
+                cfg,
+                dex=dex,
+                supervision=supervision,
+            )
+            last_val = val
+            logger.scalar("validation/loss", val["loss"], i)
+            logger.scalar("validation/psnr", val["psnr"], i)
+            for k in ("depth_abs_err", "depth_err4", "min_abs_err", "err4"):
+                if k in val:
+                    logger.scalar(f"validation/{k}", float(val[k]), i)
+            logger.image("validation/rgb_fine", np.clip(val["rgb"], 0, 1), i)
+            if save_artifacts and "best_depth" in val:
+                save_depth_png_mm(
+                    os.path.join(logdir, f"depth_best_{i:06d}.png"),
+                    val["best_depth"],
+                )
+
+        if save_every and i > 0 and (i % save_every == 0 or i == train_iters - 1):
+            save_checkpoint(
+                os.path.join(logdir, "checkpoints"),
+                i,
+                state,
+                extra={"loss": metrics.get("loss", 0.0)} if isinstance(metrics, dict) else None,
+            )
+
+    elapsed = time.time() - t0
+    logger.close()
+    return {
+        "state": state,
+        "final_train_metrics": last_metrics,
+        "final_validation": last_val,
+        "elapsed_sec": elapsed,
+        "rays_per_sec": (train_iters - start_iter) * batch_size / max(elapsed, 1e-9),
+        "logdir": logdir,
+        "coarse_fn": coarse_fn,
+        "fine_fn": fine_fn,
+        "scene": scene,
+    }

@@ -1,0 +1,165 @@
+"""Pallas kernels: parity vs the XLA reference implementations.
+
+On the CPU test backend the kernels run in interpreter mode
+(``interpret=True``); the same code compiles via Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexnerf_tpu.core.encoding import encoding_dim
+from dexnerf_tpu.core.sampling import sample_pdf, weights_to_cdf
+from dexnerf_tpu.models import FlexibleNeRFModel
+from dexnerf_tpu.ops import (
+    make_fused_flexible_field,
+    sample_pdf_branchless,
+    sample_pdf_pallas,
+)
+from dexnerf_tpu.ops.sample_pdf_pallas import _sample_pdf_branchless_xla
+from dexnerf_tpu.render import RenderSettings, encode_points
+
+
+def _random_pdf_inputs(B=8, M=62, N=64, seed=0):
+    rng = np.random.RandomState(seed)
+    bins = np.sort(rng.rand(B, M + 1) * 4 + 2, axis=-1).astype(np.float32)
+    weights = rng.rand(B, M).astype(np.float32)
+    u = rng.rand(B, N).astype(np.float32)
+    return jnp.asarray(bins), jnp.asarray(weights), jnp.asarray(u)
+
+
+def _reference_interp(bins, weights, u):
+    """Reference semantics (take_along_axis path) with external uniforms."""
+    cdf = weights_to_cdf(weights)
+    from dexnerf_tpu.core.sampling import searchsorted_right
+
+    inds = searchsorted_right(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_g0) / denom
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def test_branchless_xla_matches_reference():
+    bins, weights, u = _random_pdf_inputs()
+    ref = _reference_interp(bins, weights, u)
+    got = _sample_pdf_branchless_xla(bins, weights, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_branchless_xla_endpoint_u():
+    # u = 0 and u = 1 exactly (deterministic linspace endpoints)
+    bins, weights, _ = _random_pdf_inputs(B=4, M=14, N=5)
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 5), (4, 5)).astype(jnp.float32)
+    ref = _reference_interp(bins, weights, u)
+    got = _sample_pdf_branchless_xla(bins, weights, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_sample_pdf_pallas_interpret_matches_reference():
+    bins, weights, u = _random_pdf_inputs(B=16)
+    ref = _reference_interp(bins, weights, u)
+    got = sample_pdf_pallas(bins, weights, u, block_rays=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_sample_pdf_branchless_det_matches_core():
+    bins, weights, _ = _random_pdf_inputs(B=8, M=30, N=16)
+    core = sample_pdf(bins, weights, 16, det=True)
+    got = sample_pdf_branchless(
+        bins, weights, 16, det=True, use_pallas=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(core), atol=1e-4)
+
+
+def test_fused_mlp_matches_flax():
+    model = FlexibleNeRFModel(
+        num_layers=4,
+        hidden_size=32,
+        skip_connect_every=2,  # exercises the skip concat
+        num_encoding_fn_xyz=4,
+        num_encoding_fn_dir=2,
+    )
+    in_dim = encoding_dim(3, 4) + encoding_dim(3, 2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.ones((1, in_dim)))
+
+    N, S = 6, 8
+    pts = jax.random.normal(jax.random.PRNGKey(1), (N, S, 3))
+    viewdirs = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+    viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+
+    settings = RenderSettings(
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2
+    )
+    enc = encode_points(pts, viewdirs, settings)
+    ref = model.apply(params, enc)
+
+    field = make_fused_flexible_field(model, block_samples=16, interpret=True)
+    got = field(params, pts, viewdirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_mlp_no_viewdirs():
+    model = FlexibleNeRFModel(
+        num_layers=3,
+        hidden_size=16,
+        num_encoding_fn_xyz=2,
+        use_viewdirs=False,
+    )
+    in_dim = encoding_dim(3, 2)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, in_dim)))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 3))
+    settings = RenderSettings(num_encoding_fn_xyz=2, use_viewdirs=False)
+    ref = model.apply(params, encode_points(pts, None, settings))
+    field = make_fused_flexible_field(model, block_samples=16, interpret=True)
+    got = field(params, pts, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_mlp_in_renderer():
+    """Fused field plugs into render_rays and matches the XLA path."""
+    from dexnerf_tpu.render import RayBatch, render_rays
+
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16, num_encoding_fn_xyz=2,
+        num_encoding_fn_dir=1,
+    )
+    in_dim = encoding_dim(3, 2) + encoding_dim(3, 1)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    s = RenderSettings(
+        num_coarse=4, num_fine=4, perturb=False,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+    )
+    n = 8
+    rd = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+    rays = RayBatch(
+        origins=jnp.zeros((n, 3)),
+        directions=rd,
+        viewdirs=rd / jnp.linalg.norm(rd, axis=-1, keepdims=True),
+        near=jnp.full((n,), 2.0),
+        far=jnp.full((n,), 6.0),
+    )
+    ref = render_rays(model.apply, model.apply, params, rays, None, s)
+    field = make_fused_flexible_field(model, block_samples=32, interpret=True)
+    got = render_rays(
+        model.apply, model.apply, params, rays, None, s,
+        coarse_field=field, fine_field=field,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.fine.rgb), np.asarray(ref.fine.rgb), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.fine.depth), np.asarray(ref.fine.depth), atol=1e-4
+    )
