@@ -44,11 +44,29 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="train data-parallel over this many devices (default: 1)",
     )
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax debug_nans (the analog of torch's "
+        "detect_anomaly, which the reference left commented out)",
+    )
+    p.add_argument(
+        "--disable-jit",
+        action="store_true",
+        help="run eagerly for step-through debugging",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.disable_jit:
+        jax.config.update("jax_disable_jit", True)
+
     from dexnerf_tpu.config import load_config
     from dexnerf_tpu.train import run_training
 

@@ -8,7 +8,12 @@ from dexnerf_tpu.data.blender import (
 )
 from dexnerf_tpu.data.llff import load_llff_data
 from dexnerf_tpu.data.messytable import load_messytable_data
-from dexnerf_tpu.data.pipeline import RayStore, build_ray_store, sample_ray_batch
+from dexnerf_tpu.data.pipeline import (
+    RayStore,
+    build_ray_store,
+    build_ray_store_from_cache,
+    sample_ray_batch,
+)
 from dexnerf_tpu.data.synthetic import (
     analytic_field,
     make_synthetic_scene,
@@ -25,6 +30,7 @@ __all__ = [
     "load_messytable_data",
     "RayStore",
     "build_ray_store",
+    "build_ray_store_from_cache",
     "sample_ray_batch",
     "analytic_field",
     "make_synthetic_scene",

@@ -99,6 +99,33 @@ def build_ray_store(
     return RayStore(data=jax.device_put(data), near=float(near), far=float(far))
 
 
+def build_ray_store_from_cache(
+    cachedir: str, near: float, far: float
+) -> RayStore:
+    """Build the device ray store from an offline cache written by
+    ``dexnerf_tpu.apps.cache`` — the equivalent of the reference's
+    ``USE_CACHED_DATASET`` branch (``train_nerf_rgb.py:186-220``), except the
+    shards are concatenated once into the device-resident store instead of
+    being re-read from disk every iteration."""
+    import glob
+    import os
+
+    rows = []
+    shards = sorted(glob.glob(os.path.join(cachedir, "train", "*.npz")))
+    if not shards:
+        raise FileNotFoundError(f"no train shards under {cachedir}/train")
+    for path in shards:
+        with np.load(path) as z:
+            ro, rd = z["ray_bundle"][0], z["ray_bundle"][1]
+            rgb = z["target"]
+        viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+        rows.append(
+            np.concatenate([ro, rd, viewdirs, rgb], axis=-1).astype(np.float32)
+        )
+    data = jnp.asarray(np.concatenate(rows, axis=0))
+    return RayStore(data=jax.device_put(data), near=float(near), far=float(far))
+
+
 def sample_ray_batch(
     store: RayStore, key: jax.Array, batch_size: int
 ) -> Tuple[RayBatch, jnp.ndarray]:

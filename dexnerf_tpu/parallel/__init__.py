@@ -1,5 +1,6 @@
-"""Multi-chip parallelism: device mesh + shard_map train/render."""
+"""Multi-chip parallelism: device mesh + shard_map train/render + multi-host."""
 
+from dexnerf_tpu.parallel import multihost
 from dexnerf_tpu.parallel.mesh import (
     RAY_AXIS,
     make_mesh,
@@ -12,6 +13,7 @@ from dexnerf_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "multihost",
     "RAY_AXIS",
     "make_mesh",
     "ray_sharding",

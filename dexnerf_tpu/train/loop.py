@@ -150,6 +150,29 @@ def _get(node, key, default):
         return default
 
 
+def maybe_fused_fields(cfg: CfgNode):
+    """(coarse_field, fine_field) Pallas fused-kernel field functions when
+    ``cfg.nerf.use_pallas`` is set and the models are FlexibleNeRFModel;
+    (None, None) otherwise (the renderer then uses the XLA path)."""
+    if not bool(_get(cfg.nerf, "use_pallas", False)):
+        return None, None
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_flexible_field
+
+    coarse, fine = models_from_cfg(cfg)
+    cf = (
+        make_fused_flexible_field(coarse)
+        if isinstance(coarse, FlexibleNeRFModel)
+        else None
+    )
+    ff = (
+        make_fused_flexible_field(fine)
+        if isinstance(fine, FlexibleNeRFModel)
+        else None
+    )
+    return cf, ff
+
+
 def setup_models(cfg: CfgNode, seed: int):
     """Init coarse/fine models + params; returns (apply_c, apply_f, params)."""
     coarse, fine = models_from_cfg(cfg)
@@ -202,6 +225,7 @@ def validate(
     else:
         ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(scene.poses[idx]))
 
+    coarse_field, fine_field = maybe_fused_fields(cfg)
     out = render_image(
         coarse_fn,
         fine_fn,
@@ -216,6 +240,8 @@ def validate(
         height=H,
         width=W,
         focal_length=focal,
+        coarse_field=coarse_field,
+        fine_field=fine_field,
     )
     target = scene.images[idx][..., :3]
     rendered = out.fine if out.fine is not None else out.coarse
@@ -239,8 +265,10 @@ def validate(
 
     if scene.depths is not None:
         gt = scene.depths[idx]
-        # validity mask 0 < d < 1.25 m (reference train_nerf_rgb.py:390)
-        mask = (gt > 0) & (gt < 1.25)
+        # validity mask 0 < d < depth_valid_max, default 1.25 m
+        # (reference hardcodes 1.25, train_nerf_rgb.py:390)
+        valid_max = float(_get(cfg.dataset, "depth_valid_max", 1.25))
+        mask = (gt > 0) & (gt < valid_max)
         if dex and rendered.depth_dex is not None:
             depth_dex = np.asarray(rendered.depth_dex)  # [T, H, W]
             errs = []
@@ -301,6 +329,7 @@ def run_training(
         float(cfg.optimizer.lr),
         float(cfg.scheduler.lr_decay),
         float(cfg.scheduler.lr_decay_factor),
+        opt_type=str(_get(cfg.optimizer, "type", "Adam")),
     )
     state = init_train_state(params, tx)
 

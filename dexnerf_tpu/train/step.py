@@ -42,10 +42,32 @@ def exponential_decay_schedule(
     )
 
 
+# Explicit optimizer registry, replacing the reference's
+# ``getattr(torch.optim, cfg.optimizer.type)`` reflection
+# (``train_nerf_rgb.py:146``).
+OPTIMIZER_REGISTRY: Dict[str, Callable[..., optax.GradientTransformation]] = {
+    "Adam": optax.adam,
+    "AdamW": optax.adamw,
+    "SGD": optax.sgd,
+    "RMSprop": optax.rmsprop,
+    "Adagrad": optax.adagrad,
+}
+
+
 def make_optimizer(
-    lr: float, lr_decay: float = 250.0, lr_decay_factor: float = 0.1
+    lr: float,
+    lr_decay: float = 250.0,
+    lr_decay_factor: float = 0.1,
+    opt_type: str = "Adam",
 ) -> optax.GradientTransformation:
-    return optax.adam(
+    try:
+        ctor = OPTIMIZER_REGISTRY[opt_type]
+    except KeyError:
+        raise KeyError(
+            f"unknown optimizer type {opt_type!r}; "
+            f"registered: {sorted(OPTIMIZER_REGISTRY)}"
+        ) from None
+    return ctor(
         learning_rate=exponential_decay_schedule(lr, lr_decay, lr_decay_factor)
     )
 
