@@ -16,16 +16,11 @@ import time
 
 import numpy as np
 
-
-def cast_to_image(rgb: np.ndarray) -> np.ndarray:
-    return (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
-
-
-def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
-    """Clamp disparity to [0, 2] and scale to uint8 (reference
-    ``eval_nerf.py:34-45`` behavior)."""
-    img = np.clip(disp, 0.0, 2.0) / 2.0
-    return (img * 255).astype(np.uint8)
+from dexnerf_tpu.utils import (
+    apply_jet_colormap,
+    cast_to_disparity_image,
+    cast_to_image,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -34,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--savedir", type=str, default="renders")
     p.add_argument("--save-disparity-image", action="store_true")
+    p.add_argument(
+        "--save-jet-disparity",
+        action="store_true",
+        help="also save jet-colormapped disparity (reference "
+        "eval_nerf.py:196-205)",
+    )
     p.add_argument(
         "--num-poses", type=int, default=None, help="limit render path length"
     )
@@ -80,6 +81,8 @@ def main(argv=None) -> int:
     os.makedirs(args.savedir, exist_ok=True)
     if args.save_disparity_image:
         os.makedirs(os.path.join(args.savedir, "disparity"), exist_ok=True)
+    if args.save_jet_disparity:
+        os.makedirs(os.path.join(args.savedir, "disparity_jet"), exist_ok=True)
 
     times = []
     for i, pose in enumerate(poses):
@@ -106,12 +109,18 @@ def main(argv=None) -> int:
         imageio.imwrite(
             os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
         )
-        if args.save_disparity_image:
+        if args.save_disparity_image or args.save_jet_disparity:
             disp = np.asarray(rendered.disparity)
-            imageio.imwrite(
-                os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
-                cast_to_disparity_image(disp),
-            )
+            if args.save_disparity_image:
+                imageio.imwrite(
+                    os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
+                    cast_to_disparity_image(disp),
+                )
+            if args.save_jet_disparity:
+                imageio.imwrite(
+                    os.path.join(args.savedir, "disparity_jet", f"{i:04d}.png"),
+                    apply_jet_colormap(np.clip(disp, 0.0, 2.0) / 2.0),
+                )
         print(f"frame {i}: {times[-1]:.3f}s")
 
     print(f"Avg time per image: {np.mean(times):.3f}s")

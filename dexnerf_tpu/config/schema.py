@@ -95,6 +95,7 @@ def model_from_cfg(model_cfg: CfgNode, use_viewdirs: Optional[bool] = None):
         ),
         filter_size=int(_get(model_cfg, "hidden_size", 128)),
         num_encoding_functions=int(_get(model_cfg, "num_encoding_fn_xyz", 6)),
+        dtype=str(_get(model_cfg, "compute_dtype", "float32")),
     )
     return build_model(str(model_cfg.type), **kwargs)
 

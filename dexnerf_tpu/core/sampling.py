@@ -93,8 +93,15 @@ def sample_pdf(
 
     Semantics match the reference's ``sample_pdf_2``
     (``nerf_helpers.py:262-304``): right-searchsorted into the CDF, clamped
-    below/above gather of both CDF and bin edges, guarded linear
+    below/above lookup of both CDF and bin edges, guarded linear
     interpolation.
+
+    Implementation is **gather-free** (TPU gathers are slow): since the CDF
+    is ascending, ``cdf[inds-1]``/``bins[inds-1]`` are the maxima over the
+    prefix ``{cdf <= u}`` and ``cdf[inds]``/``bins[inds]`` the minima over
+    the suffix — masked extrema over the same [..., N, M+1] compare matrix
+    that computes the rank. Equivalence vs the gather formulation is tested
+    to float32 round-off (tests/test_ops.py).
     """
     cdf = weights_to_cdf(weights)  # [..., M+1]
 
@@ -108,14 +115,19 @@ def sample_pdf(
             key, (*cdf.shape[:-1], num_samples), dtype=weights.dtype
         )
 
-    inds = searchsorted_right(cdf, u)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    big = jnp.asarray(1e30, dtype=weights.dtype)
+    le = cdf[..., None, :] <= u[..., :, None]  # [..., N, M+1]
+    cdf_b = cdf[..., None, :]
+    bins_b = bins[..., None, :]
+    cdf_below = jnp.max(jnp.where(le, cdf_b, -big), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins_b, -big), axis=-1)
+    cdf_above = jnp.min(jnp.where(le, big, cdf_b), axis=-1)
+    bins_above = jnp.min(jnp.where(le, big, bins_b), axis=-1)
+    # u >= cdf[-1]: no suffix -> reference clamps above to the last index,
+    # making below == above there.
+    none_above = jnp.all(le, axis=-1)
+    cdf_above = jnp.where(none_above, cdf_below, cdf_above)
+    bins_above = jnp.where(none_above, bins_below, bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

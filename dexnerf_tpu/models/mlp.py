@@ -27,11 +27,18 @@ All models map encoded features -> ``[..., 4]`` (rgb logits + σ logit).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _canonical_dtype(dtype):
+    """Accept strings from config ("float32"/"bfloat16") or jnp dtypes."""
+    if isinstance(dtype, str):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    return dtype
 
 
 def _bounded_uniform(bound: float):
@@ -43,9 +50,15 @@ def _bounded_uniform(bound: float):
 
 class Dense(nn.Module):
     """Linear layer with torch ``nn.Linear``-style init: kernel and bias both
-    uniform(±1/sqrt(fan_in)), so training dynamics match the reference."""
+    uniform(±1/sqrt(fan_in)), so training dynamics match the reference.
+
+    ``dtype`` is the compute dtype: parameters are stored float32 and cast
+    for the matmul (bfloat16 compute runs the MXU at full rate on TPU;
+    float32 uses the slower multi-pass path).
+    """
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +68,9 @@ class Dense(nn.Module):
             "kernel", _bounded_uniform(bound), (fan_in, self.features)
         )
         bias = self.param("bias", _bounded_uniform(bound), (self.features,))
-        return x @ kernel + bias
+        x = x.astype(self.dtype)
+        y = x @ kernel.astype(self.dtype)
+        return y + bias.astype(self.dtype)
 
 
 def _dims(num_encoding_fn_xyz, num_encoding_fn_dir, include_input_xyz,
@@ -192,9 +207,11 @@ class FlexibleNeRFModel(nn.Module):
     include_input_xyz: bool = True
     include_input_dir: bool = True
     use_viewdirs: bool = True
+    dtype: Any = jnp.float32  # compute dtype; "bfloat16" for full MXU rate
 
     @nn.compact
     def __call__(self, x):
+        dtype = _canonical_dtype(self.dtype)
         dim_xyz, _ = _dims(
             self.num_encoding_fn_xyz,
             self.num_encoding_fn_dir,
@@ -205,8 +222,9 @@ class FlexibleNeRFModel(nn.Module):
             xyz, view = x[..., :dim_xyz], x[..., dim_xyz:]
         else:
             xyz = x[..., :dim_xyz]
+        xyz = xyz.astype(dtype)
 
-        h = Dense(self.hidden_size)(xyz)
+        h = Dense(self.hidden_size, dtype=dtype)(xyz)
         num_trunk = self.num_layers - 1
         for i in range(num_trunk):
             if (
@@ -215,13 +233,14 @@ class FlexibleNeRFModel(nn.Module):
                 and i != num_trunk - 1
             ):
                 h = jnp.concatenate([h, xyz], axis=-1)
-            h = nn.relu(Dense(self.hidden_size)(h))
+            h = nn.relu(Dense(self.hidden_size, dtype=dtype)(h))
 
         if self.use_viewdirs:
-            feat = nn.relu(Dense(self.hidden_size)(h))
-            alpha = Dense(1)(h)
-            y = jnp.concatenate([feat, view], axis=-1)
-            y = nn.relu(Dense(self.hidden_size // 2)(y))
-            rgb = Dense(3)(y)
-            return jnp.concatenate([rgb, alpha], axis=-1)
-        return Dense(4)(h)
+            feat = nn.relu(Dense(self.hidden_size, dtype=dtype)(h))
+            alpha = Dense(1, dtype=dtype)(h)
+            y = jnp.concatenate([feat, view.astype(dtype)], axis=-1)
+            y = nn.relu(Dense(self.hidden_size // 2, dtype=dtype)(y))
+            rgb = Dense(3, dtype=dtype)(y)
+            # raw field logits back to f32 for compositing stability
+            return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
+        return Dense(4, dtype=dtype)(h).astype(jnp.float32)

@@ -47,8 +47,14 @@ def _sample_pdf_kernel(bins_ref, weights_ref, u_ref, out_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
     tri = (row <= col).astype(pdf.dtype)
+    # HIGHEST precision: the MXU's default bf16 passes would perturb the CDF
+    # by ~1e-3, which shifts searchsorted bins on near-flat CDF regions.
     cdf_body = jax.lax.dot_general(
-        pdf, tri, (((1,), (0,)), ((), ())), preferred_element_type=pdf.dtype
+        pdf,
+        tri,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=pdf.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [R, M]
     cdf = jnp.concatenate(
         [jnp.zeros_like(cdf_body[:, :1]), cdf_body], axis=-1

@@ -116,7 +116,10 @@ def load_scene(cfg: CfgNode) -> SceneData:
         )
     if dtype == "llff":
         images, poses, bds, render_poses, i_test = load_llff_data(
-            ds.basedir, factor=int(_get(ds, "downsample_factor", 8))
+            ds.basedir,
+            factor=int(_get(ds, "downsample_factor", 8)),
+            spherify=bool(_get(ds, "spherify", False)),
+            path_zflat=bool(_get(ds, "path_zflat", False)),
         )
         hwf = poses[0, :3, -1]
         poses34 = poses[:, :3, :4]
@@ -159,14 +162,16 @@ def maybe_fused_fields(cfg: CfgNode):
     from dexnerf_tpu.models import FlexibleNeRFModel
     from dexnerf_tpu.ops import make_fused_flexible_field
 
+    # Pallas has no CPU lowering; fall back to the interpreter off-TPU.
+    interpret = jax.default_backend() == "cpu"
     coarse, fine = models_from_cfg(cfg)
     cf = (
-        make_fused_flexible_field(coarse)
+        make_fused_flexible_field(coarse, interpret=interpret)
         if isinstance(coarse, FlexibleNeRFModel)
         else None
     )
     ff = (
-        make_fused_flexible_field(fine)
+        make_fused_flexible_field(fine, interpret=interpret)
         if isinstance(fine, FlexibleNeRFModel)
         else None
     )
@@ -346,19 +351,29 @@ def run_training(
 
     s_train = render_settings_from_cfg(cfg, "train", dex=False)
     batch_size = int(cfg.nerf.train.num_random_rays)
-    store = build_ray_store(
-        scene.images[scene.i_train],
-        scene.poses[scene.i_train],
-        scene.hwf,
-        float(cfg.dataset.near),
-        float(cfg.dataset.far),
-        intrinsics=(
-            scene.intrinsics[scene.i_train]
-            if scene.intrinsics is not None
-            else None
-        ),
-        use_ndc=scene.use_ndc,
-    )
+    cachedir = str(_get(cfg.dataset, "cachedir", "") or "")
+    if cachedir and os.path.isdir(os.path.join(cachedir, "train")):
+        # Train from the offline ray cache when present (the reference's
+        # USE_CACHED_DATASET preference, train_nerf_rgb.py:51-56).
+        from dexnerf_tpu.data import build_ray_store_from_cache
+
+        store = build_ray_store_from_cache(
+            cachedir, float(cfg.dataset.near), float(cfg.dataset.far)
+        )
+    else:
+        store = build_ray_store(
+            scene.images[scene.i_train],
+            scene.poses[scene.i_train],
+            scene.hwf,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            intrinsics=(
+                scene.intrinsics[scene.i_train]
+                if scene.intrinsics is not None
+                else None
+            ),
+            use_ndc=scene.use_ndc,
+        )
     train_step = make_train_step(
         coarse_fn, fine_fn, tx, s_train, batch_size, supervision=supervision
     )
@@ -395,6 +410,11 @@ def run_training(
         if validate_every and (
             i % validate_every == 0 or i == train_iters - 1
         ):
+            # cycle through validation views (the reference picks a random
+            # one each time, train_nerf_rgb.py:316-320)
+            val_idx = int(
+                scene.i_val[(i // validate_every) % len(scene.i_val)]
+            )
             val = validate(
                 coarse_fn,
                 fine_fn,
@@ -403,6 +423,7 @@ def run_training(
                 cfg,
                 dex=dex,
                 supervision=supervision,
+                val_idx=val_idx,
             )
             last_val = val
             logger.scalar("validation/loss", val["loss"], i)

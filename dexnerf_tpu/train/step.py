@@ -11,6 +11,7 @@ and reads back scalars for logging.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -138,7 +139,9 @@ def make_train_step(
         loss, metrics = nerf_loss(result, target, supervision=supervision)
         return loss, metrics
 
-    @jax.jit
+    # Donate the state: params/opt_state buffers are reused in place,
+    # halving the train step's parameter-memory traffic.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, store: RayStore, key: jax.Array):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, store, key

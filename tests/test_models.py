@@ -100,3 +100,19 @@ def test_torch_style_init_bounds():
         assert np.abs(a).max() <= 1.0
         if a.size > 1:
             assert a.std() > 0  # actually random
+
+
+def test_flexible_bfloat16_compute():
+    import jax.numpy as jnp
+
+    model32 = FlexibleNeRFModel(num_layers=4, hidden_size=32)
+    model16 = FlexibleNeRFModel(num_layers=4, hidden_size=32, dtype="bfloat16")
+    in_dim = encoding_dim(3, 6) + encoding_dim(3, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, in_dim))
+    params = model32.init(jax.random.PRNGKey(0), x)
+    out32 = model32.apply(params, x)
+    out16 = model16.apply(params, x)  # same f32 params, bf16 compute
+    assert out16.dtype == jnp.float32  # cast back for compositing
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), atol=5e-2
+    )

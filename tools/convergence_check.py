@@ -1,41 +1,90 @@
 """End-to-end learning check: fit the synthetic analytic scene on a real chip
-and report holdout PSNR every 500 steps. Expect >25 dB by 3k iterations."""
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import time, numpy as np, jax, jax.numpy as jnp
-from dexnerf_tpu.core.encoding import encoding_dim
-from dexnerf_tpu.core.rays import get_ray_bundle_c2w
-from dexnerf_tpu.core.metrics import mse2psnr
-from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
-from dexnerf_tpu.models import FlexibleNeRFModel
-from dexnerf_tpu.render import RenderSettings, render_image
-from dexnerf_tpu.train import init_train_state, make_optimizer, make_train_step
+and report holdout PSNR every 500 steps. Expect >25 dB by 3k iterations.
 
-H = W = 64
-images, depths, poses, hwf = make_synthetic_scene(num_views=12, height=H, width=W)
-train_imgs, test_img, test_pose = images[:-1], images[-1], poses[-1]
-enc_xyz, enc_dir = 6, 4
-settings = RenderSettings(num_coarse=32, num_fine=32, perturb=True,
-                          radiance_field_noise_std=0.0,
-                          num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir)
-model = FlexibleNeRFModel(num_layers=6, hidden_size=128, skip_connect_every=3,
-                          num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir)
-in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
-key = jax.random.PRNGKey(0)
-params = {"coarse": model.init(key, jnp.ones((1, in_dim))),
-          "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim)))}
-store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
-tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
-state = init_train_state(params, tx)
-step = make_train_step(model.apply, model.apply, tx, settings, 1024)
-t0 = time.time()
-for i in range(3001):
-    key, sub = jax.random.split(key)
-    state, metrics = step(state, store, sub)
-    if i % 500 == 0:
-        ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
-        out = render_image(model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
-                           settings.eval_variant(), block_size=4096)
-        mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
-        print(f"iter {i}: train_psnr {float(metrics['psnr']):.2f} holdout_psnr {mse2psnr(mse):.2f} ({time.time()-t0:.0f}s)", flush=True)
-print("DONE")
+    python tools/convergence_check.py [--dtype bfloat16] [--iters 3000]
+
+Used to validate quality parity of the bfloat16 compute path against the
+float32 reference path (reference train quality is argued statistically —
+SURVEY.md §7 "PRNG semantics").
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--iters", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=1024)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.core.metrics import mse2psnr
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render import RenderSettings, render_image
+    from dexnerf_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    H = W = 64
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=12, height=H, width=W
+    )
+    test_img, test_pose = images[-1], poses[-1]
+    enc_xyz, enc_dir = 6, 4
+    settings = RenderSettings(
+        num_coarse=32, num_fine=32, perturb=True,
+        radiance_field_noise_std=0.0,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=6, hidden_size=128, skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+        dtype=args.dtype,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
+    tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
+    state = init_train_state(params, tx)
+    step = make_train_step(model.apply, model.apply, tx, settings, args.batch)
+    t0 = time.time()
+    final_psnr = 0.0
+    for i in range(args.iters + 1):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+        if i % 500 == 0 or i == args.iters:
+            ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
+            out = render_image(
+                model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
+                settings.eval_variant(), block_size=4096,
+            )
+            mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
+            final_psnr = mse2psnr(mse)
+            print(
+                f"iter {i}: train_psnr {float(metrics['psnr']):.2f} "
+                f"holdout_psnr {final_psnr:.2f} "
+                f"({time.time()-t0:.0f}s, dtype={args.dtype})",
+                flush=True,
+            )
+    print(f"DONE holdout_psnr={final_psnr:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
