@@ -4,6 +4,7 @@ from dexnerf_tpu.ops.fused_mlp import (
     flatten_flex_params,
     make_fused_flexible_field,
 )
+from dexnerf_tpu.ops.fused_mlp_train import make_fused_flexible_field_train
 from dexnerf_tpu.ops.sample_pdf_pallas import (
     sample_pdf_branchless,
     sample_pdf_pallas,
@@ -12,6 +13,7 @@ from dexnerf_tpu.ops.sample_pdf_pallas import (
 __all__ = [
     "flatten_flex_params",
     "make_fused_flexible_field",
+    "make_fused_flexible_field_train",
     "sample_pdf_branchless",
     "sample_pdf_pallas",
 ]

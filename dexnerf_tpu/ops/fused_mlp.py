@@ -5,26 +5,30 @@ MLP with skip → alpha-compositing) fuses into Pallas kernels so encoded
 samples never round-trip to HBM". This kernel implements the PE→MLP part for
 ``FlexibleNeRFModel``: for each block of samples, the frequency encoding of
 positions and view directions is built directly in VMEM, the whole trunk
-(with its skip concatenation) plus σ/rgb heads run as back-to-back MXU
-matmuls on VMEM-resident weights, and only the [S, 4] raw radiance field is
-written back to HBM.
+(with its skip connection) plus σ/rgb heads run as back-to-back MXU matmuls
+on VMEM-resident weights, and only the [S, 4] raw radiance field is written
+back to HBM. Profiling shows the XLA path is HBM-bound on exactly these
+intermediates (docs/PERF_NOTES.md).
 
-Versus the XLA path (``render.make_mlp_field``), this removes the [S, D_enc]
-encoded-features round trip and all [S, hidden] inter-layer activations from
-HBM traffic. Used on the no-grad paths (validation / novel-view rendering /
-depth extraction); training keeps the XLA pipeline (autodiff through a
-custom-VJP kernel is future work — the train step is already MXU-bound).
+Mosaic-friendly layout decisions:
+
+* no ragged concatenations: the skip connection and the viewdir join are
+  expressed as SPLIT matmuls (``h @ W_h + enc @ W_x``) on aligned operands;
+* encodings are padded to a multiple of 16 lanes (bf16 sublane tile) with
+  zero columns, with matching zero rows padded into the weights host-side;
+* ``compute_dtype=bfloat16`` runs the trunk matmuls at full MXU rate with
+  float32 accumulation; the tiny σ/rgb head matmuls stay float32.
 
 Layer structure mirrors ``dexnerf_tpu.models.mlp.FlexibleNeRFModel``
 (reference semantics: ``nerf-pytorch/nerf/models.py:185-256``, skip bug
-fixed): layer1 (no activation), trunk with relu + skip-concat, then
+fixed): layer1 (no activation), trunk with relu + skip, then
 feat/alpha/dir/rgb heads.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +40,21 @@ from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.render.renderer import FieldFn
 
 
-def _pe_in_kernel(x, num_freq: int, include_input: bool):
-    """Positional encoding built inside the kernel ([B, 3] -> [B, D])."""
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
+    """Positional encoding built inside the kernel, zero-padded to
+    ``padded_dim`` ([B, 3] -> [B, padded_dim], float32)."""
     parts = [x] if include_input else []
     for i in range(num_freq):
         scaled = x * (2.0 ** i)
         parts.append(jnp.sin(scaled))
         parts.append(jnp.cos(scaled))
+    dim = 3 * len(parts)
+    if padded_dim > dim:
+        parts.append(jnp.zeros((x.shape[0], padded_dim - dim), dtype=x.dtype))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -77,57 +89,164 @@ def _skip_indices(model: FlexibleNeRFModel) -> List[int]:
     ]
 
 
-def _make_kernel(model: FlexibleNeRFModel):
-    """Kernel body closed over the (static) layer structure."""
+class _Dims(NamedTuple):
+    dim_xyz: int
+    dim_dir: int
+    pad_xyz: int  # padded encoding widths (multiples of 16)
+    pad_dir: int
+
+
+def _dims(model: FlexibleNeRFModel) -> _Dims:
+    dx = (3 if model.include_input_xyz else 0) + 6 * model.num_encoding_fn_xyz
+    dd = (3 if model.include_input_dir else 0) + 6 * model.num_encoding_fn_dir
+    return _Dims(dx, dd, _round_up(dx, 16), _round_up(dd, 16))
+
+
+def split_flex_params(model: FlexibleNeRFModel, params: Any, compute_dtype):
+    """Host-side weight prep for the aligned kernels.
+
+    Returns (mats, biases) where ``mats`` is a flat tuple of matmul operands
+    in kernel consumption order — skip layers contribute (W_h, W_x) pairs and
+    the viewdir layer (W_feat_part, W_dir_part) — with encoding-facing rows
+    zero-padded to the padded encoding widths, trunk/feat/dir weights cast to
+    ``compute_dtype`` and head (alpha/rgb) weights kept float32.
+    """
+    ks, bs = flatten_flex_params(model, params)
+    d = _dims(model)
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
+    H = model.hidden_size
+
+    def pad_rows(w, rows):
+        return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+    mats: List = []
+    # layer1: [dx, H] -> [pad_xyz, H]
+    mats.append(pad_rows(ks[0], d.pad_xyz).astype(compute_dtype))
+    for i in range(num_trunk):
+        w = ks[1 + i]
+        if i in skip:
+            mats.append(w[:H].astype(compute_dtype))  # W_h [H, H]
+            mats.append(
+                pad_rows(w[H:], d.pad_xyz).astype(compute_dtype)
+            )  # W_x
+        else:
+            mats.append(w.astype(compute_dtype))
+    li = model.num_layers
+    if model.use_viewdirs:
+        mats.append(ks[li].astype(compute_dtype))  # fc_feat [H, H]
+        mats.append(ks[li + 1].astype(jnp.float32))  # fc_alpha [H, 1]
+        w_dir = ks[li + 2]  # [(H + dd), H//2]
+        mats.append(w_dir[:H].astype(compute_dtype))
+        mats.append(pad_rows(w_dir[H:], d.pad_dir).astype(compute_dtype))
+        mats.append(ks[li + 3].astype(jnp.float32))  # fc_rgb [H//2, 3]
+    else:
+        mats.append(ks[li].astype(jnp.float32))  # fc_out [H, 4]
+    return tuple(mats), tuple(b.astype(jnp.float32) for b in bs)
+
+
+def _dot(x, w, out_dtype):
+    return jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
+                   keep_activations=False):
+    """The shared forward math over one VMEM-resident sample block.
+
+    ``xyz``/``dir_enc``: padded f32 encodings. Returns raw [B, 4] f32, plus
+    (trunk_inputs, trunk_post, a_last, feat, y) when ``keep_activations``.
+    """
+    skip = set(_skip_indices(model))
+    num_trunk = model.num_layers - 1
+    cd = compute_dtype
+    xyz_c = xyz.astype(cd)
+
+    mi = 0
+    h = _dot(xyz_c, mats[mi][:], jnp.float32) + biases[0][:]
+    h = h.astype(cd)  # layer1: no activation (reference models.py:238)
+    mi += 1
+    trunk_inputs, trunk_post = [], []
+    for i in range(num_trunk):
+        if i in skip:
+            y = _dot(h, mats[mi][:], jnp.float32)
+            y = y + _dot(xyz_c, mats[mi + 1][:], jnp.float32)
+            mi += 2
+        else:
+            y = _dot(h, mats[mi][:], jnp.float32)
+            mi += 1
+        if keep_activations:
+            trunk_inputs.append(h)
+        h = jnp.maximum(y + biases[1 + i][:], 0.0).astype(cd)
+        if keep_activations:
+            trunk_post.append(h)
+    a_last = h
+    li = model.num_layers
+    if model.use_viewdirs:
+        feat = jnp.maximum(
+            _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:], 0.0
+        ).astype(cd)
+        mi += 1
+        alpha = (
+            _dot(a_last.astype(jnp.float32), mats[mi][:], jnp.float32)
+            + biases[li + 1][:]
+        )
+        mi += 1
+        y = _dot(feat, mats[mi][:], jnp.float32)
+        y = y + _dot(dir_enc.astype(cd), mats[mi + 1][:], jnp.float32)
+        mi += 2
+        y = jnp.maximum(y + biases[li + 2][:], 0.0).astype(cd)
+        rgb = (
+            _dot(y.astype(jnp.float32), mats[mi][:], jnp.float32)
+            + biases[li + 3][:]
+        )
+        out = jnp.concatenate([rgb, alpha], axis=-1)
+    else:
+        feat = y = None
+        out = (
+            _dot(a_last.astype(jnp.float32), mats[mi][:], jnp.float32)
+            + biases[li][:]
+        )
+    if keep_activations:
+        return out, trunk_inputs, trunk_post, a_last, feat, y
+    return out
+
+
+def _num_mats(model: FlexibleNeRFModel) -> int:
+    n = 1 + (model.num_layers - 1) + len(_skip_indices(model))
+    if model.use_viewdirs:
+        n += 5  # feat, alpha, dir_h, dir_d, rgb
+    else:
+        n += 1
+    return n
+
+
+def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype):
+    d = _dims(model)
+    n_mats = _num_mats(model)
+    n_b = len(_flex_param_layout(model))
     use_viewdirs = model.use_viewdirs
-    fx, fd = model.num_encoding_fn_xyz, model.num_encoding_fn_dir
-    inc_x, inc_d = model.include_input_xyz, model.include_input_dir
 
     def kernel(*refs):
-        # refs: pts, dirs?, k0..kL, b0..bL, out
-        n_layers = model.num_layers + (4 if use_viewdirs else 1)
         pts_ref = refs[0]
-        off = 1
-        if use_viewdirs:
-            dirs_ref = refs[1]
-            off = 2
-        k_refs = refs[off : off + n_layers]
-        b_refs = refs[off + n_layers : off + 2 * n_layers]
+        off = 2 if use_viewdirs else 1
+        mats = refs[off : off + n_mats]
+        biases = refs[off + n_mats : off + n_mats + n_b]
         out_ref = refs[-1]
-
-        def dense(x, i, relu):
-            y = (
-                jax.lax.dot_general(
-                    x,
-                    k_refs[i][:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + b_refs[i][:]
-            )
-            return jnp.maximum(y, 0.0) if relu else y
-
-        xyz = _pe_in_kernel(pts_ref[:], fx, inc_x)
-        h = dense(xyz, 0, relu=False)  # layer1: no activation (reference)
-        li = 1
-        for i in range(num_trunk):
-            if i in skip:
-                h = jnp.concatenate([h, xyz], axis=-1)
-            h = dense(h, li, relu=True)
-            li += 1
-
+        xyz = _pe_in_kernel(
+            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            d.pad_xyz,
+        )
+        dir_enc = None
         if use_viewdirs:
-            feat = dense(h, li, relu=True)  # fc_feat
-            alpha = dense(h, li + 1, relu=False)  # fc_alpha
-            dir_enc = _pe_in_kernel(dirs_ref[:], fd, inc_d)
-            y = jnp.concatenate([feat, dir_enc], axis=-1)
-            y = dense(y, li + 2, relu=True)  # layers_dir[0]
-            rgb = dense(y, li + 3, relu=False)  # fc_rgb
-            out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
-        else:
-            out_ref[:] = dense(h, li, relu=False)
+            dir_enc = _pe_in_kernel(
+                refs[1][:], model.num_encoding_fn_dir,
+                model.include_input_dir, d.pad_dir,
+            )
+        out_ref[:] = _forward_block(
+            model, mats, biases, xyz, dir_enc, compute_dtype
+        )
 
     return kernel
 
@@ -135,12 +254,13 @@ def _make_kernel(model: FlexibleNeRFModel):
 def make_fused_flexible_field(
     model: FlexibleNeRFModel,
     *,
-    block_samples: int = 512,
+    block_samples: int = 2048,
+    compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> FieldFn:
     """Build a FieldFn (params, pts[N,S,3], viewdirs[N,3]|None) -> raw[N,S,4]
     running the fused Pallas kernel."""
-    kernel = _make_kernel(model)
+    kernel = _make_fwd_kernel(model, compute_dtype)
     use_viewdirs = model.use_viewdirs
 
     def field(params, pts, viewdirs):
@@ -160,8 +280,7 @@ def make_fused_flexible_field(
                 dirs_flat = jnp.pad(dirs_flat, ((0, pad), (0, 0)))
             inputs.append(dirs_flat)
 
-        ks, bs = flatten_flex_params(model, params)
-        n_layers = len(ks)
+        mats, bs = split_flex_params(model, params, compute_dtype)
         padded = total + pad
         grid = (padded // block,)
 
@@ -170,8 +289,8 @@ def make_fused_flexible_field(
         )
         in_specs = [sample_spec] * len(inputs)
         in_specs += [
-            pl.BlockSpec(k.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for k in ks
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mats
         ]
         in_specs += [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
@@ -186,7 +305,7 @@ def make_fused_flexible_field(
                 (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(*inputs, *ks, *bs)
+        )(*inputs, *mats, *bs)
         return out[:total].reshape(N, S, 4)
 
     return field

@@ -1,0 +1,290 @@
+"""Fused PE+MLP field with a custom VJP — the training-path Pallas kernel.
+
+Profiling (docs/PERF_NOTES.md) shows the XLA train step spends ~72% of device
+time on elementwise fusions whose cost is HBM traffic: the positional
+encodings and every inter-layer activation round-trip to HBM in both the
+forward and backward pass. This module fuses the whole field evaluation for
+``FlexibleNeRFModel`` into two Pallas kernels:
+
+* **forward**: shared with ``fused_mlp.make_fused_flexible_field`` (PE in
+  VMEM → aligned split matmuls → [B, 4] raw output);
+* **backward**: per sample-block, RECOMPUTES the forward activations in VMEM
+  (rematerialization) and backpropagates the incoming cotangent, accumulating
+  weight/bias gradients across grid steps directly in VMEM-resident output
+  blocks (TPU grids are sequential, so ``+=`` accumulation is race-free).
+
+IMPORTANT CONTRACT: the custom VJP returns **zero cotangents for the sample
+points and view directions**. In the NeRF training graph this is exact —
+coarse depths come from the (parameter-free) stratified sampler and fine
+depths are ``stop_gradient``-ed (reference ``train_utils.py:170``), so no
+gradient flows into the MLP inputs. Do NOT use this field in a graph where
+``pts`` depends on trainable parameters (e.g. pose optimization) — use the
+XLA field there.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dexnerf_tpu.models.mlp import FlexibleNeRFModel
+from dexnerf_tpu.ops.fused_mlp import (
+    _dims,
+    _dot,
+    _flex_param_layout,
+    _forward_block,
+    _num_mats,
+    _pe_in_kernel,
+    _skip_indices,
+    make_fused_flexible_field,
+    split_flex_params,
+)
+from dexnerf_tpu.render.renderer import FieldFn
+
+
+def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
+    """Backward kernel: recompute + chain rule + grid-accumulated grads.
+
+    Outputs mirror the split-matmul operand list (f32) + biases (f32).
+    """
+    d = _dims(model)
+    skip = set(_skip_indices(model))
+    num_trunk = model.num_layers - 1
+    n_mats = _num_mats(model)
+    n_b = len(_flex_param_layout(model))
+    H = model.hidden_size
+    cd = compute_dtype
+
+    def kernel(*refs):
+        pts_ref, dirs_ref, g_ref = refs[0], refs[1], refs[2]
+        mats = refs[3 : 3 + n_mats]
+        biases = refs[3 + n_mats : 3 + n_mats + n_b]
+        dmats = refs[3 + n_mats + n_b : 3 + 2 * n_mats + n_b]
+        dbs = refs[3 + 2 * n_mats + n_b :]
+
+        xyz = _pe_in_kernel(
+            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            d.pad_xyz,
+        )
+        dir_enc = _pe_in_kernel(
+            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
+            d.pad_dir,
+        )
+
+        (_, trunk_inputs, trunk_post, a_last, feat, y) = _forward_block(
+            model, mats, biases, xyz, dir_enc, cd, keep_activations=True
+        )
+        xyz_c = xyz.astype(cd)
+
+        g = g_ref[:]  # [B, 4] f32
+        g_rgb = g[:, 0:3]
+        g_alpha = g[:, 3:4]
+
+        first = pl.program_id(0) == 0
+
+        def acc(ref, val):
+            @pl.when(first)
+            def _():
+                ref[:] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[:] = ref[:] + val
+
+        def matT(a, b):
+            # a[B, I] x b[B, O] -> [I, O], f32 accumulation
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def matWT(delta, w, out_dtype):
+            # delta[B, O] @ W^T -> [B, I]
+            return jax.lax.dot_general(
+                delta, w[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+
+        # matmul-operand index bookkeeping (mirror of _forward_block)
+        mi_layer1 = 0
+        mi = 1
+        trunk_mi = []
+        for i in range(num_trunk):
+            trunk_mi.append(mi)
+            mi += 2 if i in skip else 1
+        mi_feat, mi_alpha, mi_dir_h, mi_dir_d, mi_rgb = (
+            mi, mi + 1, mi + 2, mi + 3, mi + 4
+        )
+        li = model.num_layers  # bias index of fc_feat
+
+        # rgb head (f32)
+        acc(dmats[mi_rgb], matT(y.astype(jnp.float32), g_rgb))
+        acc(dbs[li + 3], jnp.sum(g_rgb, axis=0))
+        dy = matWT(g_rgb, mats[mi_rgb], jnp.float32)
+        # dir layer (relu, split matmul)
+        dz_y = jnp.where(y > 0, dy, 0.0).astype(cd)
+        acc(dmats[mi_dir_h], matT(feat, dz_y))
+        acc(dmats[mi_dir_d], matT(dir_enc.astype(cd), dz_y))
+        acc(dbs[li + 2], jnp.sum(dz_y.astype(jnp.float32), axis=0))
+        dfeat = matWT(dz_y, mats[mi_dir_h], jnp.float32)
+        # feat head (relu)
+        dz_f = jnp.where(feat > 0, dfeat, 0.0).astype(cd)
+        acc(dmats[mi_feat], matT(a_last, dz_f))
+        acc(dbs[li], jnp.sum(dz_f.astype(jnp.float32), axis=0))
+        # alpha head (linear, f32)
+        acc(dmats[mi_alpha], matT(a_last.astype(jnp.float32), g_alpha))
+        acc(dbs[li + 1], jnp.sum(g_alpha, axis=0))
+        da = (
+            matWT(dz_f, mats[mi_feat], jnp.float32)
+            + matWT(g_alpha, mats[mi_alpha], jnp.float32)
+        ).astype(cd)
+
+        # trunk, reversed
+        for i in reversed(range(num_trunk)):
+            dz = jnp.where(trunk_post[i] > 0, da, 0.0).astype(cd)
+            mi_i = trunk_mi[i]
+            acc(dmats[mi_i], matT(trunk_inputs[i], dz))
+            if i in skip:
+                acc(dmats[mi_i + 1], matT(xyz_c, dz))
+            acc(dbs[1 + i], jnp.sum(dz.astype(jnp.float32), axis=0))
+            da = matWT(dz, mats[mi_i], cd)
+
+        # layer1 (no activation)
+        acc(dmats[mi_layer1], matT(xyz_c, da))
+        acc(dbs[0], jnp.sum(da.astype(jnp.float32), axis=0))
+
+    return kernel
+
+
+def make_fused_flexible_field_train(
+    model: FlexibleNeRFModel,
+    *,
+    block_samples: int = 2048,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> FieldFn:
+    """Fused field with custom VJP for the training hot path.
+
+    Requires ``use_viewdirs=True`` (every shipped config). See the module
+    docstring for the zero-input-cotangent contract.
+    """
+    if not model.use_viewdirs:
+        raise NotImplementedError(
+            "fused training field currently requires use_viewdirs=True"
+        )
+    fwd_field = make_fused_flexible_field(
+        model,
+        block_samples=block_samples,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    bwd_kernel = _make_bwd_kernel(model, compute_dtype)
+    names = _flex_param_layout(model)
+    d = _dims(model)
+    skip = _skip_indices(model)
+    num_trunk = model.num_layers - 1
+    H = model.hidden_size
+
+    def _bwd_kernel_call(mats, bs, pts_flat, dirs_flat, g_flat):
+        total = pts_flat.shape[0]
+        block = min(block_samples, total)
+        pad = (-total) % block
+        if pad:
+            pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
+            dirs_flat = jnp.pad(dirs_flat, ((0, pad), (0, 0)))
+            g_flat = jnp.pad(g_flat, ((0, pad), (0, 0)))
+        padded = total + pad
+        grid = (padded // block,)
+
+        sample_spec = pl.BlockSpec(
+            (block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        g_spec = pl.BlockSpec(
+            (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        mat_specs = [
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mats
+        ]
+        b_specs = [
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+            for b in bs
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in mats
+        ] + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
+        out_specs = [
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mats
+        ] + [
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+            for b in bs
+        ]
+        grads = pl.pallas_call(
+            bwd_kernel,
+            out_shape=tuple(out_shapes),
+            grid=grid,
+            in_specs=[sample_spec, sample_spec, g_spec] + mat_specs + b_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(pts_flat, dirs_flat, g_flat, *mats, *bs)
+        return grads[: len(mats)], grads[len(mats) :]
+
+    def _assemble_grads(dmats, dbs):
+        """Split-matmul grads -> flax param-tree grads (unpad + re-concat)."""
+        tree = {}
+        mi = 0
+        tree[names[0]] = {
+            "kernel": dmats[0][: d.dim_xyz], "bias": dbs[0]
+        }
+        mi = 1
+        for i in range(num_trunk):
+            if i in skip:
+                dk = jnp.concatenate(
+                    [dmats[mi], dmats[mi + 1][: d.dim_xyz]], axis=0
+                )
+                mi += 2
+            else:
+                dk = dmats[mi]
+                mi += 1
+            tree[names[1 + i]] = {"kernel": dk, "bias": dbs[1 + i]}
+        li = model.num_layers
+        tree[names[li]] = {"kernel": dmats[mi], "bias": dbs[li]}  # feat
+        tree[names[li + 1]] = {
+            "kernel": dmats[mi + 1], "bias": dbs[li + 1]
+        }  # alpha
+        dk_dir = jnp.concatenate(
+            [dmats[mi + 2], dmats[mi + 3][: d.dim_dir]], axis=0
+        )
+        tree[names[li + 2]] = {"kernel": dk_dir, "bias": dbs[li + 2]}
+        tree[names[li + 3]] = {"kernel": dmats[mi + 4], "bias": dbs[li + 3]}
+        return {"params": tree}
+
+    @jax.custom_vjp
+    def apply(params, pts, viewdirs):
+        return fwd_field(params, pts, viewdirs)
+
+    def apply_fwd(params, pts, viewdirs):
+        return fwd_field(params, pts, viewdirs), (params, pts, viewdirs)
+
+    def apply_bwd(res, g):
+        params, pts, viewdirs = res
+        N, S, _ = pts.shape
+        total = N * S
+        mats, bs = split_flex_params(model, params, compute_dtype)
+        pts_flat = pts.reshape(total, 3)
+        dirs_flat = jnp.broadcast_to(
+            viewdirs[:, None, :], (N, S, 3)
+        ).reshape(total, 3)
+        g_flat = g.reshape(total, 4).astype(jnp.float32)
+        dmats, dbs = _bwd_kernel_call(mats, bs, pts_flat, dirs_flat, g_flat)
+        tree = _assemble_grads(dmats, dbs)
+        # zero cotangents for pts/viewdirs (see module docstring contract)
+        return tree, jnp.zeros_like(pts), jnp.zeros_like(viewdirs)
+
+    apply.defvjp(apply_fwd, apply_bwd)
+    return apply

@@ -125,9 +125,14 @@ def make_train_step(
     batch_size: int,
     *,
     supervision: str = "rgb",
+    coarse_field=None,
+    fine_field=None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Build the single-device jitted train step.
 
+    ``coarse_field``/``fine_field`` optionally replace the XLA
+    encode+MLP path with fused Pallas field functions (see
+    ``dexnerf_tpu.ops.fused_mlp_train`` for the training-capable one).
     The multi-chip (shard_map) variant wraps this via
     ``dexnerf_tpu.parallel.make_parallel_train_step``.
     """
@@ -135,7 +140,16 @@ def make_train_step(
     def loss_fn(params, store, key):
         k_sample, k_render = jax.random.split(key)
         rays, target = sample_ray_batch(store, k_sample, batch_size)
-        result = render_rays(coarse_fn, fine_fn, params, rays, k_render, settings)
+        result = render_rays(
+            coarse_fn,
+            fine_fn,
+            params,
+            rays,
+            k_render,
+            settings,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
+        )
         loss, metrics = nerf_loss(result, target, supervision=supervision)
         return loss, metrics
 
