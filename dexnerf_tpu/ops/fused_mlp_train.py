@@ -60,11 +60,14 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
     cd = compute_dtype
 
     def kernel(*refs):
+        # inputs: pts, dirs, g, mats..., matsT..., biases...
+        # outputs: dmats..., dbs...
         pts_ref, dirs_ref, g_ref = refs[0], refs[1], refs[2]
         mats = refs[3 : 3 + n_mats]
-        biases = refs[3 + n_mats : 3 + n_mats + n_b]
-        dmats = refs[3 + n_mats + n_b : 3 + 2 * n_mats + n_b]
-        dbs = refs[3 + 2 * n_mats + n_b :]
+        matsT = refs[3 + n_mats : 3 + 2 * n_mats]
+        biases = refs[3 + 2 * n_mats : 3 + 2 * n_mats + n_b]
+        dmats = refs[3 + 2 * n_mats + n_b : 3 + 3 * n_mats + n_b]
+        dbs = refs[3 + 3 * n_mats + n_b :]
 
         xyz = _pe_in_kernel(
             pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
@@ -96,16 +99,22 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
                 ref[:] = ref[:] + val
 
         def matT(a, b):
-            # a[B, I] x b[B, O] -> [I, O], f32 accumulation
+            # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction.
+            # Mosaic compiles this form for f32 operands but rejects bf16
+            # (and also rejects an explicit in-kernel swapaxes), so dW
+            # matmuls run f32; the delta-chain matmuls stay compute_dtype.
             return jax.lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())),
+                a.astype(jnp.float32),
+                b.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        def matWT(delta, w, out_dtype):
-            # delta[B, O] @ W^T -> [B, I]
+        def matWT(delta, wT, out_dtype):
+            # delta[B, O] @ W^T via the host-side pre-transposed weight
+            # (standard (1,)x(0,) contraction, bf16-lowerable).
             return jax.lax.dot_general(
-                delta, w[:], (((1,), (1,)), ((), ())),
+                delta, wT[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(out_dtype)
 
@@ -124,13 +133,13 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
         # rgb head (f32)
         acc(dmats[mi_rgb], matT(y.astype(jnp.float32), g_rgb))
         acc(dbs[li + 3], jnp.sum(g_rgb, axis=0))
-        dy = matWT(g_rgb, mats[mi_rgb], jnp.float32)
+        dy = matWT(g_rgb, matsT[mi_rgb], jnp.float32)
         # dir layer (relu, split matmul)
         dz_y = jnp.where(y > 0, dy, 0.0).astype(cd)
         acc(dmats[mi_dir_h], matT(feat, dz_y))
         acc(dmats[mi_dir_d], matT(dir_enc.astype(cd), dz_y))
         acc(dbs[li + 2], jnp.sum(dz_y.astype(jnp.float32), axis=0))
-        dfeat = matWT(dz_y, mats[mi_dir_h], jnp.float32)
+        dfeat = matWT(dz_y, matsT[mi_dir_h], jnp.float32)
         # feat head (relu)
         dz_f = jnp.where(feat > 0, dfeat, 0.0).astype(cd)
         acc(dmats[mi_feat], matT(a_last, dz_f))
@@ -139,8 +148,8 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
         acc(dmats[mi_alpha], matT(a_last.astype(jnp.float32), g_alpha))
         acc(dbs[li + 1], jnp.sum(g_alpha, axis=0))
         da = (
-            matWT(dz_f, mats[mi_feat], jnp.float32)
-            + matWT(g_alpha, mats[mi_alpha], jnp.float32)
+            matWT(dz_f, matsT[mi_feat], jnp.float32)
+            + matWT(g_alpha, matsT[mi_alpha], jnp.float32)
         ).astype(cd)
 
         # trunk, reversed
@@ -151,7 +160,7 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
             if i in skip:
                 acc(dmats[mi_i + 1], matT(xyz_c, dz))
             acc(dbs[1 + i], jnp.sum(dz.astype(jnp.float32), axis=0))
-            da = matWT(dz, mats[mi_i], cd)
+            da = matWT(dz, matsT[mi_i], cd)
 
         # layer1 (no activation)
         acc(dmats[mi_layer1], matT(xyz_c, da))
@@ -164,13 +173,18 @@ def make_fused_flexible_field_train(
     model: FlexibleNeRFModel,
     *,
     block_samples: int = 2048,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> FieldFn:
     """Fused field with custom VJP for the training hot path.
 
     Requires ``use_viewdirs=True`` (every shipped config). See the module
     docstring for the zero-input-cotangent contract.
+
+    ``compute_dtype`` default is float32 — the configuration validated
+    compiled on v5e (losses match the XLA step). bfloat16 currently crashes
+    the Mosaic remote compiler in the backward kernel (the forward kernel
+    compiles fine at bf16); see docs/PERF_NOTES.md for the bisection state.
     """
     if not model.use_viewdirs:
         raise NotImplementedError(
@@ -199,6 +213,7 @@ def make_fused_flexible_field_train(
             g_flat = jnp.pad(g_flat, ((0, pad), (0, 0)))
         padded = total + pad
         grid = (padded // block,)
+        mats_t = tuple(jnp.swapaxes(m, 0, 1) for m in mats)
 
         sample_spec = pl.BlockSpec(
             (block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -206,10 +221,15 @@ def make_fused_flexible_field_train(
         g_spec = pl.BlockSpec(
             (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
-        mat_specs = [
-            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for m in mats
-        ]
+
+        def full2d(arrs):
+            return [
+                pl.BlockSpec(
+                    a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+                for a in arrs
+            ]
+
         b_specs = [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
             for b in bs
@@ -217,10 +237,7 @@ def make_fused_flexible_field_train(
         out_shapes = [
             jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in mats
         ] + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
-        out_specs = [
-            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for m in mats
-        ] + [
+        out_specs = full2d(mats) + [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
             for b in bs
         ]
@@ -228,10 +245,13 @@ def make_fused_flexible_field_train(
             bwd_kernel,
             out_shape=tuple(out_shapes),
             grid=grid,
-            in_specs=[sample_spec, sample_spec, g_spec] + mat_specs + b_specs,
+            in_specs=[sample_spec, sample_spec, g_spec]
+            + full2d(mats)
+            + full2d(mats_t)
+            + b_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(pts_flat, dirs_flat, g_flat, *mats, *bs)
+        )(pts_flat, dirs_flat, g_flat, *mats, *mats_t, *bs)
         return grads[: len(mats)], grads[len(mats) :]
 
     def _assemble_grads(dmats, dbs):
