@@ -134,3 +134,31 @@ def test_ray_store_ndc():
     rays, _ = sample_ray_batch(store, jax.random.PRNGKey(1), 16)
     # NDC origins have |z| <= 1 + small eps at the near plane
     assert np.all(np.abs(np.asarray(rays.origins)[:, 2]) <= 1.0 + 1e-4)
+
+
+def test_llff_spherify(tmp_path):
+    """spherify_poses: unit-sphere rescale + 120 circular render poses."""
+    from dexnerf_tpu.data.llff import spherify_poses
+
+    rng = np.random.RandomState(0)
+    n = 6
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        c2w = pose_spherical(i * 60.0, -20.0, 3.0)
+        poses[i, :3, :4] = c2w[:3, :4]
+        poses[i, :, 4] = [32, 40, 50.0]
+    bds = np.tile([2.0, 6.0], (n, 1)).astype(np.float32)
+
+    poses_reset, render_poses, bds_out = spherify_poses(poses.copy(), bds.copy())
+    assert poses_reset.shape == (n, 3, 5)
+    assert render_poses.shape == (120, 3, 5)
+    # camera centers rescaled to ~unit RMS radius
+    radii = np.linalg.norm(poses_reset[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(np.sqrt((radii ** 2).mean()), 1.0, rtol=1e-4)
+    # bounds rescaled by the same factor
+    assert bds_out.shape == bds.shape
+    assert not np.allclose(bds_out, bds)
+    # render path rotations are orthonormal
+    for p in render_poses[::30]:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
