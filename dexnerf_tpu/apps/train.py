@@ -77,6 +77,7 @@ def main(argv=None) -> int:
         supervision="luminance" if args.ir else "rgb",
         load_ckpt=args.load_checkpoint or None,
         max_iters=args.max_iters,
+        num_devices=args.num_devices,
     )
     print(
         f"done: {out['rays_per_sec']:.0f} rays/s, "

@@ -13,6 +13,7 @@ from dexnerf_tpu.data.pipeline import (
     build_ray_store,
     build_ray_store_from_cache,
     sample_ray_batch,
+    sample_ray_batch_per_image,
 )
 from dexnerf_tpu.data.synthetic import (
     analytic_field,
@@ -32,6 +33,7 @@ __all__ = [
     "build_ray_store",
     "build_ray_store_from_cache",
     "sample_ray_batch",
+    "sample_ray_batch_per_image",
     "analytic_field",
     "make_synthetic_scene",
     "render_analytic_image",

@@ -36,15 +36,28 @@ from dexnerf_tpu.render.renderer import RayBatch
 
 
 class RayStore(NamedTuple):
-    """Flat packed rays on device + scene constants."""
+    """Flat packed rays on device + scene constants.
+
+    ``rays_per_image`` is 0 for stores without image structure (e.g. built
+    from cache shards); when positive, per-image sampling is available.
+    """
 
     data: jnp.ndarray  # [N, 12]: ro(3) rd(3) viewdir(3) rgb(3)
     near: float
     far: float
+    rays_per_image: int = 0
 
     @property
     def num_rays(self) -> int:
         return self.data.shape[0]
+
+    @property
+    def num_images(self) -> int:
+        return (
+            self.data.shape[0] // self.rays_per_image
+            if self.rays_per_image
+            else 0
+        )
 
 
 def _pack(ro, rd, viewdirs, rgb):
@@ -96,7 +109,12 @@ def build_ray_store(
         ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
 
     data = _pack(ro, rd, viewdirs, images)
-    return RayStore(data=jax.device_put(data), near=float(near), far=float(far))
+    return RayStore(
+        data=jax.device_put(data),
+        near=float(near),
+        far=float(far),
+        rays_per_image=H * W,
+    )
 
 
 def build_ray_store_from_cache(
@@ -138,7 +156,27 @@ def sample_ray_batch(
     """
     idx = jax.random.randint(key, (batch_size,), 0, store.num_rays)
     rows = jnp.take(store.data, idx, axis=0)
-    n = batch_size
+    return _rows_to_batch(store, rows)
+
+
+def sample_ray_batch_per_image(
+    store: RayStore, key: jax.Array, batch_size: int
+) -> Tuple[RayBatch, jnp.ndarray]:
+    """Reference-semantics sampling: ONE random image, then ``batch_size``
+    random pixels within it (``train_nerf_rgb.py:222-241``). Jit-safe."""
+    if not store.rays_per_image:
+        raise ValueError("store has no image structure (cache-built?)")
+    k_img, k_pix = jax.random.split(key)
+    img = jax.random.randint(k_img, (), 0, store.num_images)
+    pix = jax.random.randint(k_pix, (batch_size,), 0, store.rays_per_image)
+    rows = jnp.take(store.data, img * store.rays_per_image + pix, axis=0)
+    return _rows_to_batch(store, rows)
+
+
+def _rows_to_batch(
+    store: RayStore, rows: jnp.ndarray
+) -> Tuple[RayBatch, jnp.ndarray]:
+    n = rows.shape[0]
     dtype = rows.dtype
     rays = RayBatch(
         origins=rows[:, 0:3],

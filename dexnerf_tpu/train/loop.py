@@ -309,11 +309,15 @@ def run_training(
     logdir: Optional[str] = None,
     use_tensorboard: bool = True,
     save_artifacts: bool = True,
+    num_devices: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
 
     ``scene`` may be injected (tests / synthetic data); otherwise loaded from
     ``cfg.dataset``. ``max_iters`` overrides ``cfg.experiment.train_iters``.
+    ``num_devices`` > 1 trains data-parallel over a 1-D mesh
+    (per-device ray sampling, gradient pmean over ICI;
+    ``num_random_rays`` is the GLOBAL batch and must divide by it).
     """
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
@@ -374,9 +378,24 @@ def run_training(
             ),
             use_ndc=scene.use_ndc,
         )
-    train_step = make_train_step(
-        coarse_fn, fine_fn, tx, s_train, batch_size, supervision=supervision
-    )
+    if num_devices is not None and num_devices > 1:
+        from dexnerf_tpu.parallel import make_mesh, make_parallel_train_step
+
+        mesh = make_mesh(num_devices)
+        train_step = make_parallel_train_step(
+            mesh,
+            coarse_fn,
+            fine_fn,
+            tx,
+            s_train,
+            batch_size,
+            supervision=supervision,
+        )
+    else:
+        train_step = make_train_step(
+            coarse_fn, fine_fn, tx, s_train, batch_size,
+            supervision=supervision,
+        )
 
     train_iters = (
         int(max_iters)

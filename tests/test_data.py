@@ -162,3 +162,37 @@ def test_llff_spherify(tmp_path):
     for p in render_poses[::30]:
         R = p[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_per_image_sampling():
+    from dexnerf_tpu.data import sample_ray_batch_per_image
+
+    images, _, poses, hwf = make_synthetic_scene(num_views=3, height=8, width=8)
+    store = build_ray_store(images, poses, hwf, 2.0, 6.0)
+    assert store.rays_per_image == 64 and store.num_images == 3
+    rays, tgt = sample_ray_batch_per_image(store, jax.random.PRNGKey(0), 16)
+    assert rays.origins.shape == (16, 3)
+    # all rays from ONE image: origins identical (same camera center)
+    origins = np.asarray(rays.origins)
+    np.testing.assert_allclose(
+        origins, np.broadcast_to(origins[0:1], origins.shape), atol=1e-6
+    )
+    # different key can pick a different image
+    rays2, _ = sample_ray_batch_per_image(store, jax.random.PRNGKey(3), 16)
+    # (origins differ across at least one of several keys)
+    diffs = [
+        not np.allclose(
+            np.asarray(sample_ray_batch_per_image(store, jax.random.PRNGKey(k), 4)[0].origins)[0],
+            np.asarray(rays.origins)[0],
+        )
+        for k in range(5)
+    ]
+    assert any(diffs)
+    # cache-built store has no image structure
+    import pytest as _pytest
+
+    from dexnerf_tpu.data.pipeline import RayStore as _RS
+
+    flat = _RS(data=store.data, near=2.0, far=6.0)
+    with _pytest.raises(ValueError):
+        sample_ray_batch_per_image(flat, jax.random.PRNGKey(0), 4)

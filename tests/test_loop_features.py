@@ -122,3 +122,14 @@ def test_use_pallas_validation_interpret(tmp_path):
     cfg.nerf["use_pallas"] = True
     out = run_training(cfg, scene=_scene(), use_tensorboard=False, max_iters=1)
     assert np.isfinite(out["final_validation"]["psnr"])
+
+
+def test_run_training_multi_device(tmp_path):
+    """run_training with num_devices=8 uses the shard_map parallel step."""
+    cfg = _base_cfg(tmp_path)
+    out = run_training(
+        cfg, scene=_scene(), use_tensorboard=False, max_iters=2,
+        num_devices=8,
+    )
+    assert np.isfinite(out["final_validation"]["psnr"])
+    assert np.isfinite(out["final_train_metrics"]["loss"])

@@ -200,3 +200,23 @@ def test_run_training_smoke(tmp_path):
     assert os.path.exists(os.path.join(logdir, "config.yml"))
     assert os.path.exists(os.path.join(logdir, "metrics.jsonl"))
     assert latest_checkpoint(os.path.join(logdir, "checkpoints"))
+
+
+def test_scanned_train_step_equivalent_progress():
+    """steps_per_call=4 advances state.step by 4 and descends like 4 singles."""
+    apply_fn, params = _models_and_params()
+    images, _, poses, hwf = make_synthetic_scene(num_views=2, height=8, width=8)
+    store = build_ray_store(images, poses, hwf, 2.0, 6.0)
+    tx = make_optimizer(5e-3)
+    state = init_train_state(params, tx)
+    step4 = make_train_step(apply_fn, apply_fn, tx, SETTINGS, 32,
+                            steps_per_call=4)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        state, m = step4(state, store, sub)
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 40
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
