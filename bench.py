@@ -25,8 +25,10 @@ BASELINE_RAYS_PER_SEC = 12_500.0  # estimated reference on RTX 2080 Ti (see abov
 
 BATCH = 4096
 WARMUP = 3
-STEPS = 5  # per timing block
-REPEATS = 6  # timing blocks; best block wins (the remote TPU tunnel can
+STEPS = 20  # per timing block — long enough for async dispatch to pipeline
+            # (sustained training never syncs per step; the reference does,
+            # via loss.item() every iteration)
+REPEATS = 4  # timing blocks; best block wins (the remote TPU tunnel can
              # stall transiently — min filters those out)
 
 
