@@ -112,9 +112,11 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
 
         def matWT(delta, wT, out_dtype):
             # delta[B, O] @ W^T via the host-side pre-transposed weight
-            # (standard (1,)x(0,) contraction, bf16-lowerable).
+            # (standard (1,)x(0,) contraction). Operands forced f32: part of
+            # the bf16-bwd Mosaic-crash bisection (see docs/PERF_NOTES.md).
             return jax.lax.dot_general(
-                delta, wT[:], (((1,), (0,)), ((), ())),
+                delta.astype(jnp.float32), wT[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(out_dtype)
 
