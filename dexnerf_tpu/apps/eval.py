@@ -60,6 +60,7 @@ def main(argv=None) -> int:
         cfg, int(cfg.experiment.randomseed)
     )
 
+    H, W, focal = scene.hwf
     if args.checkpoint.endswith(".ckpt"):
         # reference PyTorch checkpoint
         from dexnerf_tpu.train import import_torch_checkpoint
@@ -68,12 +69,27 @@ def main(argv=None) -> int:
         params = {"coarse": imported["coarse"]}
         if imported["fine"] is not None:
             params["fine"] = imported["fine"]
+        # hwf override from the checkpoint when present
+        # (reference eval_nerf.py:147-152)
+        if "height" in imported:
+            H = int(imported["height"])
+        if "width" in imported:
+            W = int(imported["width"])
+        if "focal_length" in imported:
+            focal = float(imported["focal_length"])
     else:
-        payload = restore_checkpoint(args.checkpoint)
+        ckpt = args.checkpoint
+        if os.path.isdir(ckpt):
+            # allow passing the checkpoints directory: pick the latest
+            from dexnerf_tpu.train import latest_checkpoint
+
+            resolved = latest_checkpoint(ckpt)
+            if resolved is not None:
+                ckpt = resolved
+        payload = restore_checkpoint(ckpt)
         params = payload["params"]
 
     s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
-    H, W, focal = scene.hwf
     poses = scene.render_poses
     if args.num_poses:
         poses = poses[: args.num_poses]

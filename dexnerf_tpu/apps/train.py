@@ -23,7 +23,31 @@ def build_parser() -> argparse.ArgumentParser:
         "--load-checkpoint",
         type=str,
         default="",
-        help="checkpoint dir/path to resume from",
+        help="checkpoint to resume from: an Orbax path, a directory of "
+        "checkpoints (latest picked), or a reference PyTorch .ckpt "
+        "(models + optimizer + iter, train_nerf_rgb.py:168-174)",
+    )
+    p.add_argument(
+        "--auto-resume",
+        action="store_true",
+        help="resume from the latest checkpoint under <logdir>/checkpoints "
+        "when one exists",
+    )
+    p.add_argument(
+        "--sampling",
+        type=str,
+        default=None,
+        choices=("uniform", "per_image"),
+        help="ray sampling: uniform over all training rays, or the "
+        "reference's one-image-per-iteration (train_nerf_rgb.py:222-241); "
+        "overrides cfg.nerf.train.sampling",
+    )
+    p.add_argument(
+        "--steps-per-call",
+        type=int,
+        default=None,
+        help="optimizer steps per dispatch via lax.scan (amortizes host "
+        "overhead on multi-host runs); overrides cfg.nerf.train.steps_per_call",
     )
     p.add_argument(
         "--dex",
@@ -76,8 +100,11 @@ def main(argv=None) -> int:
         dex=args.dex,
         supervision="luminance" if args.ir else "rgb",
         load_ckpt=args.load_checkpoint or None,
+        auto_resume=args.auto_resume,
         max_iters=args.max_iters,
         num_devices=args.num_devices,
+        sampling=args.sampling,
+        steps_per_call=args.steps_per_call,
     )
     print(
         f"done: {out['rays_per_sec']:.0f} rays/s, "

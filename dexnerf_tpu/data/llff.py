@@ -10,6 +10,15 @@ One deliberate deviation: ``_minify`` downsamples with cv2 INTER_AREA
 instead of shelling out to ImageMagick ``mogrify`` (reference
 ``load_llff.py:12-66``) — no external binary dependency, same cached
 ``images_{factor}/`` directory layout.
+
+Provenance note: the pose math in ``poses_avg`` / ``recenter_poses`` /
+``spherify_poses`` / ``render_path_spiral`` is the canonical bmild/LLFF
+algorithm that every NeRF implementation carries (reference
+``load_llff.py:157-233``); its magic constants (the ``[0.1, 0.2, 0.3]``
+tie-break vector, 120 spiral poses, ``dt=0.75``, 90th-percentile radii)
+MUST match for output parity and are therefore identical by necessity,
+not by copying. The geometry invariants are independently verified in
+``tests/test_data.py``.
 """
 
 from __future__ import annotations

@@ -21,7 +21,9 @@ larger sets the store can be host-sharded (see ``dexnerf_tpu.parallel``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+import dataclasses
+import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +37,19 @@ from dexnerf_tpu.core.rays import (
 from dexnerf_tpu.render.renderer import RayBatch
 
 
-class RayStore(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data",),
+    meta_fields=("near", "far", "rays_per_image"),
+)
+@dataclasses.dataclass(frozen=True)
+class RayStore:
     """Flat packed rays on device + scene constants.
 
     ``rays_per_image`` is 0 for stores without image structure (e.g. built
     from cache shards); when positive, per-image sampling is available.
+    The scalar fields are pytree *metadata* (static under jit), so
+    per-image sampling can branch on them at trace time.
     """
 
     data: jnp.ndarray  # [N, 12]: ro(3) rd(3) viewdir(3) rgb(3)
@@ -132,16 +142,34 @@ def build_ray_store_from_cache(
     shards = sorted(glob.glob(os.path.join(cachedir, "train", "*.npz")))
     if not shards:
         raise FileNotFoundError(f"no train shards under {cachedir}/train")
+    pack = _host_pack_rays()
     for path in shards:
         with np.load(path) as z:
             ro, rd = z["ray_bundle"][0], z["ray_bundle"][1]
             rgb = z["target"]
-        viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
-        rows.append(
-            np.concatenate([ro, rd, viewdirs, rgb], axis=-1).astype(np.float32)
-        )
+        rows.append(pack(ro, rd, rgb))
     data = jnp.asarray(np.concatenate(rows, axis=0))
     return RayStore(data=jax.device_put(data), near=float(near), far=float(far))
+
+
+def _host_pack_rays():
+    """Host-side row packer for store assembly: the native C++ kernel
+    (``ops/native/dexnerf_host.cc``: fused normalize+interleave, one pass,
+    no intermediates) with a numpy fallback when the toolchain is absent."""
+    try:
+        from dexnerf_tpu.ops.native import load_library, pack_rays
+
+        load_library()
+        return pack_rays
+    except Exception:  # pragma: no cover - no g++ at runtime
+        def pack_np(ro, rd, rgb):
+            ro = np.asarray(ro, np.float32).reshape(-1, 3)
+            rd = np.asarray(rd, np.float32).reshape(-1, 3)
+            rgb = np.asarray(rgb, np.float32).reshape(-1, 3)
+            viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+            return np.concatenate([ro, rd, viewdirs, rgb], axis=-1)
+
+        return pack_np
 
 
 def sample_ray_batch(

@@ -10,6 +10,7 @@ from dexnerf_tpu.parallel.mesh import (
 from dexnerf_tpu.parallel.sharding import (
     make_parallel_render,
     make_parallel_train_step,
+    render_image_parallel,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "replicated",
     "make_parallel_render",
     "make_parallel_train_step",
+    "render_image_parallel",
 ]

@@ -45,13 +45,21 @@ def make_parallel_train_step(
     global_batch_size: int,
     *,
     supervision: str = "rgb",
+    sampling: str = "uniform",
+    steps_per_call: int = 1,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Data-parallel train step: per-device ray sampling, gradient psum.
 
     ``global_batch_size`` must divide by the mesh size; each device renders
     ``global/num_devices`` rays. The returned function is jitted with
     replicated in/out shardings for params and store.
+    ``sampling``/``steps_per_call`` mirror
+    :func:`dexnerf_tpu.train.step.make_train_step` (for "per_image", every
+    device samples pixels from the SAME random image — reference semantics,
+    ``train_nerf_rgb.py:222-241`` — via a pre-fold image key).
     """
+    from dexnerf_tpu.data.pipeline import sample_ray_batch_per_image
+
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
         raise ValueError(
@@ -60,15 +68,32 @@ def make_parallel_train_step(
     local_batch = global_batch_size // n_dev
 
     def local_grads(params, store, key):
-        # distinct stream per device
-        key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
-        k_sample, k_render = jax.random.split(key)
-        rays, target = sample_ray_batch(store, k_sample, local_batch)
+        if sampling == "per_image":
+            # same image on every device (the image key is taken BEFORE the
+            # per-device fold), distinct pixels per device
+            k_img, key = jax.random.split(key)
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            k_pix, k_render = jax.random.split(key)
+            img = jax.random.randint(k_img, (), 0, store.num_images)
+            pix = jax.random.randint(
+                k_pix, (local_batch,), 0, store.rays_per_image
+            )
+            rows = jnp.take(
+                store.data, img * store.rays_per_image + pix, axis=0
+            )
+            from dexnerf_tpu.data.pipeline import _rows_to_batch
+
+            rays, target = _rows_to_batch(store, rows)
+        else:
+            # distinct stream per device
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            k_sample, k_render = jax.random.split(key)
+            rays, target = sample_ray_batch(store, k_sample, local_batch)
         result = render_rays(coarse_fn, fine_fn, params, rays, k_render, settings)
         loss, metrics = nerf_loss(result, target, supervision=supervision)
         return loss, metrics
 
-    def sharded_step(state: TrainState, store: RayStore, key: jax.Array):
+    def one_step(state: TrainState, store: RayStore, key: jax.Array):
         (_, metrics), grads = jax.value_and_grad(
             local_grads, has_aux=True
         )(state.params, store, key)
@@ -81,6 +106,18 @@ def make_parallel_train_step(
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
         )
+
+    def sharded_step(state: TrainState, store: RayStore, key: jax.Array):
+        if steps_per_call == 1:
+            return one_step(state, store, key)
+
+        def body(carry, k):
+            st, metrics = one_step(carry, store, k)
+            return st, metrics
+
+        keys = jax.random.split(key, steps_per_call)
+        state, metrics_seq = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda x: x[-1], metrics_seq)
 
     shard_mapped = jax.shard_map(
         sharded_step,
@@ -117,6 +154,83 @@ def make_parallel_render(
         check_vma=False,
     )
     return jax.jit(shard_mapped)
+
+
+def render_image_parallel(
+    mesh: Mesh,
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    params: Any,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    near: float,
+    far: float,
+    settings: RenderSettings,
+    *,
+    block_size: int = 4096,
+    use_ndc: bool = False,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    focal_length: Optional[float] = None,
+):
+    """Full-frame render tiled across the mesh (SURVEY.md §2.2 "full-frame
+    eval tiling"): the [H, W] ray bundle is padded and split evenly over the
+    ray axis; each device runs the same blocked ``render_image`` program on
+    its shard, and the host reassembles the frame. Multi-chip drop-in for
+    :func:`dexnerf_tpu.render.renderer.render_image` (deterministic path)."""
+    import numpy as np
+
+    from dexnerf_tpu.render.renderer import render_image
+
+    img_shape = ray_directions.shape[:-1]
+    ro = ray_origins.reshape(-1, 3)
+    rd = ray_directions.reshape(-1, 3)
+    n = ro.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    if pad:
+        ro = jnp.pad(ro, ((0, pad), (0, 0)))
+        # pad with unit-z directions so norms stay finite
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], rd.dtype), (pad, 1))]
+        )
+    shard_n = (n + pad) // n_dev
+
+    def render_shard(p, ro_s, rd_s):
+        return render_image(
+            coarse_fn,
+            fine_fn,
+            p,
+            ro_s,
+            rd_s,
+            near,
+            far,
+            settings.eval_variant(),
+            block_size=min(block_size, shard_n),
+            use_ndc=use_ndc,
+            height=height,
+            width=width,
+            focal_length=focal_length,
+        )
+
+    shard_mapped = jax.shard_map(
+        render_shard,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=_render_out_specs(settings, has_fine=fine_fn is not None),
+        check_vma=False,
+    )
+    out = jax.jit(shard_mapped)(params, ro, rd)
+
+    def unflatten(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == n + pad:
+            return x[:n].reshape(*img_shape, *x.shape[1:])
+        if x.ndim >= 2 and x.shape[1] == n + pad:  # dex [T, N]
+            return x[:, :n].reshape(x.shape[0], *img_shape, *x.shape[2:])
+        return x
+
+    return jax.tree.map(unflatten, out)
 
 
 def _render_out_specs(settings: RenderSettings, *, has_fine: bool):

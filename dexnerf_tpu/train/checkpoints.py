@@ -158,7 +158,103 @@ def import_torch_checkpoint(path: str, use_viewdirs: bool = True) -> Dict:
             {k: v.numpy() for k, v in ckpt["model_fine_state_dict"].items()},
             use_viewdirs,
         )
+    if ckpt.get("optimizer_state_dict"):
+        out["optimizer_state_dict"] = ckpt["optimizer_state_dict"]
+        out["_model_keys"] = {
+            "coarse": list(ckpt["model_coarse_state_dict"].keys()),
+            "fine": (
+                list(ckpt["model_fine_state_dict"].keys())
+                if ckpt.get("model_fine_state_dict")
+                else []
+            ),
+        }
     for k in ("height", "width", "focal_length"):
         if k in ckpt:
             out[k] = ckpt[k]
     return out
+
+
+def _torch_adam_moment_trees(imported: Dict, use_viewdirs: bool = True):
+    """Rebuild per-model (mu, nu) flax trees from a reference Adam state.
+
+    The reference optimizer is built over
+    ``list(model_coarse.parameters()) + list(model_fine.parameters())``
+    (``train_nerf_rgb.py:143-148``); torch ``parameters()`` order equals
+    ``state_dict()`` key order, so torch param index ``i`` corresponds to the
+    ``i``-th state_dict key. We reassemble fake state_dicts holding
+    ``exp_avg`` / ``exp_avg_sq`` under those keys and reuse the name-based
+    weight mapping.
+    """
+    opt_sd = imported["optimizer_state_dict"]
+    state = opt_sd["state"]
+    order = list(opt_sd["param_groups"][0]["params"])
+    keys = imported["_model_keys"]["coarse"] + imported["_model_keys"]["fine"]
+    if len(order) != len(keys):  # pragma: no cover - malformed ckpt
+        raise ValueError(
+            f"optimizer has {len(order)} params but models have {len(keys)}"
+        )
+    n_coarse = len(imported["_model_keys"]["coarse"])
+
+    def trees(field: str):
+        # coarse and fine reuse the same state_dict key names, so keep the
+        # two fake state_dicts separate by position
+        flat_c, flat_f = {}, {}
+        for pos, pid in enumerate(order):
+            val = np.asarray(state[pid][field])
+            if pos < n_coarse:
+                flat_c[keys[pos]] = val
+            else:
+                flat_f[keys[pos]] = val
+        coarse = _torch_state_dict_to_flax(flat_c, use_viewdirs)
+        fine = (
+            _torch_state_dict_to_flax(flat_f, use_viewdirs) if flat_f else None
+        )
+        return coarse, fine
+
+    return trees("exp_avg"), trees("exp_avg_sq")
+
+
+def build_opt_state_from_torch(
+    imported: Dict, params: Dict, tx, use_viewdirs: bool = True
+):
+    """Optax opt_state resuming the reference Adam moments.
+
+    ``tx.init(params)`` gives the state skeleton; every ``ScaleByAdamState``
+    found in it is replaced with the imported first/second moments and the
+    checkpoint iteration count (optax and torch Adam share the same
+    bias-correction convention, so moments transfer directly — torch stores
+    [out, in] weights, transposed by the importer like the params).
+    Matches the reference's full resume (``train_nerf_rgb.py:168-174``:
+    models + optimizer + start_iter).
+    """
+    import optax
+
+    skeleton = tx.init(params)
+    step = np.int32(imported.get("step", 0))
+    (mu_c, mu_f), (nu_c, nu_f) = _torch_adam_moment_trees(
+        imported, use_viewdirs
+    )
+    mu = {"coarse": mu_c}
+    nu = {"coarse": nu_c}
+    if "fine" in params:
+        mu["fine"] = mu_f
+        nu["fine"] = nu_f
+    mu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, mu)
+    nu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, nu)
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(step), mu=mu, nu=nu
+            )
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=jnp.asarray(step))
+        return node
+
+    return jax.tree.map(
+        fix,
+        skeleton,
+        is_leaf=lambda n: isinstance(
+            n, (optax.ScaleByAdamState, optax.ScaleByScheduleState)
+        ),
+    )

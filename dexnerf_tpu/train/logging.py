@@ -50,14 +50,22 @@ class MetricsLogger:
             self.scalar(k, v, step)
 
     def image(self, tag: str, img: np.ndarray, step: int) -> None:
-        """img: [H, W, 3] float in [0,1] or [H, W] grayscale."""
+        """img: [H, W, 3] float in [0,1] or [H, W] grayscale.
+
+        The pixel data goes to TensorBoard; the JSONL stream records the tag
+        and shape so image emission is observable (and testable) without TB.
+        """
+        arr = np.asarray(img)
+        self._jsonl.write(
+            json.dumps(
+                {"tag": tag, "image_shape": list(arr.shape),
+                 "step": int(step), "t": time.time()}
+            )
+            + "\n"
+        )
         if self._tb is not None:
-            arr = np.asarray(img)
-            if arr.ndim == 2:
-                arr = arr[None]
-            else:
-                arr = arr.transpose(2, 0, 1)
-            self._tb.add_image(tag, arr, step)
+            chw = arr[None] if arr.ndim == 2 else arr.transpose(2, 0, 1)
+            self._tb.add_image(tag, chw, step)
 
     def flush(self) -> None:
         self._jsonl.flush()

@@ -153,25 +153,33 @@ def _get(node, key, default):
         return default
 
 
-def maybe_fused_fields(cfg: CfgNode):
+def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
     """(coarse_field, fine_field) Pallas fused-kernel field functions when
     ``cfg.nerf.use_pallas`` is set and the models are FlexibleNeRFModel;
-    (None, None) otherwise (the renderer then uses the XLA path)."""
+    (None, None) otherwise (the renderer then uses the XLA path).
+
+    ``train=True`` returns the custom-VJP training kernels
+    (``ops/fused_mlp_train.py``) so the flag affects the train step, not just
+    validation renders."""
     if not bool(_get(cfg.nerf, "use_pallas", False)):
         return None, None
     from dexnerf_tpu.models import FlexibleNeRFModel
-    from dexnerf_tpu.ops import make_fused_flexible_field
+    from dexnerf_tpu.ops import (
+        make_fused_flexible_field,
+        make_fused_flexible_field_train,
+    )
 
+    make = make_fused_flexible_field_train if train else make_fused_flexible_field
     # Pallas has no CPU lowering; fall back to the interpreter off-TPU.
     interpret = jax.default_backend() == "cpu"
     coarse, fine = models_from_cfg(cfg)
     cf = (
-        make_fused_flexible_field(coarse, interpret=interpret)
+        make(coarse, interpret=interpret)
         if isinstance(coarse, FlexibleNeRFModel)
         else None
     )
     ff = (
-        make_fused_flexible_field(fine, interpret=interpret)
+        make(fine, interpret=interpret)
         if isinstance(fine, FlexibleNeRFModel)
         else None
     )
@@ -210,12 +218,15 @@ def validate(
     supervision: str,
     val_idx: Optional[int] = None,
     block_size: int = 4096,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Full-image validation render + metrics.
 
     Standard mode: PSNR of the fine rgb vs target; expected-depth metrics
     when GT depth exists (``train_nerf_rgb.py:304-425``). Dex mode:
     σ-threshold sweep, min-abs-err selection (``train_dexnerf_rgb.py:363-428``).
+    ``mesh`` (a 1-D device mesh) tiles the frame's rays across chips
+    (SURVEY.md §2.2 full-frame eval tiling).
     """
     s_val = render_settings_from_cfg(cfg, "validation", dex=dex)
     H, W, focal = scene.hwf
@@ -231,42 +242,77 @@ def validate(
         ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(scene.poses[idx]))
 
     coarse_field, fine_field = maybe_fused_fields(cfg)
-    out = render_image(
-        coarse_fn,
-        fine_fn,
-        params,
-        ro,
-        rd,
-        float(cfg.dataset.near),
-        float(cfg.dataset.far),
-        s_val,
-        block_size=block_size,
-        use_ndc=scene.use_ndc,
-        height=H,
-        width=W,
-        focal_length=focal,
-        coarse_field=coarse_field,
-        fine_field=fine_field,
-    )
-    target = scene.images[idx][..., :3]
+    if mesh is not None:
+        from dexnerf_tpu.parallel import render_image_parallel
+
+        out = render_image_parallel(
+            mesh,
+            coarse_fn,
+            fine_fn,
+            params,
+            ro,
+            rd,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            s_val,
+            block_size=block_size,
+            use_ndc=scene.use_ndc,
+            height=H,
+            width=W,
+            focal_length=focal,
+        )
+    else:
+        out = render_image(
+            coarse_fn,
+            fine_fn,
+            params,
+            ro,
+            rd,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            s_val,
+            block_size=block_size,
+            use_ndc=scene.use_ndc,
+            height=H,
+            width=W,
+            focal_length=focal,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
+        )
+    target = jnp.asarray(scene.images[idx][..., :3])
     rendered = out.fine if out.fine is not None else out.coarse
+
+    # coarse/fine loss split, logged like the reference
+    # (train_dexnerf_rgb.py:366-385)
     if supervision == "luminance":
         from dexnerf_tpu.train.step import luminance
 
-        mse = float(
-            jnp.mean(
-                (luminance(rendered.rgb) - luminance(jnp.asarray(target))) ** 2
+        def _mse(render_rgb):
+            return float(
+                jnp.mean((luminance(render_rgb) - luminance(target)) ** 2)
             )
-        )
     else:
-        mse = float(jnp.mean((rendered.rgb - jnp.asarray(target)) ** 2))
+        def _mse(render_rgb):
+            return float(jnp.mean((render_rgb - target) ** 2))
+
+    coarse_mse = _mse(out.coarse.rgb)
+    fine_mse = _mse(out.fine.rgb) if out.fine is not None else 0.0
+    mse = coarse_mse + fine_mse
     metrics: Dict[str, Any] = {
         "loss": mse,
+        "coarse_loss": coarse_mse,
+        "fine_loss": fine_mse,
         "psnr": mse2psnr(mse),
         "rgb": np.asarray(rendered.rgb),
+        "rgb_coarse": np.asarray(out.coarse.rgb),
         "depth": np.asarray(rendered.depth),
+        "target": np.asarray(target),
         "index": idx,
     }
+
+    if dex and rendered.depth_dex is not None:
+        metrics["depth_dex"] = np.asarray(rendered.depth_dex)  # [T, H, W]
+        metrics["m_thres_cand"] = tuple(s_val.m_thres_cand)
 
     if scene.depths is not None:
         gt = scene.depths[idx]
@@ -274,6 +320,8 @@ def validate(
         # (reference hardcodes 1.25, train_nerf_rgb.py:390)
         valid_max = float(_get(cfg.dataset, "depth_valid_max", 1.25))
         mask = (gt > 0) & (gt < valid_max)
+        metrics["depth_gt"] = np.asarray(gt)
+        metrics["depth_mask"] = np.asarray(mask)
         if dex and rendered.depth_dex is not None:
             depth_dex = np.asarray(rendered.depth_dex)  # [T, H, W]
             errs = []
@@ -298,6 +346,78 @@ def validate(
     return metrics
 
 
+def _normalize_img(x: np.ndarray) -> np.ndarray:
+    """Min-max normalize to [0, 1] — the reference displays depth images via
+    ``vutils.make_grid(..., normalize=True, scale_each=True)``
+    (``train_dexnerf_rgb.py:396-401``)."""
+    x = np.asarray(x, np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    return (x - lo) / max(hi - lo, 1e-12)
+
+
+def _log_validation(
+    logger: "MetricsLogger",
+    val: Dict[str, Any],
+    step: int,
+    logdir: str,
+    *,
+    save_artifacts: bool = True,
+) -> None:
+    """Log the reference's full validation artifact set.
+
+    Scalars ``validation/{loss,coarse_loss,fine_loss,psnr,min_abs_err,err4,
+    depth_abs_err,depth_err4}`` and images ``validation/{rgb_coarse,rgb_fine,
+    img_target,depth_gt,depth_pred_<m>,depth_pred_err}``
+    (``train_dexnerf_rgb.py:375-428``); the best depth is additionally saved
+    as a uint32 millimeter PNG under ``<logdir>/pred_depth/``
+    (``train_dexnerf_rgb.py:410-414``).
+    """
+    from dexnerf_tpu.core.metrics import depth_error_img
+
+    logger.scalar("validation/loss", val["loss"], step)
+    logger.scalar("validation/coarse_loss", val.get("coarse_loss", val["loss"]), step)
+    logger.scalar("validation/fine_loss", val.get("fine_loss", 0.0), step)
+    logger.scalar("validation/psnr", val["psnr"], step)
+    for k in ("depth_abs_err", "depth_err4", "min_abs_err", "err4"):
+        if k in val:
+            logger.scalar(f"validation/{k}", float(val[k]), step)
+
+    logger.image("validation/rgb_coarse", np.clip(val["rgb_coarse"], 0, 1), step)
+    logger.image("validation/rgb_fine", np.clip(val["rgb"], 0, 1), step)
+    if "target" in val:
+        logger.image("validation/img_target", np.clip(val["target"], 0, 1), step)
+    if "depth_gt" in val:
+        logger.image("validation/depth_gt", _normalize_img(val["depth_gt"]), step)
+
+    if "depth_dex" in val:
+        # one image per candidate threshold (train_dexnerf_rgb.py:396-401)
+        for t, m in enumerate(val.get("m_thres_cand", ())):
+            logger.image(
+                f"validation/depth_pred_{int(m)}",
+                _normalize_img(val["depth_dex"][t]),
+                step,
+            )
+
+    best_depth = val.get("best_depth")
+    if best_depth is None and "depth_gt" in val:
+        best_depth = val["depth"]  # standard mode: expected depth
+    if best_depth is not None and "depth_gt" in val:
+        # |error| colormap in millimeters (train_dexnerf_rgb.py:415-421)
+        err_img = depth_error_img(
+            np.asarray(best_depth)[None] * 1000.0,
+            np.asarray(val["depth_gt"])[None] * 1000.0,
+            np.asarray(val["depth_mask"])[None],
+        )
+        logger.image("validation/depth_pred_err", err_img, step)
+        if save_artifacts:
+            pred_dir = os.path.join(logdir, "pred_depth")
+            os.makedirs(pred_dir, exist_ok=True)
+            save_depth_png_mm(
+                os.path.join(pred_dir, f"pred_depth_step_{step}.png"),
+                best_depth,
+            )
+
+
 def run_training(
     cfg: CfgNode,
     *,
@@ -305,11 +425,14 @@ def run_training(
     supervision: str = "rgb",
     scene: Optional[SceneData] = None,
     load_ckpt: Optional[str] = None,
+    auto_resume: bool = False,
     max_iters: Optional[int] = None,
     logdir: Optional[str] = None,
     use_tensorboard: bool = True,
     save_artifacts: bool = True,
     num_devices: Optional[int] = None,
+    sampling: Optional[str] = None,
+    steps_per_call: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
 
@@ -318,6 +441,14 @@ def run_training(
     ``num_devices`` > 1 trains data-parallel over a 1-D mesh
     (per-device ray sampling, gradient pmean over ICI;
     ``num_random_rays`` is the GLOBAL batch and must divide by it).
+
+    Resume: ``load_ckpt`` accepts an Orbax checkpoint path, a directory of
+    them (picks the latest), or a reference PyTorch ``.ckpt``
+    (models + optimizer moments + start_iter, ``train_nerf_rgb.py:168-174``).
+    ``auto_resume`` resumes from ``<logdir>/checkpoints`` when one exists.
+
+    ``sampling`` ("uniform" | "per_image") and ``steps_per_call`` override
+    ``cfg.nerf.train.{sampling,steps_per_call}``.
     """
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
@@ -343,15 +474,45 @@ def run_training(
     state = init_train_state(params, tx)
 
     # resume
+    if not load_ckpt and auto_resume:
+        load_ckpt = latest_checkpoint(os.path.join(logdir, "checkpoints"))
+    elif load_ckpt and os.path.isdir(load_ckpt) and latest_checkpoint(load_ckpt):
+        load_ckpt = latest_checkpoint(load_ckpt)
     start_iter = 0
     if load_ckpt:
-        payload = restore_checkpoint(load_ckpt, template=state)
-        state = TrainState(
-            step=jnp.asarray(payload["step"]),
-            params=payload["params"],
-            opt_state=payload["opt_state"],
-        )
-        start_iter = int(payload["step"])
+        if str(load_ckpt).endswith(".ckpt"):
+            # reference PyTorch checkpoint: params + Adam moments + iter
+            from dexnerf_tpu.train.checkpoints import (
+                build_opt_state_from_torch,
+                import_torch_checkpoint,
+            )
+
+            use_vd = bool(cfg.nerf.use_viewdirs)
+            imported = import_torch_checkpoint(load_ckpt, use_viewdirs=use_vd)
+            new_params = {"coarse": imported["coarse"]}
+            if imported["fine"] is not None and "fine" in state.params:
+                new_params["fine"] = imported["fine"]
+            opt_state = (
+                build_opt_state_from_torch(
+                    imported, new_params, tx, use_viewdirs=use_vd
+                )
+                if "optimizer_state_dict" in imported
+                else tx.init(new_params)
+            )
+            state = TrainState(
+                step=jnp.asarray(imported["step"], jnp.int32),
+                params=jax.tree.map(jnp.asarray, new_params),
+                opt_state=opt_state,
+            )
+            start_iter = int(imported["step"])
+        else:
+            payload = restore_checkpoint(load_ckpt, template=state)
+            state = TrainState(
+                step=jnp.asarray(payload["step"]),
+                params=payload["params"],
+                opt_state=payload["opt_state"],
+            )
+            start_iter = int(payload["step"])
 
     s_train = render_settings_from_cfg(cfg, "train", dex=False)
     batch_size = int(cfg.nerf.train.num_random_rays)
@@ -378,6 +539,17 @@ def run_training(
             ),
             use_ndc=scene.use_ndc,
         )
+    # orthogonal step knobs, config keys with kwarg overrides
+    # (reference-semantics sampling: train_nerf_rgb.py:222-241)
+    sampling = sampling or str(_get(cfg.nerf.train, "sampling", "uniform"))
+    steps_per_call = int(
+        steps_per_call
+        if steps_per_call is not None
+        else _get(cfg.nerf.train, "steps_per_call", 1)
+    )
+    coarse_field, fine_field = maybe_fused_fields(cfg, train=True)
+
+    mesh = None
     if num_devices is not None and num_devices > 1:
         from dexnerf_tpu.parallel import make_mesh, make_parallel_train_step
 
@@ -390,11 +562,17 @@ def run_training(
             s_train,
             batch_size,
             supervision=supervision,
+            sampling=sampling,
+            steps_per_call=steps_per_call,
         )
     else:
         train_step = make_train_step(
             coarse_fn, fine_fn, tx, s_train, batch_size,
             supervision=supervision,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
+            sampling=sampling,
+            steps_per_call=steps_per_call,
         )
 
     train_iters = (
@@ -412,27 +590,36 @@ def run_training(
     last_val: Dict[str, Any] = {}
     last_metrics: Dict[str, float] = {}
 
-    for i in range(start_iter, train_iters):
+    def _crosses(lo: int, hi: int, every: int) -> bool:
+        """True when [lo, hi] contains a multiple of ``every`` (handles
+        steps_per_call > 1, where several iterations land per dispatch)."""
+        return every > 0 and (hi // every) > ((lo - 1) // every) if lo else True
+
+    i = start_iter
+    while i < train_iters:
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, store, sub)
+        last = min(i + steps_per_call, train_iters) - 1
 
-        if i % print_every == 0 or i == train_iters - 1:
+        if _crosses(i, last, print_every) or last == train_iters - 1:
             metrics = {k: float(v) for k, v in metrics.items()}
             last_metrics = metrics
             logger.scalars(
-                {f"train/{k}": v for k, v in metrics.items()}, i
+                {f"train/{k}": v for k, v in metrics.items()}, last
             )
             elapsed = time.time() - t0
-            rays_done = (i - start_iter + 1) * batch_size
-            logger.scalar("train/rays_per_sec", rays_done / max(elapsed, 1e-9), i)
+            rays_done = (last - start_iter + 1) * batch_size
+            logger.scalar(
+                "train/rays_per_sec", rays_done / max(elapsed, 1e-9), last
+            )
 
         if validate_every and (
-            i % validate_every == 0 or i == train_iters - 1
+            _crosses(i, last, validate_every) or last == train_iters - 1
         ):
             # cycle through validation views (the reference picks a random
             # one each time, train_nerf_rgb.py:316-320)
             val_idx = int(
-                scene.i_val[(i // validate_every) % len(scene.i_val)]
+                scene.i_val[(last // validate_every) % len(scene.i_val)]
             )
             val = validate(
                 coarse_fn,
@@ -443,27 +630,23 @@ def run_training(
                 dex=dex,
                 supervision=supervision,
                 val_idx=val_idx,
+                mesh=mesh,
             )
             last_val = val
-            logger.scalar("validation/loss", val["loss"], i)
-            logger.scalar("validation/psnr", val["psnr"], i)
-            for k in ("depth_abs_err", "depth_err4", "min_abs_err", "err4"):
-                if k in val:
-                    logger.scalar(f"validation/{k}", float(val[k]), i)
-            logger.image("validation/rgb_fine", np.clip(val["rgb"], 0, 1), i)
-            if save_artifacts and "best_depth" in val:
-                save_depth_png_mm(
-                    os.path.join(logdir, f"depth_best_{i:06d}.png"),
-                    val["best_depth"],
-                )
+            _log_validation(
+                logger, val, last, logdir, save_artifacts=save_artifacts
+            )
 
-        if save_every and i > 0 and (i % save_every == 0 or i == train_iters - 1):
+        if save_every and last > 0 and (
+            _crosses(i, last, save_every) or last == train_iters - 1
+        ):
             save_checkpoint(
                 os.path.join(logdir, "checkpoints"),
-                i,
+                last,
                 state,
                 extra={"loss": metrics.get("loss", 0.0)} if isinstance(metrics, dict) else None,
             )
+        i = last + 1
 
     elapsed = time.time() - t0
     logger.close()

@@ -127,3 +127,161 @@ def test_import_no_fine_model(tmp_path):
     imported = import_torch_checkpoint(ckpt_path)
     assert imported["fine"] is None
     assert imported["height"] == 400
+
+
+def _fake_adam_state(sds, rng, step=100):
+    """Fabricate a torch Adam ``state_dict()`` over the concatenated param
+    list of the given model state_dicts (the reference builds its optimizer
+    over coarse params then fine params, ``train_nerf_rgb.py:143-148``)."""
+    params = [p for sd in sds for p in sd.values()]
+    state = {
+        i: {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.tensor(
+                rng.randn(*p.shape).astype(np.float32)
+            ),
+            "exp_avg_sq": torch.tensor(
+                np.abs(rng.randn(*p.shape)).astype(np.float32)
+            ),
+        }
+        for i, p in enumerate(params)
+    }
+    return {
+        "state": state,
+        "param_groups": [
+            {"params": list(range(len(params))), "lr": 5e-3,
+             "betas": (0.9, 0.999), "eps": 1e-8}
+        ],
+    }
+
+
+def _full_ckpt(tmp_path, rng, step=100):
+    sd_coarse = _random_state_dict(rng)
+    sd_fine = _random_state_dict(rng)
+    opt_sd = _fake_adam_state([sd_coarse, sd_fine], rng, step=step)
+    path = str(tmp_path / f"checkpoint{step:05d}.ckpt")
+    torch.save(
+        {
+            "iter": step,
+            "model_coarse_state_dict": sd_coarse,
+            "model_fine_state_dict": sd_fine,
+            "optimizer_state_dict": opt_sd,
+            "loss": 0.5,
+            "psnr": 20.0,
+        },
+        path,
+    )
+    return path, sd_coarse, sd_fine, opt_sd
+
+
+def test_optimizer_moments_import(tmp_path):
+    """Adam exp_avg/exp_avg_sq transfer into the optax opt_state (transposed
+    like the weights), with the checkpoint iter as the count."""
+    import jax
+    import optax
+
+    from dexnerf_tpu.train.checkpoints import (
+        build_opt_state_from_torch,
+        import_torch_checkpoint,
+    )
+
+    rng = np.random.RandomState(3)
+    path, sd_coarse, _, opt_sd = _full_ckpt(tmp_path, rng, step=77)
+    imported = import_torch_checkpoint(path)
+    params = {"coarse": imported["coarse"], "fine": imported["fine"]}
+    tx = optax.adam(learning_rate=optax.constant_schedule(5e-3))
+    opt_state = build_opt_state_from_torch(imported, params, tx)
+
+    adam_states = [
+        s for s in jax.tree.leaves(
+            opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert len(adam_states) == 1
+    st = adam_states[0]
+    assert int(st.count) == 77
+    # torch param 0 is layer1.weight [out, in] -> our Dense_0 kernel [in, out]
+    np.testing.assert_allclose(
+        np.asarray(st.mu["coarse"]["params"]["Dense_0"]["kernel"]),
+        opt_sd["state"][0]["exp_avg"].numpy().T,
+        rtol=1e-6,
+    )
+    # fine model moments land under "fine" (offset by the coarse param count)
+    n_coarse = len(sd_coarse)
+    np.testing.assert_allclose(
+        np.asarray(st.nu["fine"]["params"]["Dense_0"]["bias"]),
+        opt_sd["state"][n_coarse + 1]["exp_avg_sq"].numpy(),
+        rtol=1e-6,
+    )
+
+
+def test_run_training_resumes_from_reference_ckpt(tmp_path):
+    """--load-checkpoint foo.ckpt through run_training: params + optimizer
+    moments + start_iter all restored (reference train_nerf_rgb.py:168-174)."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.data import make_synthetic_scene
+    from dexnerf_tpu.train import SceneData, run_training
+
+    rng = np.random.RandomState(4)
+    path, sd_coarse, _, _ = _full_ckpt(tmp_path, rng, step=100)
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.arange(2), i_val=np.array([2]), depths=depths,
+    )
+    cfg = CfgNode(
+        {
+            "experiment": {
+                "id": "ckptresume", "logdir": str(tmp_path), "randomseed": 1,
+                "train_iters": 102, "validate_every": 0, "save_every": 0,
+                "print_every": 1,
+            },
+            "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                        "far": 6.0, "no_ndc": True},
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                    "hidden_size": HID, "skip_connect_every": 4,
+                    "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+                },
+                "fine": {
+                    "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                    "hidden_size": HID, "skip_connect_every": 4,
+                    "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 16, "chunksize": 64, "perturb": True,
+                    "num_coarse": 4, "num_fine": 4, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+                "validation": {
+                    "chunksize": 64, "perturb": False, "num_coarse": 4,
+                    "num_fine": 4, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        }
+    )
+    out = run_training(
+        cfg, scene=scene, use_tensorboard=False, load_ckpt=path
+    )
+    # resumed at iter 100, ran 2 steps to 102
+    assert int(out["state"].step) == 102
+    assert np.isfinite(out["final_train_metrics"]["loss"])
+    # params actually came from the ckpt: after only 2 small-lr steps the
+    # coarse layer1 kernel must still be close to the imported weights
+    got = np.asarray(
+        out["state"].params["coarse"]["params"]["Dense_0"]["kernel"]
+    )
+    want = sd_coarse["layer1.weight"].numpy().T
+    assert np.max(np.abs(got - want)) < 0.1

@@ -78,3 +78,28 @@ def test_gather_random_rows(lib):
     np.testing.assert_array_equal(out, out2)
     out3 = native.gather_random_rows(store, seed=8, batch=20)
     assert not np.array_equal(out, out3)
+
+
+def test_cache_store_uses_native_pack(tmp_path, lib):
+    """build_ray_store_from_cache assembles rows through the native
+    pack_rays kernel; result matches the pure-numpy packing."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.data.pipeline import build_ray_store_from_cache
+
+    rng = np.random.RandomState(11)
+    os.makedirs(tmp_path / "train", exist_ok=True)
+    ro = rng.randn(50, 3).astype(np.float32)
+    rd = rng.randn(50, 3).astype(np.float32)
+    rgb = rng.rand(50, 3).astype(np.float32)
+    np.savez(
+        tmp_path / "train" / "0000.npz",
+        height=5, width=10, focal_length=20.0,
+        ray_bundle=np.stack([ro, rd], 0), target=rgb,
+    )
+    store = build_ray_store_from_cache(str(tmp_path), 2.0, 6.0)
+    viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    want = np.concatenate([ro, rd, viewdirs, rgb], axis=-1)
+    np.testing.assert_allclose(np.asarray(store.data), want, rtol=1e-6)

@@ -97,3 +97,89 @@ def test_parallel_render_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_par.fine.depth), np.asarray(out_seq.fine.depth), atol=1e-5
     )
+
+
+def test_render_image_parallel_matches_single_device():
+    """Full-frame tiling across the mesh == single-device render_image,
+    including padding (27 rows of 9 px = 243 rays, not divisible by 8)."""
+    from dexnerf_tpu.parallel import render_image_parallel
+    from dexnerf_tpu.render import render_image
+
+    apply_fn, params = _setup()
+    mesh = make_mesh()
+    s_det = SETTINGS.eval_variant()
+    H, W = 27, 9
+    key = jax.random.PRNGKey(9)
+    ro = jax.random.normal(key, (H, W, 3)) * 0.1
+    rd = jax.random.normal(jax.random.fold_in(key, 1), (H, W, 3))
+
+    out_par = render_image_parallel(
+        mesh, apply_fn, apply_fn, params, ro, rd, 2.0, 6.0, s_det,
+        block_size=32,
+    )
+    out_seq = render_image(
+        apply_fn, apply_fn, params, ro, rd, 2.0, 6.0, s_det, block_size=32
+    )
+    assert out_par.fine.rgb.shape == (H, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_par.fine.rgb), np.asarray(out_seq.fine.rgb), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_par.fine.depth),
+        np.asarray(out_seq.fine.depth),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_par.coarse.rgb), np.asarray(out_seq.coarse.rgb),
+        atol=1e-5,
+    )
+
+
+def test_validate_uses_mesh(tmp_path):
+    """validate(..., mesh=) renders the frame across the mesh and returns
+    the same metric surface as the single-device path."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import SceneData
+    from dexnerf_tpu.train.loop import validate
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.arange(2), i_val=np.array([2]), depths=depths,
+    )
+    cfg = CfgNode(
+        {
+            "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                        "far": 6.0},
+            "models": {
+                "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                           "hidden_size": 16, "num_encoding_fn_xyz": ENC_XYZ,
+                           "num_encoding_fn_dir": ENC_DIR},
+            },
+            "nerf": {
+                "use_viewdirs": True,
+                "validation": {"chunksize": 64, "perturb": False,
+                               "num_coarse": 4, "num_fine": 4,
+                               "white_background": False,
+                               "radiance_field_noise_std": 0.0,
+                               "lindisp": False},
+            },
+        }
+    )
+    apply_fn, params = _setup()
+    mesh = make_mesh()
+    v_mesh = validate(
+        apply_fn, apply_fn, params, scene, cfg,
+        dex=False, supervision="rgb", mesh=mesh,
+    )
+    v_single = validate(
+        apply_fn, apply_fn, params, scene, cfg,
+        dex=False, supervision="rgb",
+    )
+    assert np.isfinite(v_mesh["psnr"])
+    np.testing.assert_allclose(v_mesh["rgb"], v_single["rgb"], atol=1e-5)
+    np.testing.assert_allclose(
+        v_mesh["depth"], v_single["depth"], atol=1e-5
+    )
