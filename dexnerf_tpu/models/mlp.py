@@ -55,6 +55,17 @@ class Dense(nn.Module):
     ``dtype`` is the compute dtype: parameters are stored float32 and cast
     for the matmul (bfloat16 compute runs the MXU at full rate on TPU;
     float32 uses the slower multi-pass path).
+
+    The input may be a TUPLE of feature blocks: the layer then behaves
+    exactly like ``Dense(concat(parts, -1))`` — one kernel of shape
+    [sum(fan_in), features], sliced per part — but evaluates as a SUM of
+    per-part matmuls, so XLA never materializes the concatenated
+    activation. This is the HBM-traffic eliminator for NeRF's skip/viewdir
+    concats: the compiled train step otherwise writes 100-200 MB
+    ``[rays, samples, hidden+dim_xyz]`` concat intermediates per step
+    (docs/PERF_NOTES.md "HLO inspection findings"). Param shapes and
+    numerics are unchanged, so checkpoints and the torch importer are
+    unaffected.
     """
 
     features: int
@@ -62,14 +73,28 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1]
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        fan_in = sum(p.shape[-1] for p in parts)
         bound = 1.0 / (fan_in ** 0.5)
         kernel = self.param(
             "kernel", _bounded_uniform(bound), (fan_in, self.features)
         )
         bias = self.param("bias", _bounded_uniform(bound), (self.features,))
-        x = x.astype(self.dtype)
-        y = x @ kernel.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        out_rank = max(p.ndim for p in parts)
+        y = None
+        off = 0
+        for p in parts:
+            w = kernel[off : off + p.shape[-1]]
+            off += p.shape[-1]
+            t = p.astype(self.dtype) @ w
+            # lower-rank parts (e.g. per-RAY viewdir features joining
+            # per-SAMPLE activations) broadcast across the missing middle
+            # axes — their matmul runs once per ray instead of once per
+            # sample, a samples-per-ray(x) FLOP and HBM saving
+            while t.ndim < out_rank:
+                t = t[..., None, :]
+            y = t if y is None else y + t
         return y + bias.astype(self.dtype)
 
 
@@ -78,6 +103,30 @@ def _dims(num_encoding_fn_xyz, num_encoding_fn_dir, include_input_xyz,
     dim_xyz = (3 if include_input_xyz else 0) + 2 * 3 * num_encoding_fn_xyz
     dim_dir = (3 if include_input_dir else 0) + 2 * 3 * num_encoding_fn_dir
     return dim_xyz, dim_dir
+
+
+def _split_xyz_view(x, dim_xyz):
+    """(xyz_enc, view_enc) from either a packed [..., Dx+Dd] array (the
+    reference's input layout) or an (xyz_enc, view_enc) tuple (the split
+    layout, where view_enc may be per-ray — one rank lower)."""
+    if isinstance(x, (tuple, list)):
+        return x[0], (x[1] if len(x) > 1 else None)
+    return x[..., :dim_xyz], x[..., dim_xyz:]
+
+
+def _as_packed(x, dim_xyz):
+    """Packed [..., Dx+Dd] view of either input form (for models that
+    consume the raw concatenation)."""
+    if not isinstance(x, (tuple, list)):
+        return x
+    xyz, view = x[0], (x[1] if len(x) > 1 else None)
+    if view is None:
+        return xyz
+    if view.ndim < xyz.ndim:
+        view = jnp.broadcast_to(
+            view[..., None, :], (*xyz.shape[:-1], view.shape[-1])
+        )
+    return jnp.concatenate([xyz, view], axis=-1)
 
 
 class VeryTinyNeRFModel(nn.Module):
@@ -89,6 +138,7 @@ class VeryTinyNeRFModel(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = _as_packed(x, 3 + 3 * 2 * self.num_encoding_functions)
         x = nn.relu(Dense(self.filter_size)(x))
         x = nn.relu(Dense(self.filter_size)(x))
         return Dense(4)(x)
@@ -105,13 +155,12 @@ class MultiHeadNeRFModel(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim_xyz = 3 + 3 * 2 * self.num_encoding_functions
-        xyz, view = x[..., :dim_xyz], x[..., dim_xyz:]
+        xyz, view = _split_xyz_view(x, dim_xyz)
         h = nn.relu(Dense(self.hidden_size)(xyz))
         h = nn.relu(Dense(self.hidden_size)(h))
         sigma = Dense(1)(h)
         feat = nn.relu(Dense(self.hidden_size)(h))
-        h = jnp.concatenate([feat, view], axis=-1)
-        h = nn.relu(Dense(self.hidden_size)(h))
+        h = nn.relu(Dense(self.hidden_size)((feat, view)))
         h = nn.relu(Dense(self.hidden_size)(h))
         rgb = Dense(3)(h)
         return jnp.concatenate([rgb, sigma], axis=-1)
@@ -136,16 +185,12 @@ class ReplicateNeRFModel(nn.Module):
             self.include_input_xyz,
             self.include_input_dir,
         )
-        xyz, direction = x[..., :dim_xyz], x[..., dim_xyz:]
+        xyz, direction = _split_xyz_view(x, dim_xyz)
         h = nn.relu(Dense(self.hidden_size)(xyz))
         h = nn.relu(Dense(self.hidden_size)(h))
         feat = Dense(self.hidden_size)(h)
         alpha = Dense(1)(h)
-        y = nn.relu(
-            Dense(self.hidden_size // 2)(
-                jnp.concatenate([feat, direction], axis=-1)
-            )
-        )
+        y = nn.relu(Dense(self.hidden_size // 2)((feat, direction)))
         y = nn.relu(Dense(self.hidden_size // 2)(y))
         rgb = Dense(3)(y)
         return jnp.concatenate([rgb, alpha], axis=-1)
@@ -173,18 +218,18 @@ class PaperNeRFModel(nn.Module):
             self.include_input_xyz,
             self.include_input_dir,
         )
-        xyz, dirs = x[..., :dim_xyz], x[..., dim_xyz:]
+        xyz, dirs = _split_xyz_view(x, dim_xyz)
         h = xyz
         for i in range(8):
             if i == 4:
-                h = Dense(256)(jnp.concatenate([xyz, h], axis=-1))
+                h = Dense(256)((xyz, h))
             else:
                 h = Dense(256)(h)
             h = nn.relu(h)
         feat = Dense(256)(h)
         alpha = Dense(1)(feat)
         if self.use_viewdirs:
-            h = Dense(128)(jnp.concatenate([feat, dirs], axis=-1))
+            h = Dense(128)((feat, dirs))
         else:
             h = Dense(128)(feat)
         h = nn.relu(h)
@@ -218,7 +263,13 @@ class FlexibleNeRFModel(nn.Module):
             self.include_input_xyz,
             self.include_input_dir,
         )
-        if self.use_viewdirs:
+        view = None
+        if isinstance(x, (tuple, list)):
+            # split input: (xyz_enc [.., S, Dx], dir_enc [.., Dd]) — the
+            # dir encoding may be PER-RAY (one rank lower); its matmul then
+            # runs per ray and broadcasts across samples (see Dense)
+            xyz, view = x if self.use_viewdirs else (x[0], None)
+        elif self.use_viewdirs:
             xyz, view = x[..., :dim_xyz], x[..., dim_xyz:]
         else:
             xyz = x[..., :dim_xyz]
@@ -232,14 +283,20 @@ class FlexibleNeRFModel(nn.Module):
                 and i > 0
                 and i != num_trunk - 1
             ):
-                h = jnp.concatenate([h, xyz], axis=-1)
-            h = nn.relu(Dense(self.hidden_size, dtype=dtype)(h))
+                # skip concat as a split matmul (see Dense docstring);
+                # reference order is cat(h, xyz) (models.py:244)
+                h = nn.relu(Dense(self.hidden_size, dtype=dtype)((h, xyz)))
+            else:
+                h = nn.relu(Dense(self.hidden_size, dtype=dtype)(h))
 
         if self.use_viewdirs:
             feat = nn.relu(Dense(self.hidden_size, dtype=dtype)(h))
             alpha = Dense(1, dtype=dtype)(h)
-            y = jnp.concatenate([feat, view.astype(dtype)], axis=-1)
-            y = nn.relu(Dense(self.hidden_size // 2, dtype=dtype)(y))
+            y = nn.relu(
+                Dense(self.hidden_size // 2, dtype=dtype)(
+                    (feat, view.astype(dtype))
+                )
+            )
             rgb = Dense(3, dtype=dtype)(y)
             # raw field logits back to f32 for compositing stability
             return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)

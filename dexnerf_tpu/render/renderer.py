@@ -161,10 +161,33 @@ def encode_points(
 
 
 def make_mlp_field(apply_fn: ModelFn, settings: RenderSettings) -> FieldFn:
-    """Default field function: positional-encode then apply the MLP."""
+    """Default field function: positional-encode then apply the MLP.
+
+    The encodings are passed as a SPLIT (xyz_enc [N, S, Dx],
+    dir_enc [N, Dd]) tuple rather than the reference's concatenated
+    per-sample layout: the models (``dexnerf_tpu.models.mlp``) consume the
+    parts with split matmuls, so the [N, S, Dd] viewdir broadcast and the
+    [N, S, Dx+Dd] concat never exist — the viewdir matmul runs once per RAY
+    and broadcasts across samples. Numerics are identical to the packed
+    layout (one kernel, sliced).
+    """
 
     def field(params, pts, viewdirs):
-        return apply_fn(params, encode_points(pts, viewdirs, settings))
+        enc = positional_encoding(
+            pts,
+            num_frequencies=settings.num_encoding_fn_xyz,
+            include_input=settings.include_input_xyz,
+            log_sampling=settings.log_sampling_xyz,
+        )
+        if viewdirs is None:
+            return apply_fn(params, (enc,))
+        dir_enc = positional_encoding(
+            viewdirs,
+            num_frequencies=settings.num_encoding_fn_dir,
+            include_input=settings.include_input_dir,
+            log_sampling=settings.log_sampling_dir,
+        )
+        return apply_fn(params, (enc, dir_enc))
 
     return field
 
