@@ -157,57 +157,57 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
 
     ``xyz``/``dir_enc``: padded f32 encodings. Returns raw [B, 4] f32, plus
     (trunk_inputs, trunk_post, a_last, feat, y) when ``keep_activations``.
+
+    Dtype discipline (the round-1 Mosaic-crash fix): the CHAIN — every
+    activation, bias add, relu/select — stays float32; ``compute_dtype``
+    only casts matmul OPERANDS at the dot call sites (weights arrive
+    pre-cast from ``split_flex_params``). bf16 where/astype chains crash
+    the Mosaic compiler (docs/PERF_NOTES.md bisection); bf16 dot operands
+    with f32 accumulation are the part that buys MXU rate anyway.
     """
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
     cd = compute_dtype
-    xyz_c = xyz.astype(cd)
+    xyz_op = xyz.astype(cd)  # pre-cast dot operand (used by layer1 + skips)
 
     mi = 0
-    h = _dot(xyz_c, mats[mi][:], jnp.float32) + biases[0][:]
-    h = h.astype(cd)  # layer1: no activation (reference models.py:238)
+    # layer1: no activation (reference models.py:238); h stays f32
+    h = _dot(xyz_op, mats[mi][:], jnp.float32) + biases[0][:]
     mi += 1
     trunk_inputs, trunk_post = [], []
     for i in range(num_trunk):
         if i in skip:
-            y = _dot(h, mats[mi][:], jnp.float32)
-            y = y + _dot(xyz_c, mats[mi + 1][:], jnp.float32)
+            y = _dot(h.astype(cd), mats[mi][:], jnp.float32)
+            y = y + _dot(xyz_op, mats[mi + 1][:], jnp.float32)
             mi += 2
         else:
-            y = _dot(h, mats[mi][:], jnp.float32)
+            y = _dot(h.astype(cd), mats[mi][:], jnp.float32)
             mi += 1
         if keep_activations:
             trunk_inputs.append(h)
-        h = jnp.maximum(y + biases[1 + i][:], 0.0).astype(cd)
+        h = jnp.maximum(y + biases[1 + i][:], 0.0)
         if keep_activations:
             trunk_post.append(h)
     a_last = h
     li = model.num_layers
     if model.use_viewdirs:
         feat = jnp.maximum(
-            _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:], 0.0
-        ).astype(cd)
-        mi += 1
-        alpha = (
-            _dot(a_last.astype(jnp.float32), mats[mi][:], jnp.float32)
-            + biases[li + 1][:]
+            _dot(a_last.astype(cd), mats[mi][:], jnp.float32) + biases[li][:],
+            0.0,
         )
         mi += 1
-        y = _dot(feat, mats[mi][:], jnp.float32)
+        # head weights stay f32 (tiny matmuls, full precision)
+        alpha = _dot(a_last, mats[mi][:], jnp.float32) + biases[li + 1][:]
+        mi += 1
+        y = _dot(feat.astype(cd), mats[mi][:], jnp.float32)
         y = y + _dot(dir_enc.astype(cd), mats[mi + 1][:], jnp.float32)
         mi += 2
-        y = jnp.maximum(y + biases[li + 2][:], 0.0).astype(cd)
-        rgb = (
-            _dot(y.astype(jnp.float32), mats[mi][:], jnp.float32)
-            + biases[li + 3][:]
-        )
+        y = jnp.maximum(y + biases[li + 2][:], 0.0)
+        rgb = _dot(y, mats[mi][:], jnp.float32) + biases[li + 3][:]
         out = jnp.concatenate([rgb, alpha], axis=-1)
     else:
         feat = y = None
-        out = (
-            _dot(a_last.astype(jnp.float32), mats[mi][:], jnp.float32)
-            + biases[li][:]
-        )
+        out = _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:]
     if keep_activations:
         return out, trunk_inputs, trunk_post, a_last, feat, y
     return out

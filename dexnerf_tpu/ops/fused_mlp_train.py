@@ -46,10 +46,16 @@ from dexnerf_tpu.ops.fused_mlp import (
 from dexnerf_tpu.render.renderer import FieldFn
 
 
-def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
+def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
     """Backward kernel: recompute + chain rule + grid-accumulated grads.
 
     Outputs mirror the split-matmul operand list (f32) + biases (f32).
+
+    Dtype discipline (the round-1 Mosaic-crash fix, see
+    ``fused_mlp._forward_block``): the whole delta chain — selects, adds,
+    accumulators — is float32; ``compute_dtype`` casts only dot operands.
+    ``dw_dtype`` controls the dW contraction operands separately (the
+    dim-0/dim-0 form historically only compiled at f32).
     """
     d = _dims(model)
     skip = set(_skip_indices(model))
@@ -58,6 +64,7 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
     n_b = len(_flex_param_layout(model))
     H = model.hidden_size
     cd = compute_dtype
+    dw = dw_dtype if dw_dtype is not None else jnp.float32
 
     def kernel(*refs):
         # inputs: pts, dirs, g, mats..., matsT..., biases...
@@ -81,7 +88,6 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
         (_, trunk_inputs, trunk_post, a_last, feat, y) = _forward_block(
             model, mats, biases, xyz, dir_enc, cd, keep_activations=True
         )
-        xyz_c = xyz.astype(cd)
 
         g = g_ref[:]  # [B, 4] f32
         g_rgb = g[:, 0:3]
@@ -99,26 +105,25 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
                 ref[:] = ref[:] + val
 
         def matT(a, b):
-            # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction.
-            # Mosaic compiles this form for f32 operands but rejects bf16
-            # (and also rejects an explicit in-kernel swapaxes), so dW
-            # matmuls run f32; the delta-chain matmuls stay compute_dtype.
+            # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction
+            # (Mosaic rejects an explicit in-kernel swapaxes). Operand dtype
+            # is ``dw_dtype``: f32 is the historically-safe form.
             return jax.lax.dot_general(
-                a.astype(jnp.float32),
-                b.astype(jnp.float32),
+                a.astype(dw),
+                b.astype(dw),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        def matWT(delta, wT, out_dtype):
+        def matWT(delta, wT):
             # delta[B, O] @ W^T via the host-side pre-transposed weight
-            # (standard (1,)x(0,) contraction). Operands forced f32: part of
-            # the bf16-bwd Mosaic-crash bisection (see docs/PERF_NOTES.md).
+            # (standard (1,)x(0,) contraction); operands in the weight's
+            # dtype (compute_dtype), f32 accumulation, f32 result.
             return jax.lax.dot_general(
-                delta.astype(jnp.float32), wT[:].astype(jnp.float32),
+                delta.astype(wT.dtype), wT[:],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(out_dtype)
+            )
 
         # matmul-operand index bookkeeping (mirror of _forward_block)
         mi_layer1 = 0
@@ -132,41 +137,38 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype):
         )
         li = model.num_layers  # bias index of fc_feat
 
-        # rgb head (f32)
-        acc(dmats[mi_rgb], matT(y.astype(jnp.float32), g_rgb))
+        # rgb head (f32 weights)
+        acc(dmats[mi_rgb], matT(y, g_rgb))
         acc(dbs[li + 3], jnp.sum(g_rgb, axis=0))
-        dy = matWT(g_rgb, matsT[mi_rgb], jnp.float32)
-        # dir layer (relu, split matmul)
-        dz_y = jnp.where(y > 0, dy, 0.0).astype(cd)
+        dy = matWT(g_rgb, matsT[mi_rgb])
+        # dir layer (relu, split matmul); whole delta chain f32
+        dz_y = jnp.where(y > 0, dy, 0.0)
         acc(dmats[mi_dir_h], matT(feat, dz_y))
-        acc(dmats[mi_dir_d], matT(dir_enc.astype(cd), dz_y))
-        acc(dbs[li + 2], jnp.sum(dz_y.astype(jnp.float32), axis=0))
-        dfeat = matWT(dz_y, matsT[mi_dir_h], jnp.float32)
+        acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
+        acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
+        dfeat = matWT(dz_y, matsT[mi_dir_h])
         # feat head (relu)
-        dz_f = jnp.where(feat > 0, dfeat, 0.0).astype(cd)
+        dz_f = jnp.where(feat > 0, dfeat, 0.0)
         acc(dmats[mi_feat], matT(a_last, dz_f))
-        acc(dbs[li], jnp.sum(dz_f.astype(jnp.float32), axis=0))
-        # alpha head (linear, f32)
-        acc(dmats[mi_alpha], matT(a_last.astype(jnp.float32), g_alpha))
+        acc(dbs[li], jnp.sum(dz_f, axis=0))
+        # alpha head (linear, f32 weights)
+        acc(dmats[mi_alpha], matT(a_last, g_alpha))
         acc(dbs[li + 1], jnp.sum(g_alpha, axis=0))
-        da = (
-            matWT(dz_f, matsT[mi_feat], jnp.float32)
-            + matWT(g_alpha, matsT[mi_alpha], jnp.float32)
-        ).astype(cd)
+        da = matWT(dz_f, matsT[mi_feat]) + matWT(g_alpha, matsT[mi_alpha])
 
         # trunk, reversed
         for i in reversed(range(num_trunk)):
-            dz = jnp.where(trunk_post[i] > 0, da, 0.0).astype(cd)
+            dz = jnp.where(trunk_post[i] > 0, da, 0.0)
             mi_i = trunk_mi[i]
             acc(dmats[mi_i], matT(trunk_inputs[i], dz))
             if i in skip:
-                acc(dmats[mi_i + 1], matT(xyz_c, dz))
-            acc(dbs[1 + i], jnp.sum(dz.astype(jnp.float32), axis=0))
-            da = matWT(dz, matsT[mi_i], cd)
+                acc(dmats[mi_i + 1], matT(xyz, dz))
+            acc(dbs[1 + i], jnp.sum(dz, axis=0))
+            da = matWT(dz, matsT[mi_i])
 
         # layer1 (no activation)
-        acc(dmats[mi_layer1], matT(xyz_c, da))
-        acc(dbs[0], jnp.sum(da.astype(jnp.float32), axis=0))
+        acc(dmats[mi_layer1], matT(xyz, da))
+        acc(dbs[0], jnp.sum(da, axis=0))
 
     return kernel
 
@@ -175,7 +177,9 @@ def make_fused_flexible_field_train(
     model: FlexibleNeRFModel,
     *,
     block_samples: int = 2048,
+    block_samples_bwd: int = None,
     compute_dtype=jnp.float32,
+    dw_dtype=None,
     interpret: bool = False,
 ) -> FieldFn:
     """Fused field with custom VJP for the training hot path.
@@ -183,22 +187,27 @@ def make_fused_flexible_field_train(
     Requires ``use_viewdirs=True`` (every shipped config). See the module
     docstring for the zero-input-cotangent contract.
 
-    ``compute_dtype`` default is float32 — the configuration validated
-    compiled on v5e (losses match the XLA step). bfloat16 currently crashes
-    the Mosaic remote compiler in the backward kernel (the forward kernel
-    compiles fine at bf16); see docs/PERF_NOTES.md for the bisection state.
+    ``compute_dtype`` sets the matmul OPERAND dtype (the chain is always
+    f32 — the round-1 bf16 where/astype chains crashed Mosaic; casting only
+    dot operands is both the fix and where the MXU rate is). ``dw_dtype``
+    separately controls the dW contraction operands (default f32, the
+    historically-safe form). ``block_samples_bwd`` defaults to
+    ``min(block_samples, 1024)`` — the bwd kernel keeps ~16 activation
+    blocks live in VMEM, so it needs smaller blocks than the forward.
     """
     if not model.use_viewdirs:
         raise NotImplementedError(
             "fused training field currently requires use_viewdirs=True"
         )
+    if block_samples_bwd is None:
+        block_samples_bwd = min(block_samples, 1024)
     fwd_field = make_fused_flexible_field(
         model,
         block_samples=block_samples,
         compute_dtype=compute_dtype,
         interpret=interpret,
     )
-    bwd_kernel = _make_bwd_kernel(model, compute_dtype)
+    bwd_kernel = _make_bwd_kernel(model, compute_dtype, dw_dtype=dw_dtype)
     names = _flex_param_layout(model)
     d = _dims(model)
     skip = _skip_indices(model)
@@ -207,7 +216,7 @@ def make_fused_flexible_field_train(
 
     def _bwd_kernel_call(mats, bs, pts_flat, dirs_flat, g_flat):
         total = pts_flat.shape[0]
-        block = min(block_samples, total)
+        block = min(block_samples_bwd, total)
         pad = (-total) % block
         if pad:
             pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))

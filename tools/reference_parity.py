@@ -246,8 +246,13 @@ def ours_render(ckpt_path: str, cfg, ro, rd, hwf):
     return np.asarray(rendered.rgb), np.asarray(rendered.depth)
 
 
-def compare_scene(scene: str, size: int = 32):
-    """Returns the parity record for one pretrained scene."""
+def compare_scene(scene: str, size: int = 32, ndc: bool = False):
+    """Returns the parity record for one pretrained scene.
+
+    ``ndc=True`` exercises the LLFF forward-facing path (fern): a camera at
+    a small offset looking down -z, rays NDC-projected inside both render
+    paths (reference ``train_utils.py:238-245`` / our ``make_ray_batch``).
+    """
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w
 
     import jax.numpy as jnp
@@ -257,7 +262,11 @@ def compare_scene(scene: str, size: int = 32):
 
     H = W = size
     focal = 0.5 * W / np.tan(0.5 * BLENDER_CAMERA_ANGLE_X)
-    pose = _pose_spherical_c2w(37.0, -30.0, 4.0)
+    if ndc:
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.05  # slight lateral offset, forward-facing
+    else:
+        pose = _pose_spherical_c2w(37.0, -30.0, 4.0)
     ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose))
     ro = np.asarray(ro)
     rd = np.asarray(rd)
@@ -300,7 +309,10 @@ def main(argv=None) -> int:
 
     records = []
     for scene in args.scenes.split(","):
-        rec = compare_scene(scene.strip(), size=args.size)
+        scene = scene.strip()
+        rec = compare_scene(
+            scene, size=args.size, ndc=scene.startswith("fern")
+        )
         records.append(rec)
         print(json.dumps(rec))
     if args.json:
