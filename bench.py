@@ -71,7 +71,31 @@ def main():
 
     tx = make_optimizer(5e-3)
     state = init_train_state(params, tx)
-    step = make_train_step(model.apply, model.apply, tx, settings, BATCH)
+    # The product TPU path (cfg.nerf.use_pallas): fused PE+MLP Pallas field
+    # with custom VJP — bf16 matmul operands / f32 chain, block 1024. Beats
+    # the XLA step 30.0 vs 33.1 ms/step (docs/PERF_NOTES.md round 2). Falls
+    # back to the XLA field off-TPU or if the kernel path fails to build.
+    coarse_field = fine_field = None
+    if jax.default_backend() not in ("cpu",):
+        try:
+            from dexnerf_tpu.ops import make_fused_flexible_field_train
+
+            def fused():
+                return make_fused_flexible_field_train(
+                    model,
+                    block_samples=1024,
+                    block_samples_bwd=1024,
+                    compute_dtype=jnp.bfloat16,
+                    dw_dtype=jnp.bfloat16,
+                )
+
+            coarse_field, fine_field = fused(), fused()
+        except Exception:
+            coarse_field = fine_field = None
+    step = make_train_step(
+        model.apply, model.apply, tx, settings, BATCH,
+        coarse_field=coarse_field, fine_field=fine_field,
+    )
 
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP):

@@ -46,16 +46,42 @@ def _round_up(x: int, m: int) -> int:
 
 def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
     """Positional encoding built inside the kernel, zero-padded to
-    ``padded_dim`` ([B, 3] -> [B, padded_dim], float32)."""
-    parts = [x] if include_input else []
-    for i in range(num_freq):
-        scaled = x * (2.0 ** i)
-        parts.append(jnp.sin(scaled))
-        parts.append(jnp.cos(scaled))
-    dim = 3 * len(parts)
-    if padded_dim > dim:
-        parts.append(jnp.zeros((x.shape[0], padded_dim - dim), dtype=x.dtype))
-    return jnp.concatenate(parts, axis=-1)
+    ``padded_dim`` ([B, 3] -> [B, padded_dim], float32).
+
+    Mosaic-friendly form: the round-1 version concatenated ~21 unaligned
+    [B, 3] pieces, which lowers to a cascade of lane relayouts and made the
+    kernel VPU-bound. Here the column layout ``[x, sin(2^0 x), cos(2^0 x),
+    sin(2^1 x), ...]`` is produced by ONE tiny one-hot projection matmul
+    (the projector and the per-column frequency/phase rows are built from
+    iotas — Pallas kernels cannot capture array constants), then a single
+    fused ``sin`` over the whole tile (``cos z = sin(z + pi/2)``).
+    Zero concatenations.
+    """
+    base = 3 if include_input else 0
+    dim = base + 6 * num_freq
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, padded_dim), 1)
+    k = c - base  # index within the sin/cos block
+    is_input = c < base
+    valid = jnp.logical_and(k >= 0, c < dim)
+    kc = jnp.clip(k, 0, max(6 * num_freq - 1, 0))
+    group = kc // 3  # (freq, fn) pair index; fn: 0 = sin, 1 = cos
+    dim_of = jnp.where(is_input, c, kc % 3)  # source input dim per column
+    freq = jnp.where(
+        valid, jnp.exp2(jnp.floor(group.astype(jnp.float32) / 2.0)), 0.0
+    )
+    phase = jnp.where(
+        jnp.logical_and(valid, group % 2 == 1), np.float32(np.pi / 2), 0.0
+    )
+    r = jax.lax.broadcasted_iota(jnp.int32, (3, padded_dim), 0)
+    live = jnp.logical_or(is_input, valid)  # zero projector for pad columns
+    P = jnp.where(jnp.logical_and(r == dim_of, live), 1.0, 0.0)
+    xt = jax.lax.dot_general(
+        x, P, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z = jnp.sin(xt * freq + phase)
+    # padded columns: projector column is zero -> xt = 0 and sin(0) = 0
+    return jnp.where(is_input, xt, z)
 
 
 def _flex_param_layout(model: FlexibleNeRFModel) -> List[str]:
@@ -110,6 +136,12 @@ def split_flex_params(model: FlexibleNeRFModel, params: Any, compute_dtype):
     the viewdir layer (W_feat_part, W_dir_part) — with encoding-facing rows
     zero-padded to the padded encoding widths, trunk/feat/dir weights cast to
     ``compute_dtype`` and head (alpha/rgb) weights kept float32.
+
+    The alpha/rgb head weights are column-padded to 4 wide (alpha in column
+    3, rgb in 0-2) so the kernel forms the [B, 4] raw output as a SUM of two
+    matmuls instead of an unaligned lane concatenation, and for viewdirs a
+    combined 4-wide head bias [rgb_b, alpha_b] is APPENDED to the bias tuple
+    (it is a derived constant, not an extra parameter).
     """
     ks, bs = flatten_flex_params(model, params)
     d = _dims(model)
@@ -133,16 +165,27 @@ def split_flex_params(model: FlexibleNeRFModel, params: Any, compute_dtype):
         else:
             mats.append(w.astype(compute_dtype))
     li = model.num_layers
+    biases = [b.astype(jnp.float32) for b in bs]
     if model.use_viewdirs:
         mats.append(ks[li].astype(compute_dtype))  # fc_feat [H, H]
-        mats.append(ks[li + 1].astype(jnp.float32))  # fc_alpha [H, 1]
+        # fc_alpha [H, 1] -> [H, 4] (column 3)
+        mats.append(
+            jnp.pad(ks[li + 1], ((0, 0), (3, 0))).astype(jnp.float32)
+        )
         w_dir = ks[li + 2]  # [(H + dd), H//2]
         mats.append(w_dir[:H].astype(compute_dtype))
         mats.append(pad_rows(w_dir[H:], d.pad_dir).astype(compute_dtype))
-        mats.append(ks[li + 3].astype(jnp.float32))  # fc_rgb [H//2, 3]
+        # fc_rgb [H//2, 3] -> [H//2, 4] (columns 0-2)
+        mats.append(
+            jnp.pad(ks[li + 3], ((0, 0), (0, 1))).astype(jnp.float32)
+        )
+        # combined head bias [rgb_b, alpha_b]
+        biases.append(
+            jnp.concatenate([bs[li + 3], bs[li + 1]]).astype(jnp.float32)
+        )
     else:
         mats.append(ks[li].astype(jnp.float32))  # fc_out [H, 4]
-    return tuple(mats), tuple(b.astype(jnp.float32) for b in bs)
+    return tuple(mats), tuple(biases)
 
 
 def _dot(x, w, out_dtype):
@@ -196,15 +239,16 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
             0.0,
         )
         mi += 1
-        # head weights stay f32 (tiny matmuls, full precision)
-        alpha = _dot(a_last, mats[mi][:], jnp.float32) + biases[li + 1][:]
+        # alpha head: 4-wide padded weight (alpha in column 3), f32
+        alpha4 = _dot(a_last, mats[mi][:], jnp.float32)
         mi += 1
         y = _dot(feat.astype(cd), mats[mi][:], jnp.float32)
         y = y + _dot(dir_enc.astype(cd), mats[mi + 1][:], jnp.float32)
         mi += 2
         y = jnp.maximum(y + biases[li + 2][:], 0.0)
-        rgb = _dot(y, mats[mi][:], jnp.float32) + biases[li + 3][:]
-        out = jnp.concatenate([rgb, alpha], axis=-1)
+        # [B, 4] raw output as a sum of padded-head matmuls + combined
+        # bias (biases[-1] = [rgb_b, alpha_b]) — no lane concatenation
+        out = _dot(y, mats[mi][:], jnp.float32) + alpha4 + biases[-1][:]
     else:
         feat = y = None
         out = _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:]
@@ -222,10 +266,16 @@ def _num_mats(model: FlexibleNeRFModel) -> int:
     return n
 
 
+def _num_biases(model: FlexibleNeRFModel) -> int:
+    """Bias entries passed to the kernels: one per Dense plus the combined
+    4-wide head bias appended for viewdirs models (see split_flex_params)."""
+    return len(_flex_param_layout(model)) + (1 if model.use_viewdirs else 0)
+
+
 def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype):
     d = _dims(model)
     n_mats = _num_mats(model)
-    n_b = len(_flex_param_layout(model))
+    n_b = _num_biases(model)
     use_viewdirs = model.use_viewdirs
 
     def kernel(*refs):

@@ -66,15 +66,17 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
     cd = compute_dtype
     dw = dw_dtype if dw_dtype is not None else jnp.float32
 
+    n_bp = n_b + 1  # biases + the appended combined head bias (viewdirs)
+
     def kernel(*refs):
         # inputs: pts, dirs, g, mats..., matsT..., biases...
-        # outputs: dmats..., dbs...
+        # outputs: dmats..., dbs... (dbs only for the n_b REAL biases)
         pts_ref, dirs_ref, g_ref = refs[0], refs[1], refs[2]
         mats = refs[3 : 3 + n_mats]
         matsT = refs[3 + n_mats : 3 + 2 * n_mats]
-        biases = refs[3 + 2 * n_mats : 3 + 2 * n_mats + n_b]
-        dmats = refs[3 + 2 * n_mats + n_b : 3 + 3 * n_mats + n_b]
-        dbs = refs[3 + 3 * n_mats + n_b :]
+        biases = refs[3 + 2 * n_mats : 3 + 2 * n_mats + n_bp]
+        dmats = refs[3 + 2 * n_mats + n_bp : 3 + 3 * n_mats + n_bp]
+        dbs = refs[3 + 3 * n_mats + n_bp :]
 
         xyz = _pe_in_kernel(
             pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
@@ -90,8 +92,6 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
         )
 
         g = g_ref[:]  # [B, 4] f32
-        g_rgb = g[:, 0:3]
-        g_alpha = g[:, 3:4]
 
         first = pl.program_id(0) == 0
 
@@ -137,10 +137,11 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
         )
         li = model.num_layers  # bias index of fc_feat
 
-        # rgb head (f32 weights)
-        acc(dmats[mi_rgb], matT(y, g_rgb))
-        acc(dbs[li + 3], jnp.sum(g_rgb, axis=0))
-        dy = matWT(g_rgb, matsT[mi_rgb])
+        # rgb head: padded 4-wide weight, full-g matmuls (the zero column
+        # routes alpha's cotangent nowhere; assemble slices the dW)
+        acc(dmats[mi_rgb], matT(y, g))
+        acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
+        dy = matWT(g, matsT[mi_rgb])
         # dir layer (relu, split matmul); whole delta chain f32
         dz_y = jnp.where(y > 0, dy, 0.0)
         acc(dmats[mi_dir_h], matT(feat, dz_y))
@@ -151,10 +152,10 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
         dz_f = jnp.where(feat > 0, dfeat, 0.0)
         acc(dmats[mi_feat], matT(a_last, dz_f))
         acc(dbs[li], jnp.sum(dz_f, axis=0))
-        # alpha head (linear, f32 weights)
-        acc(dmats[mi_alpha], matT(a_last, g_alpha))
-        acc(dbs[li + 1], jnp.sum(g_alpha, axis=0))
-        da = matWT(dz_f, matsT[mi_feat]) + matWT(g_alpha, matsT[mi_alpha])
+        # alpha head (linear, padded 4-wide weight)
+        acc(dmats[mi_alpha], matT(a_last, g))
+        acc(dbs[li + 1], jnp.sum(g[:, 3:4], axis=0))
+        da = matWT(dz_f, matsT[mi_feat]) + matWT(g, matsT[mi_alpha])
 
         # trunk, reversed
         for i in reversed(range(num_trunk)):
@@ -245,12 +246,15 @@ def make_fused_flexible_field_train(
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
             for b in bs
         ]
+        # bias grads only for the REAL parameters (the appended combined
+        # head bias is a derived constant, split_flex_params)
+        bs_real = bs[: len(names)]
         out_shapes = [
             jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in mats
-        ] + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
+        ] + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs_real]
         out_specs = full2d(mats) + [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
-            for b in bs
+            for b in bs_real
         ]
         grads = pl.pallas_call(
             bwd_kernel,
@@ -285,14 +289,17 @@ def make_fused_flexible_field_train(
             tree[names[1 + i]] = {"kernel": dk, "bias": dbs[1 + i]}
         li = model.num_layers
         tree[names[li]] = {"kernel": dmats[mi], "bias": dbs[li]}  # feat
+        # padded 4-wide head dW: alpha lives in column 3, rgb in 0-2
         tree[names[li + 1]] = {
-            "kernel": dmats[mi + 1], "bias": dbs[li + 1]
+            "kernel": dmats[mi + 1][:, 3:4], "bias": dbs[li + 1]
         }  # alpha
         dk_dir = jnp.concatenate(
             [dmats[mi + 2], dmats[mi + 3][: d.dim_dir]], axis=0
         )
         tree[names[li + 2]] = {"kernel": dk_dir, "bias": dbs[li + 2]}
-        tree[names[li + 3]] = {"kernel": dmats[mi + 4], "bias": dbs[li + 3]}
+        tree[names[li + 3]] = {
+            "kernel": dmats[mi + 4][:, :3], "bias": dbs[li + 3]
+        }
         return {"params": tree}
 
     @jax.custom_vjp

@@ -169,17 +169,34 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
         make_fused_flexible_field_train,
     )
 
-    make = make_fused_flexible_field_train if train else make_fused_flexible_field
     # Pallas has no CPU lowering; fall back to the interpreter off-TPU.
     interpret = jax.default_backend() == "cpu"
+    # TPU-validated configuration (docs/PERF_NOTES.md round-2 head-to-head):
+    # bf16 matmul operands / f32 chain, fwd+bwd block 1024 — beats the XLA
+    # step 30.0 vs 33.1 ms on v5e. Overridable via cfg.nerf.pallas_*.
+    cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
+    block = int(_get(cfg.nerf, "pallas_block_samples", 1024))
+    kwargs = dict(
+        block_samples=block,
+        compute_dtype=jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,
+        interpret=interpret,
+    )
+    if train:
+        make = make_fused_flexible_field_train
+        kwargs.update(
+            block_samples_bwd=block, dw_dtype=kwargs["compute_dtype"]
+        )
+    else:
+        make = make_fused_flexible_field
+
     coarse, fine = models_from_cfg(cfg)
     cf = (
-        make(coarse, interpret=interpret)
+        make(coarse, **kwargs)
         if isinstance(coarse, FlexibleNeRFModel)
         else None
     )
     ff = (
-        make(fine, interpret=interpret)
+        make(fine, **kwargs)
         if isinstance(fine, FlexibleNeRFModel)
         else None
     )

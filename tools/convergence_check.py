@@ -24,6 +24,13 @@ def main() -> int:
                    choices=["float32", "bfloat16"])
     p.add_argument("--iters", type=int, default=3000)
     p.add_argument("--batch", type=int, default=1024)
+    p.add_argument(
+        "--fused",
+        action="store_true",
+        help="train through the fused Pallas field (bf16 operands, f32 "
+        "chain) instead of the XLA field — quality-parity check for the "
+        "kernel path",
+    )
     args = p.parse_args()
 
     import jax
@@ -62,7 +69,24 @@ def main() -> int:
     store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
     tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
     state = init_train_state(params, tx)
-    step = make_train_step(model.apply, model.apply, tx, settings, args.batch)
+    cf = ff = None
+    if args.fused:
+        from dexnerf_tpu.ops import make_fused_flexible_field_train
+
+        def fused_field():
+            return make_fused_flexible_field_train(
+                model,
+                block_samples=1024,
+                block_samples_bwd=1024,
+                compute_dtype=jnp.bfloat16,
+                dw_dtype=jnp.bfloat16,
+            )
+
+        cf, ff = fused_field(), fused_field()
+    step = make_train_step(
+        model.apply, model.apply, tx, settings, args.batch,
+        coarse_field=cf, fine_field=ff,
+    )
     t0 = time.time()
     final_psnr = 0.0
     for i in range(args.iters + 1):
