@@ -46,7 +46,8 @@ from dexnerf_tpu.ops.fused_mlp import (
 from dexnerf_tpu.render.renderer import FieldFn
 
 
-def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
+def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
+                     _skip_dw: bool = False):
     """Backward kernel: recompute + chain rule + grid-accumulated grads.
 
     Outputs mirror the split-matmul operand list (f32) + biases (f32).
@@ -108,6 +109,8 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None):
             # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction
             # (Mosaic rejects an explicit in-kernel swapaxes). Operand dtype
             # is ``dw_dtype``: f32 is the historically-safe form.
+            if _skip_dw:  # timing-bisection mode: zero-cost dW stand-in
+                return jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
             return jax.lax.dot_general(
                 a.astype(dw),
                 b.astype(dw),
@@ -182,6 +185,7 @@ def make_fused_flexible_field_train(
     compute_dtype=jnp.float32,
     dw_dtype=None,
     interpret: bool = False,
+    _skip_dw: bool = False,
 ) -> FieldFn:
     """Fused field with custom VJP for the training hot path.
 
@@ -208,7 +212,9 @@ def make_fused_flexible_field_train(
         compute_dtype=compute_dtype,
         interpret=interpret,
     )
-    bwd_kernel = _make_bwd_kernel(model, compute_dtype, dw_dtype=dw_dtype)
+    bwd_kernel = _make_bwd_kernel(
+        model, compute_dtype, dw_dtype=dw_dtype, _skip_dw=_skip_dw
+    )
     names = _flex_param_layout(model)
     d = _dims(model)
     skip = _skip_indices(model)

@@ -20,6 +20,11 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--outdir", type=str, default="logs/trace")
+    p.add_argument(
+        "--fused",
+        action="store_true",
+        help="profile the fused Pallas field path (TPU-validated config)",
+    )
     args = p.parse_args()
 
     import numpy as np
@@ -55,7 +60,21 @@ def main() -> int:
     store = build_ray_store(images, poses, [128, 128, 150.0], 2.0, 6.0)
     tx = make_optimizer(5e-3)
     state = init_train_state(params, tx)
-    step = make_train_step(model.apply, model.apply, tx, settings, args.batch)
+    cf = ff = None
+    if args.fused:
+        from dexnerf_tpu.ops import make_fused_flexible_field_train
+
+        def fused():
+            return make_fused_flexible_field_train(
+                model, block_samples=1024, block_samples_bwd=1024,
+                compute_dtype=jnp.bfloat16, dw_dtype=jnp.bfloat16,
+            )
+
+        cf, ff = fused(), fused()
+    step = make_train_step(
+        model.apply, model.apply, tx, settings, args.batch,
+        coarse_field=cf, fine_field=ff,
+    )
 
     for _ in range(args.warmup):
         key, sub = jax.random.split(key)
