@@ -44,6 +44,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _expand_rows(x, reps: int, out_rows: int):
+    """[R, D] -> [out_rows, D], repeating each row ``reps`` times, via a
+    one-hot expansion matmul (MXU) — sublane-repeat relayouts are slow in
+    Mosaic, and Pallas kernels cannot capture array constants, so the
+    expansion matrix is built from iotas."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (out_rows, x.shape[0]), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (out_rows, x.shape[0]), 1)
+    E = jnp.where(r // reps == c, 1.0, 0.0)
+    return jax.lax.dot_general(
+        E, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
     """Positional encoding built inside the kernel, zero-padded to
     ``padded_dim`` ([B, 3] -> [B, padded_dim], float32).
@@ -272,7 +285,11 @@ def _num_biases(model: FlexibleNeRFModel) -> int:
     return len(_flex_param_layout(model)) + (1 if model.use_viewdirs else 0)
 
 
-def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype):
+def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype,
+                     samples_per_ray: int = 0):
+    """``samples_per_ray`` > 0 means the dirs input is PER-RAY ([R, 3],
+    R = block // samples_per_ray) and is expanded to samples in-kernel —
+    the caller then avoids materializing a [N*S, 3] broadcast in HBM."""
     d = _dims(model)
     n_mats = _num_mats(model)
     n_b = _num_biases(model)
@@ -294,11 +311,24 @@ def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype):
                 refs[1][:], model.num_encoding_fn_dir,
                 model.include_input_dir, d.pad_dir,
             )
+            if samples_per_ray:
+                dir_enc = _expand_rows(
+                    dir_enc, samples_per_ray, pts_ref.shape[0]
+                )
         out_ref[:] = _forward_block(
             model, mats, biases, xyz, dir_enc, compute_dtype
         )
 
     return kernel
+
+
+def _ray_blocking(block_samples: int, N: int, S: int):
+    """(block, pad, rays_per_block) with the block a multiple of S so the
+    per-ray dirs input tiles cleanly."""
+    rays_per_block = max(1, min(block_samples // S, N))
+    block = rays_per_block * S
+    pad = (-N * S) % block
+    return block, pad, rays_per_block
 
 
 def make_fused_flexible_field(
@@ -310,34 +340,50 @@ def make_fused_flexible_field(
 ) -> FieldFn:
     """Build a FieldFn (params, pts[N,S,3], viewdirs[N,3]|None) -> raw[N,S,4]
     running the fused Pallas kernel."""
-    kernel = _make_fwd_kernel(model, compute_dtype)
     use_viewdirs = model.use_viewdirs
+    kernels = {}
+
+    def get_kernel(samples_per_ray: int):
+        if samples_per_ray not in kernels:
+            kernels[samples_per_ray] = _make_fwd_kernel(
+                model, compute_dtype, samples_per_ray=samples_per_ray
+            )
+        return kernels[samples_per_ray]
 
     def field(params, pts, viewdirs):
         N, S, _ = pts.shape
         total = N * S
-        block = min(block_samples, total)
-        pad = (-total) % block
         pts_flat = pts.reshape(total, 3)
-        if pad:
-            pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
-        inputs = [pts_flat]
-        if use_viewdirs:
-            dirs_flat = jnp.broadcast_to(
-                viewdirs[:, None, :], (N, S, 3)
-            ).reshape(total, 3)
-            if pad:
-                dirs_flat = jnp.pad(dirs_flat, ((0, pad), (0, 0)))
-            inputs.append(dirs_flat)
-
         mats, bs = split_flex_params(model, params, compute_dtype)
+
+        if use_viewdirs:
+            block, pad, rays_per_block = _ray_blocking(block_samples, N, S)
+            if pad:
+                pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
+            n_ray_pad = (total + pad) // S
+            dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
+            inputs = [pts_flat, dirs_in]
+            dir_spec = pl.BlockSpec(
+                (rays_per_block, 3), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            extra_specs = [dir_spec]
+            kernel = get_kernel(S)
+        else:
+            block = min(block_samples, total)
+            pad = (-total) % block
+            if pad:
+                pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
+            inputs = [pts_flat]
+            extra_specs = []
+            kernel = get_kernel(0)
+
         padded = total + pad
         grid = (padded // block,)
-
         sample_spec = pl.BlockSpec(
             (block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
-        in_specs = [sample_spec] * len(inputs)
+        in_specs = [sample_spec] + extra_specs
         in_specs += [
             pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for m in mats

@@ -35,10 +35,12 @@ from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.ops.fused_mlp import (
     _dims,
     _dot,
+    _expand_rows,
     _flex_param_layout,
     _forward_block,
     _num_mats,
     _pe_in_kernel,
+    _ray_blocking,
     _skip_indices,
     make_fused_flexible_field,
     split_flex_params,
@@ -47,7 +49,7 @@ from dexnerf_tpu.render.renderer import FieldFn
 
 
 def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
-                     _skip_dw: bool = False):
+                     samples_per_ray: int = 0, _skip_dw: bool = False):
     """Backward kernel: recompute + chain rule + grid-accumulated grads.
 
     Outputs mirror the split-matmul operand list (f32) + biases (f32).
@@ -87,6 +89,9 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
             dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
             d.pad_dir,
         )
+        if samples_per_ray:
+            # per-ray dirs input expanded to samples (see _make_fwd_kernel)
+            dir_enc = _expand_rows(dir_enc, samples_per_ray, pts_ref.shape[0])
 
         (_, trunk_inputs, trunk_post, a_last, feat, y) = _forward_block(
             model, mats, biases, xyz, dir_enc, cd, keep_activations=True
@@ -212,29 +217,42 @@ def make_fused_flexible_field_train(
         compute_dtype=compute_dtype,
         interpret=interpret,
     )
-    bwd_kernel = _make_bwd_kernel(
-        model, compute_dtype, dw_dtype=dw_dtype, _skip_dw=_skip_dw
-    )
+    bwd_kernels = {}
+
+    def get_bwd_kernel(samples_per_ray: int):
+        if samples_per_ray not in bwd_kernels:
+            bwd_kernels[samples_per_ray] = _make_bwd_kernel(
+                model, compute_dtype, dw_dtype=dw_dtype,
+                samples_per_ray=samples_per_ray, _skip_dw=_skip_dw,
+            )
+        return bwd_kernels[samples_per_ray]
+
     names = _flex_param_layout(model)
     d = _dims(model)
     skip = _skip_indices(model)
     num_trunk = model.num_layers - 1
     H = model.hidden_size
 
-    def _bwd_kernel_call(mats, bs, pts_flat, dirs_flat, g_flat):
-        total = pts_flat.shape[0]
-        block = min(block_samples_bwd, total)
-        pad = (-total) % block
+    def _bwd_kernel_call(mats, bs, pts, viewdirs, g_flat):
+        N, S, _ = pts.shape
+        total = N * S
+        pts_flat = pts.reshape(total, 3)
+        block, pad, rays_per_block = _ray_blocking(block_samples_bwd, N, S)
         if pad:
             pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
-            dirs_flat = jnp.pad(dirs_flat, ((0, pad), (0, 0)))
             g_flat = jnp.pad(g_flat, ((0, pad), (0, 0)))
+        n_ray_pad = (total + pad) // S
+        dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
         padded = total + pad
         grid = (padded // block,)
         mats_t = tuple(jnp.swapaxes(m, 0, 1) for m in mats)
+        bwd_kernel = get_bwd_kernel(S)
 
         sample_spec = pl.BlockSpec(
             (block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        dir_spec = pl.BlockSpec(
+            (rays_per_block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         g_spec = pl.BlockSpec(
             (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -266,13 +284,13 @@ def make_fused_flexible_field_train(
             bwd_kernel,
             out_shape=tuple(out_shapes),
             grid=grid,
-            in_specs=[sample_spec, sample_spec, g_spec]
+            in_specs=[sample_spec, dir_spec, g_spec]
             + full2d(mats)
             + full2d(mats_t)
             + b_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(pts_flat, dirs_flat, g_flat, *mats, *mats_t, *bs)
+        )(pts_flat, dirs_in, g_flat, *mats, *mats_t, *bs)
         return grads[: len(mats)], grads[len(mats) :]
 
     def _assemble_grads(dmats, dbs):
@@ -320,12 +338,8 @@ def make_fused_flexible_field_train(
         N, S, _ = pts.shape
         total = N * S
         mats, bs = split_flex_params(model, params, compute_dtype)
-        pts_flat = pts.reshape(total, 3)
-        dirs_flat = jnp.broadcast_to(
-            viewdirs[:, None, :], (N, S, 3)
-        ).reshape(total, 3)
         g_flat = g.reshape(total, 4).astype(jnp.float32)
-        dmats, dbs = _bwd_kernel_call(mats, bs, pts_flat, dirs_flat, g_flat)
+        dmats, dbs = _bwd_kernel_call(mats, bs, pts, viewdirs, g_flat)
         tree = _assemble_grads(dmats, dbs)
         # zero cotangents for pts/viewdirs (see module docstring contract)
         return tree, jnp.zeros_like(pts), jnp.zeros_like(viewdirs)

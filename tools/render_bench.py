@@ -1,0 +1,99 @@
+"""Full-frame render throughput (rays/s/chip) on the flagship model.
+
+The BASELINE metric of record is "rays/sec/chip (train + render)"; bench.py
+covers train, this covers render: a full hierarchical render_image pass
+(stratified sampling -> coarse field -> compositing -> sample_pdf -> fine
+field -> compositing) over a lego-scale 400x400 frame, deterministic
+validation settings. Reference point: eval_nerf.py prints seconds/image on
+the 2080 Ti ("<1 s ... ~30 s", README:59).
+
+Iterations are chained through a data dependency and timed best-of-N
+(CLAUDE.md timing rules).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--hw", type=int, default=400)
+    p.add_argument("--block", type=int, default=8192)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--fused", action="store_true",
+                   help="render through the fused Pallas field")
+    args = p.parse_args()
+
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render import RenderSettings, render_image
+
+    enc_xyz, enc_dir = 10, 4
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=False,
+        radiance_field_noise_std=0.0,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=8, hidden_size=128, skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    cf = ff = None
+    if args.fused:
+        from dexnerf_tpu.ops import make_fused_flexible_field
+
+        cf = make_fused_flexible_field(
+            model, block_samples=1024, compute_dtype=jnp.bfloat16
+        )
+        ff = cf
+
+    H = W = args.hw
+    pose = jnp.eye(4).at[2, 3].set(4.0)
+
+    @jax.jit
+    def render_frame(pose):
+        ro, rd = get_ray_bundle_c2w(H, W, 555.0, pose)
+        out = render_image(
+            model.apply, model.apply, params, ro, rd, 2.0, 6.0,
+            settings, block_size=args.block,
+            coarse_field=cf, fine_field=ff,
+        )
+        return out.fine.rgb
+
+    # warmup/compile
+    rgb = render_frame(pose)
+    jax.block_until_ready(rgb)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        # chain: next pose depends on previous output
+        p2 = pose + 1e-12 * jnp.mean(rgb)
+        rgb = render_frame(p2)
+        jax.block_until_ready(rgb)
+        best = min(best, time.time() - t0)
+    rays = H * W
+    print(
+        f"RESULT render {H}x{W} ({'fused' if args.fused else 'xla'}): "
+        f"{best*1e3:.1f} ms/frame, {rays/best/1e3:.0f} krays/s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
