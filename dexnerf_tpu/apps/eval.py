@@ -90,6 +90,10 @@ def main(argv=None) -> int:
         params = payload["params"]
 
     s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
+    # cfg.nerf.use_pallas: fully fused PE->MLP->compositing render kernel
+    from dexnerf_tpu.train.loop import maybe_fused_render_impl
+
+    rays_impl = maybe_fused_render_impl(cfg, s_val)
     poses = scene.render_poses
     if args.num_poses:
         poses = poses[: args.num_poses]
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
             height=H,
             width=W,
             focal_length=focal,
+            rays_impl=rays_impl,
         )
         rendered = out.fine if out.fine is not None else out.coarse
         rgb = np.asarray(rendered.rgb)

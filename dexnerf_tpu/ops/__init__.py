@@ -5,6 +5,10 @@ from dexnerf_tpu.ops.fused_mlp import (
     make_fused_flexible_field,
 )
 from dexnerf_tpu.ops.fused_mlp_train import make_fused_flexible_field_train
+from dexnerf_tpu.ops.fused_render import (
+    make_fused_render,
+    make_fused_render_rays,
+)
 from dexnerf_tpu.ops.sample_pdf_pallas import (
     sample_pdf_branchless,
     sample_pdf_pallas,
@@ -14,6 +18,8 @@ __all__ = [
     "flatten_flex_params",
     "make_fused_flexible_field",
     "make_fused_flexible_field_train",
+    "make_fused_render",
+    "make_fused_render_rays",
     "sample_pdf_branchless",
     "sample_pdf_pallas",
 ]

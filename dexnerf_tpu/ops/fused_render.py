@@ -1,0 +1,318 @@
+"""Fully fused render: PE -> MLP -> alpha-compositing in ONE Pallas kernel.
+
+Completes the north-star fusion (SURVEY.md §7.9: "PE → MLP → compositing so
+samples never round-trip to HBM"): where ``fused_mlp`` stops at the raw
+[B, 4] field, this kernel composites per-ray inside VMEM and writes only
+the per-RAY outputs (rgb/disparity/accumulation/depth, the per-sample
+weights for hierarchical sampling, and the Dex-NeRF σ-threshold depths).
+
+Compositing the reference way (``volume_rendering_utils.py:6-70``) needs an
+exclusive cumprod along each ray's samples. In this kernel's sample-major
+layout (block = R rays x S samples as rows), that scan is expressed as
+MATMULS with iota-built group masks — the MXU-native form:
+
+* exclusive cumprod:  ``T_i = exp( Mstrict @ log(1 - alpha + 1e-10) )``
+  with ``Mstrict[r, c] = (same ray) & (c < r)``;
+* per-ray reductions: ``G @ X`` with ``G[g, c] = (c // S == g)``;
+* σ-threshold FIRST crossing: hit count ``Mstrict @ ind + ind == 1`` picks
+  the first hit as a one-hot, so the Dex depth is ``G @ (first * z)``, with
+  the reference's no-hit fallback (argmax of all-zeros -> sample 0).
+
+Stage-1 scope: forward (no-grad) path — validation/eval rendering; training
+keeps the ``fused_mlp_train`` field + XLA compositing. σ-noise is not
+supported here (validation runs noise-free; the reference's eval path too).
+
+Numerics: the whole compositing chain is float32 (mask matmuls are tiny);
+the MLP follows the fused_mlp dtype discipline (bf16 operands, f32 chain).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dexnerf_tpu.core.volrend import VolumeRenderOutputs
+from dexnerf_tpu.models.mlp import FlexibleNeRFModel
+from dexnerf_tpu.ops.fused_mlp import (
+    _dims,
+    _expand_rows,
+    _forward_block,
+    _num_biases,
+    _num_mats,
+    _pe_in_kernel,
+    split_flex_params,
+)
+
+
+def _group_masks(B: int, S: int):
+    """(Mstrict [B, B], G [R, B]) from iotas — same-ray strictly-lower mask
+    and the ray-group indicator. Built in-kernel (Pallas kernels cannot
+    capture array constants); iota compares are trivial VPU work."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    same = (r // S) == (c // S)
+    mstrict = jnp.where(jnp.logical_and(same, c < r), 1.0, 0.0)
+    R = B // S
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+    G = jnp.where(cc // S == g, 1.0, 0.0)
+    return mstrict, G
+
+
+def _f32dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _make_render_kernel(
+    model: FlexibleNeRFModel,
+    compute_dtype,
+    samples_per_ray: int,
+    thresholds: Tuple[float, ...],
+    white_background: bool,
+):
+    d = _dims(model)
+    n_mats = _num_mats(model)
+    n_b = _num_biases(model)
+    S = samples_per_ray
+    T = len(thresholds)
+
+    def kernel(*refs):
+        pts_ref, dirs_ref, z_ref, dists_ref = refs[0], refs[1], refs[2], refs[3]
+        mats = refs[4 : 4 + n_mats]
+        biases = refs[4 + n_mats : 4 + n_mats + n_b]
+        outs = refs[4 + n_mats + n_b :]
+        out_rgb, out_disp, out_acc, out_depth, out_w = outs[:5]
+        B = pts_ref.shape[0]
+
+        xyz = _pe_in_kernel(
+            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            d.pad_xyz,
+        )
+        dir_enc = _pe_in_kernel(
+            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
+            d.pad_dir,
+        )
+        dir_enc = _expand_rows(dir_enc, S, B)
+        raw = _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype)
+
+        # compositing (reference volume_rendering_utils.py:29-49), f32
+        col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
+        rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)  # [B,4]
+        sigma = jnp.maximum(raw[:, 3:4], 0.0)  # [B,1]
+        z = z_ref[:]
+        dists = dists_ref[:]
+        alpha = 1.0 - jnp.exp(-sigma * dists)
+        mstrict, G = _group_masks(B, S)
+        # reference guard is (1 - alpha + 1e-10); written as a max because
+        # the compiler reassociates (1.0 + 1e-10) - alpha, and 1 + 1e-10
+        # rounds to 1 in f32 -> log(0) = -inf at alpha == 1
+        log_t = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+        trans = jnp.exp(_f32dot(mstrict, log_t))  # exclusive cumprod
+        w = alpha * trans  # [B, 1]
+        out_w[:] = w
+
+        # per-ray reductions in one G-matmul: [w*rgb(4) | w*z | w]
+        stats = jnp.concatenate([w * rgb, w * z, w], axis=-1)  # [B, 6]
+        ray_stats = _f32dot(G, stats)  # [R, 6]
+        rgb_map = ray_stats[:, 0:3]
+        depth = ray_stats[:, 4:5]
+        acc = ray_stats[:, 5:6]
+        if white_background:
+            rgb_map = rgb_map + (1.0 - acc)
+        out_rgb[:] = rgb_map
+        out_depth[:] = depth
+        out_acc[:] = acc
+        out_disp[:] = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-37))
+
+        if T:
+            out_dex = outs[5]
+            # threshold row vector from iota selects (static values)
+            colT = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            m_row = jnp.zeros((1, T), jnp.float32)
+            for i, m in enumerate(thresholds):
+                m_row = jnp.where(colT == i, np.float32(m), m_row)
+            ind = jnp.where(sigma > m_row, 1.0, 0.0)  # [B, T]
+            hits_before = _f32dot(mstrict, ind)
+            first = jnp.where(
+                jnp.logical_and(hits_before < 0.5, ind > 0.5), 1.0, 0.0
+            )
+            ddex = _f32dot(G, first * z)  # [R, T]
+            # no-hit fallback: reference argmax of all-zeros -> sample 0
+            rowB = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+            isfirst = jnp.where(rowB % S == 0, 1.0, 0.0)
+            z_first = _f32dot(G, isfirst * z)  # [R, 1]
+            any_hit = _f32dot(G, ind)  # [R, T]
+            out_dex[:] = jnp.where(any_hit > 0.5, ddex, z_first)
+
+    return kernel
+
+
+def make_fused_render(
+    model: FlexibleNeRFModel,
+    *,
+    block_samples: int = 1024,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Returns render(params, pts[N,S,3], viewdirs[N,3], z_vals[N,S],
+    dists[N,S], thresholds, white_background) -> VolumeRenderOutputs with
+    [N]-shaped maps. Deterministic (no σ-noise) — the validation/eval path.
+    """
+    if not model.use_viewdirs:
+        raise NotImplementedError("fused render requires use_viewdirs=True")
+    kernels = {}
+
+    def render(params, pts, viewdirs, z_vals, dists, *, thresholds=(),
+               white_background=False):
+        N, S, _ = pts.shape
+        total = N * S
+        T = len(thresholds)
+        key = (S, tuple(thresholds), bool(white_background))
+        if key not in kernels:
+            kernels[key] = _make_render_kernel(
+                model, compute_dtype, S, tuple(thresholds),
+                bool(white_background),
+            )
+        kernel = kernels[key]
+
+        rays_per_block = max(1, min(block_samples // S, N))
+        block = rays_per_block * S
+        pad = (-total) % block
+        n_ray_pad = (total + pad) // S
+
+        pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
+        dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
+        z_flat = jnp.pad(z_vals.reshape(total, 1), ((0, pad), (0, 0)))
+        d_flat = jnp.pad(dists.reshape(total, 1), ((0, pad), (0, 0)))
+
+        mats, bs = split_flex_params(model, params, compute_dtype)
+        padded = total + pad
+        grid = (padded // block,)
+        R = rays_per_block
+
+        def blk(shape2):
+            return pl.BlockSpec(
+                shape2, lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+
+        in_specs = [blk((block, 3)), blk((R, 3)), blk((block, 1)),
+                    blk((block, 1))]
+        in_specs += [
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mats
+        ]
+        in_specs += [
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+            for b in bs
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((n_ray_pad, 3), jnp.float32),  # rgb
+            jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # disparity
+            jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # acc
+            jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # depth
+            jax.ShapeDtypeStruct((padded, 1), jnp.float32),  # weights
+        ]
+        out_specs = [blk((R, 3)), blk((R, 1)), blk((R, 1)), blk((R, 1)),
+                     blk((block, 1))]
+        if T:
+            out_shapes.append(jax.ShapeDtypeStruct((n_ray_pad, T), jnp.float32))
+            out_specs.append(blk((R, T)))
+
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shapes),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(pts_flat, dirs_in, z_flat, d_flat, *mats, *bs)
+
+        rgb, disp, acc, depth, w = outs[:5]
+        return VolumeRenderOutputs(
+            rgb=rgb[:N],
+            disparity=disp[:N, 0],
+            accumulation=acc[:N, 0],
+            weights=w[:total, 0].reshape(N, S),
+            depth=depth[:N, 0],
+            depth_dex=(
+                jnp.moveaxis(outs[5][:N], -1, 0) if T else None
+            ),
+        )
+
+    return render
+
+
+def make_fused_render_rays(
+    coarse_model: FlexibleNeRFModel,
+    fine_model: Optional[FlexibleNeRFModel],
+    settings,
+    *,
+    block_samples: int = 1024,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Deterministic coarse->fine renderer over one ray block, with BOTH
+    field evaluation AND compositing inside the Pallas kernels.
+
+    Drop-in for ``renderer.render_rays`` on the validation/eval path
+    (``render_image(..., rays_impl=...)``): stratified depths and the
+    inverse-CDF resampling stay XLA (cheap, [N, S]-sized); everything
+    sample-major runs fused. σ-noise/perturb are unsupported (eval variant).
+    """
+    from dexnerf_tpu.core.sampling import hierarchical_z_vals, stratified_z_vals
+    from dexnerf_tpu.core.volrend import ray_dists
+    from dexnerf_tpu.render.renderer import RenderResult
+
+    s = settings.eval_variant()
+    rc = make_fused_render(
+        coarse_model, block_samples=block_samples,
+        compute_dtype=compute_dtype, interpret=interpret,
+    )
+    rf = (
+        make_fused_render(
+            fine_model, block_samples=block_samples,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+        if fine_model is not None
+        else None
+    )
+
+    def render(params, rays, key=None):
+        viewdirs = rays.viewdirs
+        z_vals = stratified_z_vals(
+            rays.near, rays.far, s.num_coarse, lindisp=s.lindisp
+        )
+        pts = (
+            rays.origins[..., None, :]
+            + rays.directions[..., None, :] * z_vals[..., :, None]
+        )
+        coarse = rc(
+            params["coarse"], pts, viewdirs, z_vals,
+            ray_dists(z_vals, rays.directions),
+            thresholds=(), white_background=s.white_background,
+        )
+        fine = None
+        if rf is not None and s.num_fine > 0:
+            z_merged, _ = hierarchical_z_vals(
+                None, z_vals, coarse.weights, s.num_fine, det=True
+            )
+            pts_f = (
+                rays.origins[..., None, :]
+                + rays.directions[..., None, :] * z_merged[..., :, None]
+            )
+            fine = rf(
+                params["fine"], pts_f, viewdirs, z_merged,
+                ray_dists(z_merged, rays.directions),
+                thresholds=tuple(s.m_thres_cand),
+                white_background=s.white_background,
+            )
+        return RenderResult(coarse=coarse, fine=fine)
+
+    return render

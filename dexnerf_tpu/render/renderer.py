@@ -286,6 +286,7 @@ def render_image(
     focal_length: Optional[float] = None,
     coarse_field: Optional[FieldFn] = None,
     fine_field: Optional[FieldFn] = None,
+    rays_impl=None,
 ) -> RenderResult:
     """Render a full [H, W] ray bundle by mapping over fixed-size ray blocks.
 
@@ -293,6 +294,11 @@ def render_image(
     loop (``train_utils.py:252-288``): rays are padded to a multiple of
     ``block_size`` and processed with ``lax.map``, so one compiled block
     program serves any image size. Outputs are reshaped back to [H, W, ...].
+
+    ``rays_impl`` optionally replaces :func:`render_rays` per block entirely
+    — e.g. the fully fused PE→MLP→compositing Pallas renderer
+    (``dexnerf_tpu.ops.fused_render.make_fused_render_rays``); it receives
+    ``(params, block: RayBatch, key|None)`` and returns a RenderResult.
     """
     img_shape = ray_directions.shape[:-1]
     rays = make_ray_batch(
@@ -322,6 +328,8 @@ def render_image(
 
     def render_block(args):
         block, k = args
+        if rays_impl is not None:
+            return rays_impl(params, block, k if key is not None else None)
         return render_rays(
             coarse_fn,
             fine_fn,

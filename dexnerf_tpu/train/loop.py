@@ -203,6 +203,34 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
     return cf, ff
 
 
+def maybe_fused_render_impl(cfg: CfgNode, settings):
+    """A fully fused PE→MLP→compositing ``rays_impl`` for render_image when
+    ``cfg.nerf.use_fused_render`` is set (deterministic validation/eval
+    path); None otherwise. Opt-in separately from ``use_pallas``: the fused
+    TRAIN field wins (26.4 vs 33.1 ms/step) but plain XLA currently renders
+    full frames fastest (559 vs 334-368 krays/s, docs/PERF_NOTES.md), so
+    inference defaults to XLA."""
+    if not bool(_get(cfg.nerf, "use_fused_render", False)):
+        return None
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_render_rays
+
+    coarse, fine = models_from_cfg(cfg)
+    if not isinstance(coarse, FlexibleNeRFModel) or not coarse.use_viewdirs:
+        return None
+    if fine is not None and not isinstance(fine, FlexibleNeRFModel):
+        return None
+    cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
+    return make_fused_render_rays(
+        coarse,
+        fine,
+        settings,
+        block_samples=int(_get(cfg.nerf, "pallas_block_samples", 1024)),
+        compute_dtype=jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
 def setup_models(cfg: CfgNode, seed: int):
     """Init coarse/fine models + params; returns (apply_c, apply_f, params)."""
     coarse, fine = models_from_cfg(cfg)
@@ -258,7 +286,10 @@ def validate(
     else:
         ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(scene.poses[idx]))
 
-    coarse_field, fine_field = maybe_fused_fields(cfg)
+    # full-frame validation renders run plain XLA by default (it is the
+    # fastest inference path, docs/PERF_NOTES.md); the fused render kernel
+    # is opt-in via cfg.nerf.use_fused_render
+    coarse_field = fine_field = None
     if mesh is not None:
         from dexnerf_tpu.parallel import render_image_parallel
 
@@ -295,6 +326,7 @@ def validate(
             focal_length=focal,
             coarse_field=coarse_field,
             fine_field=fine_field,
+            rays_impl=maybe_fused_render_impl(cfg, s_val),
         )
     target = jnp.asarray(scene.images[idx][..., :3])
     rendered = out.fine if out.fine is not None else out.coarse

@@ -118,8 +118,11 @@ def test_cachedir_preference(tmp_path):
 
 
 def test_use_pallas_validation_interpret(tmp_path):
+    """use_pallas (train kernels) + use_fused_render (fully fused
+    PE->MLP->compositing validation renders) through run_training."""
     cfg = _base_cfg(tmp_path)
     cfg.nerf["use_pallas"] = True
+    cfg.nerf["use_fused_render"] = True
     out = run_training(cfg, scene=_scene(), use_tensorboard=False, max_iters=1)
     assert np.isfinite(out["final_validation"]["psnr"])
 

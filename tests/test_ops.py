@@ -239,3 +239,108 @@ def test_fused_train_field_multiblock_accumulation():
     g4 = grad_with_block(8)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_render_matches_xla():
+    """PE->MLP->compositing kernel (interpret) == XLA render_rays, incl.
+    weights, depth, disparity, acc, white background, and the Dex
+    σ-threshold depths with the no-hit argmax-0 fallback."""
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_render_rays
+    from dexnerf_tpu.render import RayBatch, RenderSettings, render_rays
+
+    enc_xyz, enc_dir = 3, 2
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=False,
+        radiance_field_noise_std=0.0, white_background=True,
+        m_thres_cand=(5.0, 10.0),
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=3, hidden_size=32, skip_connect_every=4,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    n = 20
+    rd = jax.random.normal(jax.random.fold_in(key, 2), (n, 3))
+    rays = RayBatch(
+        origins=jnp.zeros((n, 3)),
+        directions=rd,
+        viewdirs=rd / jnp.linalg.norm(rd, axis=-1, keepdims=True),
+        near=jnp.full((n,), 2.0),
+        far=jnp.full((n,), 6.0),
+    )
+    impl = make_fused_render_rays(
+        model, model, settings, block_samples=64, interpret=True
+    )
+    got = impl(params, rays, None)
+    want = render_rays(
+        model.apply, model.apply, params, rays, None, settings
+    )
+    for g, w in [
+        (got.coarse.rgb, want.coarse.rgb),
+        (got.coarse.weights, want.coarse.weights),
+        (got.coarse.depth, want.coarse.depth),
+        (got.fine.rgb, want.fine.rgb),
+        (got.fine.depth, want.fine.depth),
+        (got.fine.accumulation, want.fine.accumulation),
+        (got.fine.disparity, want.fine.disparity),
+        (got.fine.depth_dex, want.fine.depth_dex),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_fused_render_in_render_image():
+    """rays_impl plugs into render_image (padding + reshape path)."""
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_render_rays
+    from dexnerf_tpu.render import RenderSettings, render_image
+
+    enc_xyz, enc_dir = 2, 1
+    settings = RenderSettings(
+        num_coarse=4, num_fine=4, perturb=False,
+        radiance_field_noise_std=0.0,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(3)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    H, W = 5, 7
+    ro = jnp.zeros((H, W, 3))
+    rd = jax.random.normal(jax.random.fold_in(key, 2), (H, W, 3))
+    impl = make_fused_render_rays(
+        model, model, settings, block_samples=32, interpret=True
+    )
+    out_fused = render_image(
+        model.apply, model.apply, params, ro, rd, 2.0, 6.0, settings,
+        block_size=16, rays_impl=impl,
+    )
+    out_xla = render_image(
+        model.apply, model.apply, params, ro, rd, 2.0, 6.0, settings,
+        block_size=16,
+    )
+    assert out_fused.fine.rgb.shape == (H, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_fused.fine.rgb), np.asarray(out_xla.fine.rgb),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused.fine.depth), np.asarray(out_xla.fine.depth),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -31,6 +31,11 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--fused", action="store_true",
                    help="render through the fused Pallas field")
+    p.add_argument("--fused-render", action="store_true",
+                   help="render through the FULLY fused "
+                   "PE->MLP->compositing kernel (rays_impl)")
+    p.add_argument("--kernel-block", type=int, default=1024,
+                   help="Pallas block_samples for the fused paths")
     args = p.parse_args()
 
     from dexnerf_tpu.core.encoding import encoding_dim
@@ -55,13 +60,22 @@ def main():
         "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
     }
     cf = ff = None
+    rays_impl = None
     if args.fused:
         from dexnerf_tpu.ops import make_fused_flexible_field
 
         cf = make_fused_flexible_field(
-            model, block_samples=1024, compute_dtype=jnp.bfloat16
+            model, block_samples=args.kernel_block,
+            compute_dtype=jnp.bfloat16,
         )
         ff = cf
+    if args.fused_render:
+        from dexnerf_tpu.ops import make_fused_render_rays
+
+        rays_impl = make_fused_render_rays(
+            model, model, settings, block_samples=args.kernel_block,
+            compute_dtype=jnp.bfloat16,
+        )
 
     H = W = args.hw
     pose = jnp.eye(4).at[2, 3].set(4.0)
@@ -72,7 +86,7 @@ def main():
         out = render_image(
             model.apply, model.apply, params, ro, rd, 2.0, 6.0,
             settings, block_size=args.block,
-            coarse_field=cf, fine_field=ff,
+            coarse_field=cf, fine_field=ff, rays_impl=rays_impl,
         )
         return out.fine.rgb
 
@@ -88,8 +102,12 @@ def main():
         jax.block_until_ready(rgb)
         best = min(best, time.time() - t0)
     rays = H * W
+    mode = (
+        "fused-render" if args.fused_render
+        else ("fused-field" if args.fused else "xla")
+    )
     print(
-        f"RESULT render {H}x{W} ({'fused' if args.fused else 'xla'}): "
+        f"RESULT render {H}x{W} ({mode}): "
         f"{best*1e3:.1f} ms/frame, {rays/best/1e3:.0f} krays/s",
         flush=True,
     )
