@@ -82,10 +82,10 @@ def main():
     store = build_ray_store(images, poses, hwf, 2.0, 6.0)
     tx = make_optimizer(5e-3)
 
-    def fused(dw, block, skip_dw=False):
+    def fused(dw, block, skip_dw=False, fwd_block=1024):
         return make_fused_flexible_field_train(
             model,
-            block_samples=1024,
+            block_samples=fwd_block,
             block_samples_bwd=block,
             compute_dtype=jnp.bfloat16,
             dw_dtype=dw,
@@ -102,6 +102,9 @@ def main():
             cf, ff = fused(jnp.bfloat16, 512), fused(jnp.bfloat16, 512)
         elif name == "bf16_dwbf16_1024":
             cf, ff = fused(jnp.bfloat16, 1024), fused(jnp.bfloat16, 1024)
+        elif name == "bf16_fwd2048":
+            cf = fused(jnp.bfloat16, 1024, fwd_block=2048)
+            ff = fused(jnp.bfloat16, 1024, fwd_block=2048)
         elif name == "bf16_skipdw_1024":
             # timing bisection only: dW matmuls replaced by zeros
             cf = fused(jnp.bfloat16, 1024, skip_dw=True)
