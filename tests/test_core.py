@@ -331,3 +331,39 @@ def test_scalar_metric():
     assert m.peek() == 2.0
     m.reset()
     assert m.peek() == 0.0
+
+
+def test_transparent_object_dex_vs_expected_depth():
+    """The Dex-NeRF claim (paper §1, reference volume_rendering_utils.py:51-58):
+    for a TRANSPARENT surface — low density at the surface, solid background
+    behind it — the alpha-composited EXPECTED depth lands near the opaque
+    background, while the σ-threshold first-crossing depth recovers the
+    transparent surface itself."""
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.volrend import (
+        ray_dists,
+        sigma_threshold_depth,
+        sigma_to_weights,
+    )
+
+    S = 64
+    z = jnp.linspace(1.0, 5.0, S)[None, :]  # one ray
+    glass_z, wall_z = 2.0, 4.0
+    # glass: weak density bump (transmits most light);
+    # wall: strong density (absorbs the rest)
+    sigma = 8.0 * jnp.exp(-((z - glass_z) ** 2) / 1e-3) + 400.0 * (
+        z > wall_z
+    ).astype(jnp.float32)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    w = sigma_to_weights(sigma, ray_dists(z, dirs))
+    expected_depth = float(
+        (jnp.sum(w * z, axis=-1) / jnp.sum(w, axis=-1))[0]
+    )
+    dex_depth = float(sigma_threshold_depth(sigma, z, [5.0])[0][0])
+
+    # expected depth is pulled toward the wall; the σ-threshold depth
+    # finds the glass surface
+    assert abs(dex_depth - glass_z) < 0.1, dex_depth
+    assert expected_depth - glass_z > 0.5, expected_depth
+    assert abs(expected_depth - wall_z) < 1.0, expected_depth
