@@ -345,4 +345,17 @@ def make_fused_flexible_field_train(
         return tree, jnp.zeros_like(pts), jnp.zeros_like(viewdirs)
 
     apply.defvjp(apply_fwd, apply_bwd)
-    return apply
+
+    def field(params, pts, viewdirs):
+        # The zero-input-cotangent contract (module docstring) made
+        # explicit: stop_gradient lets XLA dead-code-eliminate the
+        # [N, S, 3] zero cotangents the VJP must structurally return
+        # (they showed up as ~1.2 ms/step of broadcast materializations
+        # in the trace).
+        return apply(
+            params,
+            jax.lax.stop_gradient(pts),
+            jax.lax.stop_gradient(viewdirs),
+        )
+
+    return field
