@@ -47,6 +47,8 @@ def make_parallel_train_step(
     supervision: str = "rgb",
     sampling: str = "uniform",
     steps_per_call: int = 1,
+    coarse_field=None,
+    fine_field=None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Data-parallel train step: per-device ray sampling, gradient psum.
 
@@ -57,6 +59,8 @@ def make_parallel_train_step(
     :func:`dexnerf_tpu.train.step.make_train_step` (for "per_image", every
     device samples pixels from the SAME random image — reference semantics,
     ``train_nerf_rgb.py:222-241`` — via a pre-fold image key).
+    ``coarse_field``/``fine_field``: optional fused Pallas field functions
+    (the kernels run per device inside shard_map on each chip's ray shard).
     """
     from dexnerf_tpu.data.pipeline import sample_ray_batch_per_image
 
@@ -89,7 +93,10 @@ def make_parallel_train_step(
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
             k_sample, k_render = jax.random.split(key)
             rays, target = sample_ray_batch(store, k_sample, local_batch)
-        result = render_rays(coarse_fn, fine_fn, params, rays, k_render, settings)
+        result = render_rays(
+            coarse_fn, fine_fn, params, rays, k_render, settings,
+            coarse_field=coarse_field, fine_field=fine_field,
+        )
         loss, metrics = nerf_loss(result, target, supervision=supervision)
         return loss, metrics
 

@@ -613,6 +613,8 @@ def run_training(
             supervision=supervision,
             sampling=sampling,
             steps_per_call=steps_per_call,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
         )
     else:
         train_step = make_train_step(

@@ -183,3 +183,40 @@ def test_validate_uses_mesh(tmp_path):
     np.testing.assert_allclose(
         v_mesh["depth"], v_single["depth"], atol=1e-5
     )
+
+
+def test_parallel_train_step_with_fused_field():
+    """The fused Pallas train field runs inside shard_map (per-device ray
+    shards) — multi-chip + use_pallas composes."""
+    from dexnerf_tpu.ops import make_fused_flexible_field_train
+
+    mesh = make_mesh()
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+    )
+    in_dim = encoding_dim(3, ENC_XYZ) + encoding_dim(3, ENC_DIR)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    images, _, poses, hwf = make_synthetic_scene(num_views=2, height=8, width=8)
+    store = build_ray_store(images, poses, hwf, 2.0, 6.0)
+    tx = make_optimizer(5e-3)
+    state = init_train_state(params, tx)
+
+    def fused():
+        return make_fused_flexible_field_train(
+            model, block_samples=32, block_samples_bwd=32, interpret=True
+        )
+
+    step = make_parallel_train_step(
+        mesh, model.apply, model.apply, tx, SETTINGS, global_batch_size=16,
+        coarse_field=fused(), fine_field=fused(),
+    )
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+    assert np.isfinite(float(metrics["loss"]))
