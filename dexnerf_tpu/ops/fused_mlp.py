@@ -211,8 +211,14 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
                    keep_activations=False):
     """The shared forward math over one VMEM-resident sample block.
 
-    ``xyz``/``dir_enc``: padded f32 encodings. Returns raw [B, 4] f32, plus
-    (trunk_inputs, trunk_post, a_last, feat, y) when ``keep_activations``.
+    ``xyz``/``dir_enc``: padded f32 encodings. Returns raw [B, 4] f32;
+    with ``keep_activations`` it instead returns
+    ``(out, trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask)``
+    where the saved activations are in ``compute_dtype`` (they are only
+    ever consumed as dW matmul operands) and the relu masks are 0/1 in
+    ``compute_dtype`` (consumed as multiplies — so no bf16 selects appear
+    anywhere). Halving the saved-activation footprint is what lets the
+    backward kernel run 2048-sample blocks inside the 16 MB VMEM budget.
 
     Dtype discipline (the round-1 Mosaic-crash fix): the CHAIN — every
     activation, bias add, relu/select — stays float32; ``compute_dtype``
@@ -226,36 +232,43 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
     cd = compute_dtype
     xyz_op = xyz.astype(cd)  # pre-cast dot operand (used by layer1 + skips)
 
+    def mask_of(act):
+        # relu mask as a 0/1 multiply operand (f32 compare + f32 select,
+        # THEN a cast — never a bf16 select)
+        return jnp.where(act > 0, 1.0, 0.0).astype(cd)
+
     mi = 0
     # layer1: no activation (reference models.py:238); h stays f32
     h = _dot(xyz_op, mats[mi][:], jnp.float32) + biases[0][:]
     mi += 1
-    trunk_inputs, trunk_post = [], []
+    trunk_inputs, trunk_masks = [], []
     for i in range(num_trunk):
+        h_in = h.astype(cd)
         if i in skip:
-            y = _dot(h.astype(cd), mats[mi][:], jnp.float32)
+            y = _dot(h_in, mats[mi][:], jnp.float32)
             y = y + _dot(xyz_op, mats[mi + 1][:], jnp.float32)
             mi += 2
         else:
-            y = _dot(h.astype(cd), mats[mi][:], jnp.float32)
+            y = _dot(h_in, mats[mi][:], jnp.float32)
             mi += 1
         if keep_activations:
-            trunk_inputs.append(h)
+            trunk_inputs.append(h_in)
         h = jnp.maximum(y + biases[1 + i][:], 0.0)
         if keep_activations:
-            trunk_post.append(h)
+            trunk_masks.append(mask_of(h))
     a_last = h
     li = model.num_layers
     if model.use_viewdirs:
+        a_in = a_last.astype(cd)
         feat = jnp.maximum(
-            _dot(a_last.astype(cd), mats[mi][:], jnp.float32) + biases[li][:],
-            0.0,
+            _dot(a_in, mats[mi][:], jnp.float32) + biases[li][:], 0.0
         )
         mi += 1
         # alpha head: 4-wide padded weight (alpha in column 3), f32
         alpha4 = _dot(a_last, mats[mi][:], jnp.float32)
         mi += 1
-        y = _dot(feat.astype(cd), mats[mi][:], jnp.float32)
+        feat_in = feat.astype(cd)
+        y = _dot(feat_in, mats[mi][:], jnp.float32)
         y = y + _dot(dir_enc.astype(cd), mats[mi + 1][:], jnp.float32)
         mi += 2
         y = jnp.maximum(y + biases[li + 2][:], 0.0)
@@ -266,7 +279,10 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
         feat = y = None
         out = _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:]
     if keep_activations:
-        return out, trunk_inputs, trunk_post, a_last, feat, y
+        return (
+            out, trunk_inputs, trunk_masks, a_in, feat_in, mask_of(feat),
+            y.astype(cd), mask_of(y),
+        )
     return out
 
 

@@ -93,7 +93,9 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
             # per-ray dirs input expanded to samples (see _make_fwd_kernel)
             dir_enc = _expand_rows(dir_enc, samples_per_ray, pts_ref.shape[0])
 
-        (_, trunk_inputs, trunk_post, a_last, feat, y) = _forward_block(
+        (
+            _, trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask
+        ) = _forward_block(
             model, mats, biases, xyz, dir_enc, cd, keep_activations=True
         )
 
@@ -145,19 +147,22 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
         )
         li = model.num_layers  # bias index of fc_feat
 
+        # relu backprop is a MULTIPLY by a saved 0/1 mask (no selects in
+        # the chain — selects with bf16 operands crash Mosaic, and masks
+        # stored in compute_dtype halve the saved-activation VMEM)
         # rgb head: padded 4-wide weight, full-g matmuls (the zero column
         # routes alpha's cotangent nowhere; assemble slices the dW)
         acc(dmats[mi_rgb], matT(y, g))
         acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
         dy = matWT(g, matsT[mi_rgb])
-        # dir layer (relu, split matmul); whole delta chain f32
-        dz_y = jnp.where(y > 0, dy, 0.0)
+        # dir layer (split matmul); whole delta chain f32
+        dz_y = dy * y_mask.astype(jnp.float32)
         acc(dmats[mi_dir_h], matT(feat, dz_y))
         acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
         acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
         dfeat = matWT(dz_y, matsT[mi_dir_h])
-        # feat head (relu)
-        dz_f = jnp.where(feat > 0, dfeat, 0.0)
+        # feat head
+        dz_f = dfeat * feat_mask.astype(jnp.float32)
         acc(dmats[mi_feat], matT(a_last, dz_f))
         acc(dbs[li], jnp.sum(dz_f, axis=0))
         # alpha head (linear, padded 4-wide weight)
@@ -167,7 +172,7 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
 
         # trunk, reversed
         for i in reversed(range(num_trunk)):
-            dz = jnp.where(trunk_post[i] > 0, da, 0.0)
+            dz = da * trunk_masks[i].astype(jnp.float32)
             mi_i = trunk_mi[i]
             acc(dmats[mi_i], matT(trunk_inputs[i], dz))
             if i in skip:

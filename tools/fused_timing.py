@@ -102,6 +102,9 @@ def main():
             cf, ff = fused(jnp.bfloat16, 512), fused(jnp.bfloat16, 512)
         elif name == "bf16_dwbf16_1024":
             cf, ff = fused(jnp.bfloat16, 1024), fused(jnp.bfloat16, 1024)
+        elif name == "bf16_bwd2048":
+            cf = fused(jnp.bfloat16, 2048)
+            ff = fused(jnp.bfloat16, 2048)
         elif name == "bf16_fwd2048":
             cf = fused(jnp.bfloat16, 1024, fwd_block=2048)
             ff = fused(jnp.bfloat16, 1024, fwd_block=2048)
