@@ -69,7 +69,21 @@ def cache_nerf_dataset(args) -> None:
     os.makedirs(os.path.join(args.savedir, "train"), exist_ok=True)
     os.makedirs(os.path.join(args.savedir, "val"), exist_ok=True)
 
-    rng = np.random.RandomState(0)
+    def gather_rows(packed: np.ndarray, seed: int, batch: int) -> np.ndarray:
+        """Random-row gather for shard sampling: the native C++ kernel
+        (``ops/native/dexnerf_host.cc``, one fused pass) with a numpy
+        fallback. The native path samples with replacement; at typical
+        shard/image ratios (8k of 160k rays) the difference from the
+        reference's replace=False choice is statistically negligible."""
+        try:
+            from dexnerf_tpu.ops.native import gather_random_rows, load_library
+
+            load_library()
+            return gather_random_rows(packed, seed=seed, batch=batch)
+        except Exception:  # pragma: no cover - no toolchain at runtime
+            rng = np.random.RandomState(seed)
+            sel = rng.choice(packed.shape[0], size=batch, replace=False)
+            return packed[sel]
 
     def bundle(idx):
         if intrinsics is not None:
@@ -85,19 +99,21 @@ def cache_nerf_dataset(args) -> None:
         ro, rd = bundle(int(idx))
         target = images[int(idx)][..., :3].reshape(-1, 3)
         ro_f, rd_f = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        packed = np.concatenate([ro_f, rd_f, target], axis=-1).astype(
+            np.float32
+        )
         for _ in range(args.num_variations):
-            sel = rng.choice(
-                ro_f.shape[0],
-                size=min(args.num_random_rays, ro_f.shape[0]),
-                replace=False,
+            rows = gather_rows(
+                packed, seed=shard,
+                batch=min(args.num_random_rays, packed.shape[0]),
             )
             np.savez(
                 os.path.join(args.savedir, "train", f"{shard:04d}.npz"),
                 height=H,
                 width=W,
                 focal_length=focal,
-                ray_bundle=np.stack([ro_f[sel], rd_f[sel]], 0),
-                target=target[sel],
+                ray_bundle=np.stack([rows[:, 0:3], rows[:, 3:6]], 0),
+                target=rows[:, 6:9],
             )
             shard += 1
 

@@ -21,11 +21,19 @@ import numpy as np
 class MetricsLogger:
     """Writes scalars/images to TensorBoard (if available) and JSONL."""
 
-    def __init__(self, logdir: str, use_tensorboard: bool = True):
+    def __init__(self, logdir: str, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` turns every method into a no-op — used by
+        non-primary processes in multi-host runs (all hosts train, one
+        writes)."""
         self.logdir = logdir
+        self.enabled = enabled
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -35,6 +43,8 @@ class MetricsLogger:
                 self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.enabled:
+            return
         self._jsonl.write(
             json.dumps(
                 {"tag": tag, "value": float(value), "step": int(step),
@@ -55,6 +65,8 @@ class MetricsLogger:
         The pixel data goes to TensorBoard; the JSONL stream records the tag
         and shape so image emission is observable (and testable) without TB.
         """
+        if not self.enabled:
+            return
         arr = np.asarray(img)
         self._jsonl.write(
             json.dumps(
@@ -68,13 +80,15 @@ class MetricsLogger:
             self._tb.add_image(tag, chw, step)
 
     def flush(self) -> None:
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 

@@ -508,10 +508,18 @@ def run_training(
     logdir = logdir or os.path.join(
         str(cfg.experiment.logdir), str(cfg.experiment.id)
     )
+    # multi-host: every process trains (collectives need all of them), but
+    # only the primary writes logs/artifacts/checkpoints
+    is_primary = jax.process_index() == 0
+    save_artifacts = save_artifacts and is_primary
     os.makedirs(logdir, exist_ok=True)
-    with open(os.path.join(logdir, "config.yml"), "w") as f:
-        f.write(cfg.dump())
-    logger = MetricsLogger(logdir, use_tensorboard=use_tensorboard)
+    if is_primary:
+        with open(os.path.join(logdir, "config.yml"), "w") as f:
+            f.write(cfg.dump())
+    logger = MetricsLogger(
+        logdir, use_tensorboard=use_tensorboard and is_primary,
+        enabled=is_primary,
+    )
 
     coarse_fn, fine_fn, params = setup_models(cfg, seed)
     tx = make_optimizer(
@@ -688,7 +696,7 @@ def run_training(
                 logger, val, last, logdir, save_artifacts=save_artifacts
             )
 
-        if save_every and last > 0 and (
+        if save_every and is_primary and last > 0 and (
             _crosses(i, last, save_every) or last == train_iters - 1
         ):
             save_checkpoint(
