@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 4096
+BATCH = 4096  # overridden by --batch
 STEPS = 20
 REPEATS = 3
 
@@ -47,7 +47,10 @@ def main():
     p.add_argument(
         "--configs", type=str, default="xla,bf16_dwf32_512,bf16_dwbf16_512,bf16_dwbf16_1024"
     )
+    global BATCH
+    p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
+    BATCH = args.batch
 
     from dexnerf_tpu.core.encoding import encoding_dim
     from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
