@@ -33,7 +33,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cache_nerf_dataset(args) -> None:
-    import jax
     import jax.numpy as jnp
 
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w, get_ray_bundle_w2c

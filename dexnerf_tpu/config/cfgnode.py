@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import copy
 import importlib.util
-import io
 from ast import literal_eval
 from typing import Any, Dict, List, Optional
 

@@ -24,7 +24,7 @@ not by copying. The geometry invariants are independently verified in
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import cv2
 import imageio.v2 as imageio

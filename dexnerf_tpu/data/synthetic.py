@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ fail loudly and the registry is introspectable.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Type
+from typing import Dict, Type
 
 import flax.linen as nn
 

@@ -15,7 +15,7 @@ Everything is a pure function over ``[..., L, 7]`` SG arrays
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -27,8 +27,7 @@ feat/alpha/dir/rgb heads.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, List, NamedTuple, Sequence, Tuple
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ XLA field there.
 
 from __future__ import annotations
 
-from typing import Any, List
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.ops.fused_mlp import (
     _dims,
-    _dot,
     _expand_rows,
     _flex_param_layout,
     _forward_block,

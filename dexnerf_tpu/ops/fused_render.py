@@ -28,7 +28,7 @@ the MLP follows the fused_mlp dtype discipline (bf16 operands, f32 chain).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ tests/test_ops.py parity tests).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

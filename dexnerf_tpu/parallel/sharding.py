@@ -17,13 +17,12 @@ Everything works on any 1-D mesh — including a CPU mesh created with
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dexnerf_tpu.data.pipeline import RayStore, sample_ray_batch
 from dexnerf_tpu.parallel.mesh import RAY_AXIS
@@ -62,8 +61,6 @@ def make_parallel_train_step(
     ``coarse_field``/``fine_field``: optional fused Pallas field functions
     (the kernels run per device inside shard_map on each chip's ray shard).
     """
-    from dexnerf_tpu.data.pipeline import sample_ray_batch_per_image
-
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
         raise ValueError(

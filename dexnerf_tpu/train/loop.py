@@ -19,8 +19,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ from dexnerf_tpu.data.blender import load_blender_data
 from dexnerf_tpu.data.llff import load_llff_data
 from dexnerf_tpu.data.messytable import load_messytable_data
 from dexnerf_tpu.data.pipeline import build_ray_store
-from dexnerf_tpu.render.renderer import RenderSettings, render_image
+from dexnerf_tpu.render.renderer import render_image
 from dexnerf_tpu.train.checkpoints import (
     latest_checkpoint,
     restore_checkpoint,
