@@ -9,6 +9,10 @@ from dexnerf_tpu.ops.fused_render import (
     make_fused_render,
     make_fused_render_rays,
 )
+from dexnerf_tpu.ops.fused_train_loss import (
+    make_fused_pass_loss,
+    make_fused_train_loss,
+)
 from dexnerf_tpu.ops.sample_pdf_pallas import (
     sample_pdf_branchless,
     sample_pdf_pallas,
@@ -18,8 +22,10 @@ __all__ = [
     "flatten_flex_params",
     "make_fused_flexible_field",
     "make_fused_flexible_field_train",
+    "make_fused_pass_loss",
     "make_fused_render",
     "make_fused_render_rays",
+    "make_fused_train_loss",
     "sample_pdf_branchless",
     "sample_pdf_pallas",
 ]

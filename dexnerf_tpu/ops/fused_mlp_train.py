@@ -46,26 +46,132 @@ from dexnerf_tpu.ops.fused_mlp import (
 from dexnerf_tpu.render.renderer import FieldFn
 
 
+def _backward_chain(
+    model: FlexibleNeRFModel,
+    compute_dtype,
+    dw_dtype,
+    matsT,
+    dmats,
+    dbs,
+    saved,
+    xyz,
+    dir_enc,
+    g,
+    *,
+    _skip_dw: bool = False,
+):
+    """Backpropagate ``g`` [B, 4] (cotangent of the raw field) through the
+    MLP, accumulating weight/bias grads into the grid-accumulated output refs.
+
+    ``saved`` = ``(trunk_inputs, trunk_masks, a_last, feat, feat_mask, y,
+    y_mask)`` from ``_forward_block(..., keep_activations=True)``. Shared by
+    the standalone backward kernel (which recomputes the forward first) and
+    the combined loss kernel (``fused_train_loss``, activations still live).
+
+    Dtype discipline (the round-1 Mosaic-crash fix, see
+    ``fused_mlp._forward_block``): the whole delta chain — selects, adds,
+    accumulators — is float32; ``compute_dtype`` casts only dot operands.
+    ``dw_dtype`` controls the dW contraction operands separately.
+    """
+    skip = set(_skip_indices(model))
+    num_trunk = model.num_layers - 1
+    dw = dw_dtype if dw_dtype is not None else jnp.float32
+    trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask = saved
+
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[:] = ref[:] + val
+
+    def matT(a, b):
+        # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction
+        # (Mosaic rejects an explicit in-kernel swapaxes). Operand dtype
+        # is ``dw_dtype``: f32 is the historically-safe form.
+        if _skip_dw:  # timing-bisection mode: zero-cost dW stand-in
+            return jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
+        return jax.lax.dot_general(
+            a.astype(dw),
+            b.astype(dw),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def matWT(delta, wT):
+        # delta[B, O] @ W^T via the host-side pre-transposed weight
+        # (standard (1,)x(0,) contraction); operands in the weight's
+        # dtype (compute_dtype), f32 accumulation, f32 result.
+        return jax.lax.dot_general(
+            delta.astype(wT.dtype), wT[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # matmul-operand index bookkeeping (mirror of _forward_block)
+    mi_layer1 = 0
+    mi = 1
+    trunk_mi = []
+    for i in range(num_trunk):
+        trunk_mi.append(mi)
+        mi += 2 if i in skip else 1
+    mi_feat, mi_alpha, mi_dir_h, mi_dir_d, mi_rgb = (
+        mi, mi + 1, mi + 2, mi + 3, mi + 4
+    )
+    li = model.num_layers  # bias index of fc_feat
+
+    # relu backprop is a MULTIPLY by a saved 0/1 mask (no selects in
+    # the chain — selects with bf16 operands crash Mosaic, and masks
+    # stored in compute_dtype halve the saved-activation VMEM)
+    # rgb head: padded 4-wide weight, full-g matmuls (the zero column
+    # routes alpha's cotangent nowhere; assemble slices the dW)
+    acc(dmats[mi_rgb], matT(y, g))
+    acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
+    dy = matWT(g, matsT[mi_rgb])
+    # dir layer (split matmul); whole delta chain f32
+    dz_y = dy * y_mask.astype(jnp.float32)
+    acc(dmats[mi_dir_h], matT(feat, dz_y))
+    acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
+    acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
+    dfeat = matWT(dz_y, matsT[mi_dir_h])
+    # feat head
+    dz_f = dfeat * feat_mask.astype(jnp.float32)
+    acc(dmats[mi_feat], matT(a_last, dz_f))
+    acc(dbs[li], jnp.sum(dz_f, axis=0))
+    # alpha head (linear, padded 4-wide weight)
+    acc(dmats[mi_alpha], matT(a_last, g))
+    acc(dbs[li + 1], jnp.sum(g[:, 3:4], axis=0))
+    da = matWT(dz_f, matsT[mi_feat]) + matWT(g, matsT[mi_alpha])
+
+    # trunk, reversed
+    for i in reversed(range(num_trunk)):
+        dz = da * trunk_masks[i].astype(jnp.float32)
+        mi_i = trunk_mi[i]
+        acc(dmats[mi_i], matT(trunk_inputs[i], dz))
+        if i in skip:
+            acc(dmats[mi_i + 1], matT(xyz, dz))
+        acc(dbs[1 + i], jnp.sum(dz, axis=0))
+        da = matWT(dz, matsT[mi_i])
+
+    # layer1 (no activation)
+    acc(dmats[mi_layer1], matT(xyz, da))
+    acc(dbs[0], jnp.sum(da, axis=0))
+
+
 def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
                      samples_per_ray: int = 0, _skip_dw: bool = False):
     """Backward kernel: recompute + chain rule + grid-accumulated grads.
 
     Outputs mirror the split-matmul operand list (f32) + biases (f32).
-
-    Dtype discipline (the round-1 Mosaic-crash fix, see
-    ``fused_mlp._forward_block``): the whole delta chain — selects, adds,
-    accumulators — is float32; ``compute_dtype`` casts only dot operands.
-    ``dw_dtype`` controls the dW contraction operands separately (the
-    dim-0/dim-0 form historically only compiled at f32).
     """
     d = _dims(model)
-    skip = set(_skip_indices(model))
-    num_trunk = model.num_layers - 1
     n_mats = _num_mats(model)
     n_b = len(_flex_param_layout(model))
-    H = model.hidden_size
     cd = compute_dtype
-    dw = dw_dtype if dw_dtype is not None else jnp.float32
 
     n_bp = n_b + 1  # biases + the appended combined head bias (viewdirs)
 
@@ -92,97 +198,55 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
             dir_enc = _expand_rows(dir_enc, samples_per_ray, pts_ref.shape[0])
 
         (
-            _, trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask
+            _, *saved
         ) = _forward_block(
             model, mats, biases, xyz, dir_enc, cd, keep_activations=True
         )
 
         g = g_ref[:]  # [B, 4] f32
-
-        first = pl.program_id(0) == 0
-
-        def acc(ref, val):
-            @pl.when(first)
-            def _():
-                ref[:] = val
-
-            @pl.when(jnp.logical_not(first))
-            def _():
-                ref[:] = ref[:] + val
-
-        def matT(a, b):
-            # a[B, I] x b[B, O] -> [I, O] f32 via a dim-0/dim-0 contraction
-            # (Mosaic rejects an explicit in-kernel swapaxes). Operand dtype
-            # is ``dw_dtype``: f32 is the historically-safe form.
-            if _skip_dw:  # timing-bisection mode: zero-cost dW stand-in
-                return jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
-            return jax.lax.dot_general(
-                a.astype(dw),
-                b.astype(dw),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def matWT(delta, wT):
-            # delta[B, O] @ W^T via the host-side pre-transposed weight
-            # (standard (1,)x(0,) contraction); operands in the weight's
-            # dtype (compute_dtype), f32 accumulation, f32 result.
-            return jax.lax.dot_general(
-                delta.astype(wT.dtype), wT[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        # matmul-operand index bookkeeping (mirror of _forward_block)
-        mi_layer1 = 0
-        mi = 1
-        trunk_mi = []
-        for i in range(num_trunk):
-            trunk_mi.append(mi)
-            mi += 2 if i in skip else 1
-        mi_feat, mi_alpha, mi_dir_h, mi_dir_d, mi_rgb = (
-            mi, mi + 1, mi + 2, mi + 3, mi + 4
+        _backward_chain(
+            model, cd, dw_dtype, matsT, dmats, dbs, tuple(saved),
+            xyz, dir_enc, g, _skip_dw=_skip_dw,
         )
-        li = model.num_layers  # bias index of fc_feat
-
-        # relu backprop is a MULTIPLY by a saved 0/1 mask (no selects in
-        # the chain — selects with bf16 operands crash Mosaic, and masks
-        # stored in compute_dtype halve the saved-activation VMEM)
-        # rgb head: padded 4-wide weight, full-g matmuls (the zero column
-        # routes alpha's cotangent nowhere; assemble slices the dW)
-        acc(dmats[mi_rgb], matT(y, g))
-        acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
-        dy = matWT(g, matsT[mi_rgb])
-        # dir layer (split matmul); whole delta chain f32
-        dz_y = dy * y_mask.astype(jnp.float32)
-        acc(dmats[mi_dir_h], matT(feat, dz_y))
-        acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
-        acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
-        dfeat = matWT(dz_y, matsT[mi_dir_h])
-        # feat head
-        dz_f = dfeat * feat_mask.astype(jnp.float32)
-        acc(dmats[mi_feat], matT(a_last, dz_f))
-        acc(dbs[li], jnp.sum(dz_f, axis=0))
-        # alpha head (linear, padded 4-wide weight)
-        acc(dmats[mi_alpha], matT(a_last, g))
-        acc(dbs[li + 1], jnp.sum(g[:, 3:4], axis=0))
-        da = matWT(dz_f, matsT[mi_feat]) + matWT(g, matsT[mi_alpha])
-
-        # trunk, reversed
-        for i in reversed(range(num_trunk)):
-            dz = da * trunk_masks[i].astype(jnp.float32)
-            mi_i = trunk_mi[i]
-            acc(dmats[mi_i], matT(trunk_inputs[i], dz))
-            if i in skip:
-                acc(dmats[mi_i + 1], matT(xyz, dz))
-            acc(dbs[1 + i], jnp.sum(dz, axis=0))
-            da = matWT(dz, matsT[mi_i])
-
-        # layer1 (no activation)
-        acc(dmats[mi_layer1], matT(xyz, da))
-        acc(dbs[0], jnp.sum(da, axis=0))
 
     return kernel
+
+
+def _assemble_grads(model: FlexibleNeRFModel, dmats, dbs):
+    """Split-matmul grads -> flax param-tree grads (unpad + re-concat)."""
+    names = _flex_param_layout(model)
+    d = _dims(model)
+    skip = set(_skip_indices(model))
+    num_trunk = model.num_layers - 1
+    tree = {}
+    tree[names[0]] = {
+        "kernel": dmats[0][: d.dim_xyz], "bias": dbs[0]
+    }
+    mi = 1
+    for i in range(num_trunk):
+        if i in skip:
+            dk = jnp.concatenate(
+                [dmats[mi], dmats[mi + 1][: d.dim_xyz]], axis=0
+            )
+            mi += 2
+        else:
+            dk = dmats[mi]
+            mi += 1
+        tree[names[1 + i]] = {"kernel": dk, "bias": dbs[1 + i]}
+    li = model.num_layers
+    tree[names[li]] = {"kernel": dmats[mi], "bias": dbs[li]}  # feat
+    # padded 4-wide head dW: alpha lives in column 3, rgb in 0-2
+    tree[names[li + 1]] = {
+        "kernel": dmats[mi + 1][:, 3:4], "bias": dbs[li + 1]
+    }  # alpha
+    dk_dir = jnp.concatenate(
+        [dmats[mi + 2], dmats[mi + 3][: d.dim_dir]], axis=0
+    )
+    tree[names[li + 2]] = {"kernel": dk_dir, "bias": dbs[li + 2]}
+    tree[names[li + 3]] = {
+        "kernel": dmats[mi + 4][:, :3], "bias": dbs[li + 3]
+    }
+    return {"params": tree}
 
 
 def make_fused_flexible_field_train(
@@ -231,10 +295,6 @@ def make_fused_flexible_field_train(
         return bwd_kernels[samples_per_ray]
 
     names = _flex_param_layout(model)
-    d = _dims(model)
-    skip = _skip_indices(model)
-    num_trunk = model.num_layers - 1
-    H = model.hidden_size
 
     def _bwd_kernel_call(mats, bs, pts, viewdirs, g_flat):
         N, S, _ = pts.shape
@@ -296,39 +356,6 @@ def make_fused_flexible_field_train(
         )(pts_flat, dirs_in, g_flat, *mats, *mats_t, *bs)
         return grads[: len(mats)], grads[len(mats) :]
 
-    def _assemble_grads(dmats, dbs):
-        """Split-matmul grads -> flax param-tree grads (unpad + re-concat)."""
-        tree = {}
-        mi = 0
-        tree[names[0]] = {
-            "kernel": dmats[0][: d.dim_xyz], "bias": dbs[0]
-        }
-        mi = 1
-        for i in range(num_trunk):
-            if i in skip:
-                dk = jnp.concatenate(
-                    [dmats[mi], dmats[mi + 1][: d.dim_xyz]], axis=0
-                )
-                mi += 2
-            else:
-                dk = dmats[mi]
-                mi += 1
-            tree[names[1 + i]] = {"kernel": dk, "bias": dbs[1 + i]}
-        li = model.num_layers
-        tree[names[li]] = {"kernel": dmats[mi], "bias": dbs[li]}  # feat
-        # padded 4-wide head dW: alpha lives in column 3, rgb in 0-2
-        tree[names[li + 1]] = {
-            "kernel": dmats[mi + 1][:, 3:4], "bias": dbs[li + 1]
-        }  # alpha
-        dk_dir = jnp.concatenate(
-            [dmats[mi + 2], dmats[mi + 3][: d.dim_dir]], axis=0
-        )
-        tree[names[li + 2]] = {"kernel": dk_dir, "bias": dbs[li + 2]}
-        tree[names[li + 3]] = {
-            "kernel": dmats[mi + 4][:, :3], "bias": dbs[li + 3]
-        }
-        return {"params": tree}
-
     @jax.custom_vjp
     def apply(params, pts, viewdirs):
         return fwd_field(params, pts, viewdirs)
@@ -343,7 +370,7 @@ def make_fused_flexible_field_train(
         mats, bs = split_flex_params(model, params, compute_dtype)
         g_flat = g.reshape(total, 4).astype(jnp.float32)
         dmats, dbs = _bwd_kernel_call(mats, bs, pts, viewdirs, g_flat)
-        tree = _assemble_grads(dmats, dbs)
+        tree = _assemble_grads(model, dmats, dbs)
         # zero cotangents for pts/viewdirs (see module docstring contract)
         return tree, jnp.zeros_like(pts), jnp.zeros_like(viewdirs)
 

@@ -1,0 +1,472 @@
+"""Whole-pass fused training loss: PE → MLP → compositing → MSE **and all
+parameter gradients** in ONE Pallas kernel per render pass.
+
+Why: the round-2 fused train step (``fused_mlp_train``) splits each pass into
+a forward kernel and a backward kernel; the backward must RECOMPUTE the whole
+forward in VMEM because saving per-sample activations to HBM would cost more
+than the recompute (docs/PERF_NOTES.md). But the photometric loss is a sum of
+per-ray terms (``train_nerf_rgb.py:262-278``), so its cotangent is computable
+per ray-block with no global information — which means the forward and
+backward can live in the SAME kernel program, with the forward activations
+still resident in VMEM when the backward chain runs. One kernel per pass does
+
+  positional encoding → MLP (activations kept in VMEM) → alpha compositing →
+  per-ray squared error → compositing backward → MLP backward → dW/db
+  accumulation across grid steps
+
+and the forward is computed exactly ONCE per step instead of twice. The raw
+[B, 4] field, the per-sample cotangent, and every activation never touch HBM.
+
+Integration contract (mirrors the zero-cotangent contract of
+``fused_mlp_train``): gradients are computed ONLY for the model parameters.
+This is exact in the NeRF training graph — coarse z-values come from the
+parameter-free stratified sampler, fine z-values are ``stop_gradient``-ed
+(reference ``train_utils.py:170``, ours ``core/sampling.py``), and the
+coarse→fine weight dependence is severed by the same stop_gradient — so no
+gradient flows through pts/dirs/dists/targets. The loss value is returned
+through a ``jax.custom_vjp`` whose backward simply scales the
+kernel-computed gradient tree by the incoming loss cotangent, so
+``jax.value_and_grad`` over the train step keeps working unchanged.
+
+Compositing math matches the fused render kernel (``fused_render``): the
+exclusive cumprod is ``exp(Mstrict @ log(max(1 - alpha, 1e-10)))`` with
+iota-built group masks, and its backward uses the matching derivative
+(``-suffix / (1 - alpha)`` where the guard is inactive, 0 where it clamps).
+σ-noise is injected from a PRE-GENERATED normal input (XLA generates it with
+the same ``jax.random`` key stream as the XLA path, so trajectories match).
+
+Reference semantics: ``volume_rendering_utils.py:6-70`` (compositing),
+``train_nerf_rgb.py:262-278`` (RGB MSE), ``train_nerf_ir.py:260-263``
+(Rec.601 luminance MSE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dexnerf_tpu.models.mlp import FlexibleNeRFModel
+from dexnerf_tpu.ops.fused_mlp import (
+    _dims,
+    _expand_rows,
+    _flex_param_layout,
+    _forward_block,
+    _num_mats,
+    _pe_in_kernel,
+    _ray_blocking,
+    split_flex_params,
+)
+from dexnerf_tpu.ops.fused_mlp_train import _assemble_grads, _backward_chain
+from dexnerf_tpu.ops.fused_render import _f32dot, _group_masks
+
+# Rec.601 luma weights (reference train_nerf_ir.py:260-263); kept local —
+# importing from train.step would cycle through the package facades.
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _make_loss_kernel(
+    model: FlexibleNeRFModel,
+    compute_dtype,
+    dw_dtype,
+    samples_per_ray: int,
+    white_background: bool,
+    supervision: str,
+    has_noise: bool,
+):
+    d = _dims(model)
+    n_mats = _num_mats(model)
+    n_bp = len(_flex_param_layout(model)) + 1  # + combined head bias
+    S = samples_per_ray
+
+    def kernel(*refs):
+        # inputs: pts, dirs, dists, [noise], target4, valid,
+        #         mats..., matsT..., biases...
+        # outputs: loss(1,1) acc, w [B,1], rgb [R,4], dmats... acc, dbs... acc
+        pts_ref, dirs_ref, dists_ref = refs[0], refs[1], refs[2]
+        i = 3
+        noise_ref = None
+        if has_noise:
+            noise_ref = refs[i]
+            i += 1
+        target_ref, valid_ref = refs[i], refs[i + 1]
+        i += 2
+        mats = refs[i : i + n_mats]
+        matsT = refs[i + n_mats : i + 2 * n_mats]
+        biases = refs[i + 2 * n_mats : i + 2 * n_mats + n_bp]
+        i += 2 * n_mats + n_bp
+        out_loss, out_w, out_rgb = refs[i], refs[i + 1], refs[i + 2]
+        dmats = refs[i + 3 : i + 3 + n_mats]
+        dbs = refs[i + 3 + n_mats :]
+
+        B = pts_ref.shape[0]
+        R = B // S
+
+        xyz = _pe_in_kernel(
+            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            d.pad_xyz,
+        )
+        dir_enc = _pe_in_kernel(
+            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
+            d.pad_dir,
+        )
+        dir_enc = _expand_rows(dir_enc, S, B)
+        (raw, *saved) = _forward_block(
+            model, mats, biases, xyz, dir_enc, compute_dtype,
+            keep_activations=True,
+        )
+
+        # ---- compositing forward (f32 chain; volume_rendering_utils.py) ----
+        col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
+        mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [B, 4]
+        rgb4 = jax.nn.sigmoid(raw) * mask_rgb
+        sigma_pre = raw[:, 3:4]
+        if has_noise:
+            sigma_pre = sigma_pre + noise_ref[:]
+        relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
+        sigma = sigma_pre * relu_mask
+        dists = dists_ref[:]
+        alpha = 1.0 - jnp.exp(-sigma * dists)
+        mstrict, G = _group_masks(B, S)
+        # guard written as a max (not 1 - alpha + 1e-10): the compiler
+        # reassociates and 1 + 1e-10 rounds to 1 in f32 (see fused_render)
+        one_m = jnp.maximum(1.0 - alpha, 1e-10)
+        trans = jnp.exp(_f32dot(mstrict, jnp.log(one_m)))
+        w = alpha * trans  # [B, 1]
+        out_w[:] = w
+
+        ray_rgb = _f32dot(G, w * rgb4)  # [R, 4] (col 3 = 0)
+        colR = jax.lax.broadcasted_iota(jnp.int32, (R, 4), 1)
+        mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
+        if white_background:
+            acc_r = _f32dot(G, w)  # [R, 1]
+            ray_rgb = ray_rgb + (1.0 - acc_r) * mask_rgb_r
+        out_rgb[:] = ray_rgb
+
+        # ---- per-ray squared error + its cotangent (UNNORMALIZED: the
+        # wrapper divides by N*3 / N, and the custom-VJP backward folds the
+        # same factor into its scale-by-cotangent multiply) ----
+        valid = valid_ref[:]  # [R, 1] 1 = real ray, 0 = padding
+        diff = (ray_rgb - target_ref[:]) * mask_rgb_r * valid
+        if supervision == "luminance":
+            luma = jnp.zeros((1, 4), jnp.float32)
+            for ci, lw in enumerate(_LUMA):
+                luma = jnp.where(colR[:1] == ci, jnp.float32(lw), luma)
+            dy = jnp.sum(diff * luma, axis=1, keepdims=True)  # [R, 1]
+            loss_blk = jnp.sum(dy * dy)
+            g_ray = 2.0 * dy * luma  # [R, 4]
+        else:
+            loss_blk = jnp.sum(diff * diff)
+            g_ray = 2.0 * diff
+
+        first = pl.program_id(0) == 0
+        val = loss_blk.reshape(1, 1)
+
+        @pl.when(first)
+        def _():
+            out_loss[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_loss[:] = out_loss[:] + val
+
+        # ---- compositing backward ----
+        gr = _expand_rows(g_ray, S, B)  # [B, 4] per-sample ray cotangent
+        gw = jnp.sum(gr * rgb4, axis=1, keepdims=True)  # [B, 1]
+        if white_background:
+            ga = -jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)  # [R,1]
+            gw = gw + _expand_rows(ga, S, B)
+        draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col 3 = 0
+        # suffix_s = sum_{u>s, same ray} gw_u * w_u — Mstrict^T @ x via a
+        # dim-0/dim-0 contraction (no second [B, B] mask build)
+        suffix = jax.lax.dot_general(
+            mstrict, gw * w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        inv = jnp.where(1.0 - alpha > 1e-10, 1.0 / one_m, 0.0)
+        galpha = trans * gw - inv * suffix
+        draw_sigma = galpha * dists * (1.0 - alpha) * relu_mask  # [B, 1]
+        g = draw_rgb + draw_sigma * jnp.where(col4 == 3, 1.0, 0.0)
+
+        _backward_chain(
+            model, compute_dtype, dw_dtype, matsT, dmats, dbs, tuple(saved),
+            xyz, dir_enc, g,
+        )
+
+    return kernel
+
+
+def make_fused_pass_loss(
+    model: FlexibleNeRFModel,
+    *,
+    block_samples: int = 512,
+    compute_dtype=jnp.float32,
+    dw_dtype=None,
+    white_background: bool = False,
+    supervision: str = "rgb",
+    interpret: bool = False,
+):
+    """One render pass as a fused loss op.
+
+    Returns ``passfn(params, pts [N,S,3], viewdirs [N,3], dists [N,S],
+    noise [N,S] | None, target [N,3]) -> (loss_sum, weights [N,S],
+    rgb [N,3])`` where ``loss_sum`` is the UNNORMALIZED sum of squared
+    errors over real rays, differentiable w.r.t. ``params`` only (the
+    parameter gradients are computed inside the forward kernel and the
+    custom-VJP backward scales them by the loss cotangent; the cotangents
+    of ``weights``/``rgb`` and of all array inputs are zero by contract —
+    exact in the NeRF train graph, see module docstring).
+    """
+    if not model.use_viewdirs:
+        raise NotImplementedError(
+            "fused train loss requires use_viewdirs=True"
+        )
+    if supervision not in ("rgb", "luminance"):
+        raise ValueError(f"unknown supervision mode: {supervision}")
+    kernels = {}
+
+    def get_kernel(S: int, has_noise: bool):
+        k = (S, has_noise)
+        if k not in kernels:
+            kernels[k] = _make_loss_kernel(
+                model, compute_dtype, dw_dtype, S,
+                bool(white_background), supervision, has_noise,
+            )
+        return kernels[k]
+
+    names = _flex_param_layout(model)
+
+    def _kernel_call(params, pts, viewdirs, dists, noise, target):
+        N, S, _ = pts.shape
+        total = N * S
+        has_noise = noise is not None
+        block, pad, rays_per_block = _ray_blocking(block_samples, N, S)
+        n_ray_pad = (total + pad) // S
+
+        pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
+        dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
+        dists_flat = jnp.pad(
+            dists.reshape(total, 1), ((0, pad), (0, 0))
+        )
+        target4 = jnp.pad(
+            target.astype(jnp.float32), ((0, n_ray_pad - N), (0, 1))
+        )
+        valid = jnp.pad(jnp.ones((N, 1), jnp.float32),
+                        ((0, n_ray_pad - N), (0, 0)))
+        inputs = [pts_flat, dirs_in, dists_flat]
+        if has_noise:
+            inputs.append(
+                jnp.pad(noise.reshape(total, 1), ((0, pad), (0, 0)))
+            )
+        inputs += [target4, valid]
+
+        mats, bs = split_flex_params(model, params, compute_dtype)
+        mats_t = tuple(jnp.swapaxes(m, 0, 1) for m in mats)
+        bs_real = bs[: len(names)]
+        padded = total + pad
+        grid = (padded // block,)
+        R = rays_per_block
+
+        def blk(shape2):
+            return pl.BlockSpec(
+                shape2, lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+
+        def full2d(arrs):
+            return [
+                pl.BlockSpec(
+                    a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+                for a in arrs
+            ]
+
+        in_specs = [blk((block, 3)), blk((R, 3)), blk((block, 1))]
+        if has_noise:
+            in_specs.append(blk((block, 1)))
+        in_specs += [blk((R, 4)), blk((R, 1))]
+        in_specs += full2d(mats) + full2d(mats_t)
+        in_specs += [
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+            for b in bs
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss sum
+            jax.ShapeDtypeStruct((padded, 1), jnp.float32),  # weights
+            jax.ShapeDtypeStruct((n_ray_pad, 4), jnp.float32),  # rgb
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            blk((block, 1)),
+            blk((R, 4)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in mats
+        ] + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs_real]
+        out_specs += full2d(mats) + [
+            pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
+            for b in bs_real
+        ]
+
+        outs = pl.pallas_call(
+            get_kernel(S, has_noise),
+            out_shape=tuple(out_shapes),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(*inputs, *mats, *mats_t, *bs)
+
+        loss_sum = outs[0][0, 0]
+        weights = outs[1][:total, 0].reshape(N, S)
+        rgb = outs[2][:N, :3]
+        dmats = outs[3 : 3 + len(mats)]
+        dbs = outs[3 + len(mats) :]
+        grads = _assemble_grads(model, dmats, dbs)
+        return (loss_sum, weights, rgb), grads
+
+    @jax.custom_vjp
+    def passfn(params, pts, viewdirs, dists, noise, target):
+        outs, _ = _kernel_call(params, pts, viewdirs, dists, noise, target)
+        return outs
+
+    def passfn_fwd(params, pts, viewdirs, dists, noise, target):
+        outs, grads = _kernel_call(
+            params, pts, viewdirs, dists, noise, target
+        )
+        return outs, (grads, pts, viewdirs, dists, noise, target)
+
+    def passfn_bwd(res, g):
+        grads, pts, viewdirs, dists, noise, target = res
+        g_loss = g[0]  # cotangents of weights/rgb are zero by contract
+        dparams = jax.tree.map(lambda t: t * g_loss, grads)
+        return (
+            dparams,
+            jnp.zeros_like(pts),
+            jnp.zeros_like(viewdirs),
+            jnp.zeros_like(dists),
+            None if noise is None else jnp.zeros_like(noise),
+            jnp.zeros_like(target),
+        )
+
+    passfn.defvjp(passfn_fwd, passfn_bwd)
+
+    def pass_loss(params, pts, viewdirs, dists, noise, target):
+        # stop_gradient makes the zero-input-cotangent contract explicit and
+        # lets XLA DCE the structural zeros the VJP must return
+        sg = jax.lax.stop_gradient
+        return passfn(
+            params, sg(pts), sg(viewdirs), sg(dists),
+            None if noise is None else sg(noise), sg(target),
+        )
+
+    return pass_loss
+
+
+def make_fused_train_loss(
+    coarse_model: FlexibleNeRFModel,
+    fine_model: Optional[FlexibleNeRFModel],
+    settings,
+    *,
+    supervision: str = "rgb",
+    block_samples: int = 512,
+    compute_dtype=jnp.float32,
+    dw_dtype=None,
+    interpret: bool = False,
+):
+    """The full hierarchical training loss on the combined kernels.
+
+    Returns ``loss_fn(params, rays: RayBatch, target [N,3], key) ->
+    (loss, metrics)`` — a drop-in for the ``render_rays`` + ``nerf_loss``
+    body of the train step (``train.step.make_train_step(fused_loss=...)``).
+    Stratified/hierarchical z-sampling and σ-noise generation stay XLA
+    (cheap, [N, S]-sized) with the SAME key-split structure as
+    ``render_rays``, so training trajectories are draw-for-draw comparable;
+    everything sample-major runs inside the fused kernels.
+    """
+    from dexnerf_tpu.core.sampling import (
+        hierarchical_z_vals,
+        perturb_z_vals,
+        stratified_z_vals,
+    )
+    from dexnerf_tpu.core.volrend import ray_dists
+
+    s = settings
+    if not s.use_viewdirs:
+        raise NotImplementedError(
+            "fused train loss requires use_viewdirs=True"
+        )
+    kwargs = dict(
+        block_samples=block_samples,
+        compute_dtype=compute_dtype,
+        dw_dtype=dw_dtype,
+        white_background=s.white_background,
+        supervision=supervision,
+        interpret=interpret,
+    )
+    coarse_pass = make_fused_pass_loss(coarse_model, **kwargs)
+    fine_pass = (
+        make_fused_pass_loss(fine_model, **kwargs)
+        if fine_model is not None and s.num_fine > 0
+        else None
+    )
+    std = float(s.radiance_field_noise_std)
+
+    def loss_fn(params, rays, target, key):
+        # same split structure as renderer.render_rays
+        if key is not None:
+            k_strat, k_noise_c, k_fine, k_noise_f = jax.random.split(key, 4)
+        else:
+            k_strat = k_noise_c = k_fine = k_noise_f = None
+
+        z_vals = stratified_z_vals(
+            rays.near, rays.far, s.num_coarse, lindisp=s.lindisp
+        )
+        if s.perturb:
+            z_vals = perturb_z_vals(k_strat, z_vals)
+
+        def noise_for(k, shape):
+            if std > 0.0 and k is not None:
+                return std * jax.random.normal(k, shape, dtype=jnp.float32)
+            return None
+
+        n = target.shape[0]
+        norm = float(n * 3 if supervision == "rgb" else n)
+
+        pts = (
+            rays.origins[..., None, :]
+            + rays.directions[..., None, :] * z_vals[..., :, None]
+        )
+        loss_c_sum, w_c, _ = coarse_pass(
+            params["coarse"], pts, rays.viewdirs,
+            ray_dists(z_vals, rays.directions),
+            noise_for(k_noise_c, z_vals.shape), target,
+        )
+        coarse_loss = loss_c_sum / norm
+
+        fine_loss = jnp.zeros((), jnp.float32)
+        if fine_pass is not None:
+            z_merged, _ = hierarchical_z_vals(
+                k_fine, z_vals, w_c, s.num_fine, det=not s.perturb
+            )
+            pts_f = (
+                rays.origins[..., None, :]
+                + rays.directions[..., None, :] * z_merged[..., :, None]
+            )
+            loss_f_sum, _, _ = fine_pass(
+                params["fine"], pts_f, rays.viewdirs,
+                ray_dists(z_merged, rays.directions),
+                noise_for(k_noise_f, z_merged.shape), target,
+            )
+            fine_loss = loss_f_sum / norm
+
+        loss = coarse_loss + fine_loss
+        return loss, {
+            "loss": loss,
+            "coarse_loss": coarse_loss,
+            "fine_loss": fine_loss,
+        }
+
+    return loss_fn

@@ -48,6 +48,7 @@ def make_parallel_train_step(
     steps_per_call: int = 1,
     coarse_field=None,
     fine_field=None,
+    fused_loss=None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Data-parallel train step: per-device ray sampling, gradient psum.
 
@@ -60,6 +61,9 @@ def make_parallel_train_step(
     ``train_nerf_rgb.py:222-241`` — via a pre-fold image key).
     ``coarse_field``/``fine_field``: optional fused Pallas field functions
     (the kernels run per device inside shard_map on each chip's ray shard).
+    ``fused_loss``: optional combined loss+gradients kernel path
+    (``ops.fused_train_loss``) replacing the whole render+loss body per
+    device; supersedes the field functions.
     """
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
@@ -90,6 +94,8 @@ def make_parallel_train_step(
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
             k_sample, k_render = jax.random.split(key)
             rays, target = sample_ray_batch(store, k_sample, local_batch)
+        if fused_loss is not None:
+            return fused_loss(params, rays, target, k_render)
         result = render_rays(
             coarse_fn, fine_fn, params, rays, k_render, settings,
             coarse_field=coarse_field, fine_field=fine_field,

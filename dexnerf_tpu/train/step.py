@@ -127,6 +127,7 @@ def make_train_step(
     supervision: str = "rgb",
     coarse_field=None,
     fine_field=None,
+    fused_loss=None,
     sampling: str = "uniform",
     steps_per_call: int = 1,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
@@ -135,6 +136,10 @@ def make_train_step(
     ``coarse_field``/``fine_field`` optionally replace the XLA
     encode+MLP path with fused Pallas field functions (see
     ``dexnerf_tpu.ops.fused_mlp_train`` for the training-capable one).
+    ``fused_loss`` goes further: a ``(params, rays, target, key) ->
+    (loss, metrics)`` callable (``ops.fused_train_loss``) that replaces the
+    whole render+loss body with the combined loss+gradients kernels —
+    the fastest TPU path; it supersedes ``coarse_field``/``fine_field``.
     ``sampling``: "uniform" draws rays from the whole store;
     "per_image" reproduces the reference's one-image-per-iteration
     sampling (``train_nerf_rgb.py:222-241``).
@@ -155,6 +160,8 @@ def make_train_step(
     def loss_fn(params, store, key):
         k_sample, k_render = jax.random.split(key)
         rays, target = sample_fn(store, k_sample, batch_size)
+        if fused_loss is not None:
+            return fused_loss(params, rays, target, k_render)
         result = render_rays(
             coarse_fn,
             fine_fn,

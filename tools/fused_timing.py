@@ -95,8 +95,17 @@ def main():
             _skip_dw=skip_dw,
         )
 
+    def fused_loss(block, cd=jnp.bfloat16, dw=jnp.bfloat16):
+        from dexnerf_tpu.ops import make_fused_train_loss
+
+        return make_fused_train_loss(
+            model, model, settings,
+            block_samples=block, compute_dtype=cd, dw_dtype=dw,
+        )
+
     for name in args.configs.split(","):
         name = name.strip()
+        fl = None
         if name == "xla":
             cf = ff = None
         elif name == "bf16_dwf32_512":
@@ -115,11 +124,18 @@ def main():
             # timing bisection only: dW matmuls replaced by zeros
             cf = fused(jnp.bfloat16, 1024, skip_dw=True)
             ff = fused(jnp.bfloat16, 1024, skip_dw=True)
+        elif name.startswith("loss_"):
+            # combined loss+grads kernel (ops/fused_train_loss):
+            # loss_<block> or loss_<block>_f32
+            parts = name.split("_")
+            cd = jnp.float32 if parts[-1] == "f32" else jnp.bfloat16
+            cf = ff = None
+            fl = fused_loss(int(parts[1]), cd=cd, dw=cd)
         else:
             raise ValueError(name)
         step = make_train_step(
             model.apply, model.apply, tx, settings, BATCH,
-            coarse_field=cf, fine_field=ff,
+            coarse_field=cf, fine_field=ff, fused_loss=fl,
         )
         # fresh param copies: the donated train state consumes its buffers
         state = init_train_state(
