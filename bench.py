@@ -70,14 +70,26 @@ def main():
     store = build_ray_store(images, poses, [400, 400, 555.0], 2.0, 6.0)
 
     tx = make_optimizer(5e-3)
-    state = init_train_state(params, tx)
-    # The product TPU path (cfg.nerf.use_pallas): fused PE+MLP Pallas field
-    # with custom VJP — bf16 matmul operands / f32 chain, block 1024. Beats
-    # the XLA step 30.0 vs 33.1 ms/step (docs/PERF_NOTES.md round 2). Falls
-    # back to the XLA field off-TPU or if the kernel path fails to build.
-    coarse_field = fine_field = None
-    if jax.default_backend() not in ("cpu",):
-        try:
+    # host-side master copy: the donated train step consumes its buffers,
+    # so every probe attempt below starts from a fresh device state
+    params_host = jax.device_get(params)
+    # The product TPU path (cfg.nerf.use_pallas): the combined loss+grads
+    # Pallas kernel — PE→MLP→compositing→MSE and every parameter gradient in
+    # ONE program per pass, so the forward never recomputes in the backward
+    # (docs/PERF_NOTES.md round 2). Falls back to the separate fused-field
+    # kernels, then to plain XLA, off-TPU or if a kernel fails to build.
+    def build_step(path):
+        kw = {}
+        if path == "fused_loss":
+            from dexnerf_tpu.ops import make_fused_train_loss
+
+            kw["fused_loss"] = make_fused_train_loss(
+                model, model, settings,
+                block_samples=512,
+                compute_dtype=jnp.bfloat16,
+                dw_dtype=jnp.bfloat16,
+            )
+        elif path == "fused_fields":
             from dexnerf_tpu.ops import make_fused_flexible_field_train
 
             def fused():
@@ -89,19 +101,31 @@ def main():
                     dw_dtype=jnp.bfloat16,
                 )
 
-            coarse_field, fine_field = fused(), fused()
-        except Exception:
-            coarse_field = fine_field = None
-    step = make_train_step(
-        model.apply, model.apply, tx, settings, BATCH,
-        coarse_field=coarse_field, fine_field=fine_field,
-    )
+            kw["coarse_field"], kw["fine_field"] = fused(), fused()
+        return make_train_step(
+            model.apply, model.apply, tx, settings, BATCH, **kw
+        )
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, store, sub)
-    jax.block_until_ready((state.params, metrics))
+    # Try kernels best-first; Pallas build/compile errors only surface at
+    # the first step call, so probe each path with its warmup.
+    paths = ["xla"]
+    if jax.default_backend() not in ("cpu",):
+        paths = ["fused_loss", "fused_fields", "xla"]
+    for path in paths:
+        try:
+            step = build_step(path)
+            key = jax.random.PRNGKey(1)
+            state = init_train_state(
+                jax.tree.map(jnp.asarray, params_host), tx
+            )
+            for _ in range(WARMUP):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, store, sub)
+            jax.block_until_ready((state.params, metrics))
+            break
+        except Exception:
+            if path == "xla":
+                raise
 
     best_dt = float("inf")
     for _ in range(REPEATS):

@@ -212,12 +212,14 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
 
     ``xyz``/``dir_enc``: padded f32 encodings. Returns raw [B, 4] f32;
     with ``keep_activations`` it instead returns
-    ``(out, trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask)``
-    where the saved activations are in ``compute_dtype`` (they are only
-    ever consumed as dW matmul operands) and the relu masks are 0/1 in
-    ``compute_dtype`` (consumed as multiplies — so no bf16 selects appear
-    anywhere). Halving the saved-activation footprint is what lets the
-    backward kernel run 2048-sample blocks inside the 16 MB VMEM budget.
+    ``(out, trunk_inputs, a_last, feat, y)`` where the saved activations
+    are in ``compute_dtype`` (they are only ever consumed as dW matmul
+    operands). Relu masks are NOT saved — every saved activation except
+    ``trunk_inputs[0]`` is post-relu, so the backward derives each mask as
+    ``act > 0`` on the spot (``_backward_chain``), halving the saved-state
+    VMEM a second time (the first halving was storing in compute_dtype) —
+    that is what fits the combined loss kernel's fine pass in the 16 MB
+    scoped-VMEM budget.
 
     Dtype discipline (the round-1 Mosaic-crash fix): the CHAIN — every
     activation, bias add, relu/select — stays float32; ``compute_dtype``
@@ -231,16 +233,11 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
     cd = compute_dtype
     xyz_op = xyz.astype(cd)  # pre-cast dot operand (used by layer1 + skips)
 
-    def mask_of(act):
-        # relu mask as a 0/1 multiply operand (f32 compare + f32 select,
-        # THEN a cast — never a bf16 select)
-        return jnp.where(act > 0, 1.0, 0.0).astype(cd)
-
     mi = 0
     # layer1: no activation (reference models.py:238); h stays f32
     h = _dot(xyz_op, mats[mi][:], jnp.float32) + biases[0][:]
     mi += 1
-    trunk_inputs, trunk_masks = [], []
+    trunk_inputs = []
     for i in range(num_trunk):
         h_in = h.astype(cd)
         if i in skip:
@@ -253,8 +250,6 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
         if keep_activations:
             trunk_inputs.append(h_in)
         h = jnp.maximum(y + biases[1 + i][:], 0.0)
-        if keep_activations:
-            trunk_masks.append(mask_of(h))
     a_last = h
     li = model.num_layers
     if model.use_viewdirs:
@@ -278,10 +273,7 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
         feat = y = None
         out = _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:]
     if keep_activations:
-        return (
-            out, trunk_inputs, trunk_masks, a_in, feat_in, mask_of(feat),
-            y.astype(cd), mask_of(y),
-        )
+        return (out, trunk_inputs, a_in, feat_in, y.astype(cd))
     return out
 
 

@@ -50,7 +50,7 @@ def _backward_chain(
     model: FlexibleNeRFModel,
     compute_dtype,
     dw_dtype,
-    matsT,
+    mats,
     dmats,
     dbs,
     saved,
@@ -63,10 +63,12 @@ def _backward_chain(
     """Backpropagate ``g`` [B, 4] (cotangent of the raw field) through the
     MLP, accumulating weight/bias grads into the grid-accumulated output refs.
 
-    ``saved`` = ``(trunk_inputs, trunk_masks, a_last, feat, feat_mask, y,
-    y_mask)`` from ``_forward_block(..., keep_activations=True)``. Shared by
-    the standalone backward kernel (which recomputes the forward first) and
-    the combined loss kernel (``fused_train_loss``, activations still live).
+    ``saved`` = ``(trunk_inputs, a_last, feat, y)`` from
+    ``_forward_block(..., keep_activations=True)``. Shared by the
+    standalone backward kernel (which recomputes the forward first) and the
+    combined loss kernel (``fused_train_loss``, activations still live).
+    Relu masks are DERIVED here (``act > 0`` on the saved post-relu
+    activations) rather than saved — halves the saved-state VMEM again.
 
     Dtype discipline (the round-1 Mosaic-crash fix, see
     ``fused_mlp._forward_block``): the whole delta chain — selects, adds,
@@ -76,7 +78,13 @@ def _backward_chain(
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
     dw = dw_dtype if dw_dtype is not None else jnp.float32
-    trunk_inputs, trunk_masks, a_last, feat, feat_mask, y, y_mask = saved
+    trunk_inputs, a_last, feat, y = saved
+
+    def relu_mask(act):
+        # 0/1 f32 multiply operand from a saved post-relu activation
+        # (f32 compare + f32 select — never a bf16 select, the round-1
+        # Mosaic crasher)
+        return jnp.where(act.astype(jnp.float32) > 0, 1.0, 0.0)
 
     first = pl.program_id(0) == 0
 
@@ -102,13 +110,15 @@ def _backward_chain(
             preferred_element_type=jnp.float32,
         )
 
-    def matWT(delta, wT):
-        # delta[B, O] @ W^T via the host-side pre-transposed weight
-        # (standard (1,)x(0,) contraction); operands in the weight's
-        # dtype (compute_dtype), f32 accumulation, f32 result.
+    def matWT(delta, w):
+        # delta[B, O] @ W^T as a dim-1/dim-1 contraction on the FORWARD
+        # weight — no host-side transposed copy streams into the kernel
+        # (halves the weight VMEM/HBM footprint; Mosaic accepts arbitrary
+        # single-dim contractions, only explicit swapaxes is rejected).
+        # Operands in the weight's dtype (compute_dtype), f32 accumulation.
         return jax.lax.dot_general(
-            delta.astype(wT.dtype), wT[:],
-            (((1,), (0,)), ((), ())),
+            delta.astype(w.dtype), w[:],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -124,38 +134,38 @@ def _backward_chain(
     )
     li = model.num_layers  # bias index of fc_feat
 
-    # relu backprop is a MULTIPLY by a saved 0/1 mask (no selects in
-    # the chain — selects with bf16 operands crash Mosaic, and masks
-    # stored in compute_dtype halve the saved-activation VMEM)
+    # relu backprop is a MULTIPLY by a derived 0/1 mask (no saved masks)
     # rgb head: padded 4-wide weight, full-g matmuls (the zero column
     # routes alpha's cotangent nowhere; assemble slices the dW)
     acc(dmats[mi_rgb], matT(y, g))
     acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
-    dy = matWT(g, matsT[mi_rgb])
+    dy = matWT(g, mats[mi_rgb])
     # dir layer (split matmul); whole delta chain f32
-    dz_y = dy * y_mask.astype(jnp.float32)
+    dz_y = dy * relu_mask(y)
     acc(dmats[mi_dir_h], matT(feat, dz_y))
     acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
     acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
-    dfeat = matWT(dz_y, matsT[mi_dir_h])
+    dfeat = matWT(dz_y, mats[mi_dir_h])
     # feat head
-    dz_f = dfeat * feat_mask.astype(jnp.float32)
+    dz_f = dfeat * relu_mask(feat)
     acc(dmats[mi_feat], matT(a_last, dz_f))
     acc(dbs[li], jnp.sum(dz_f, axis=0))
     # alpha head (linear, padded 4-wide weight)
     acc(dmats[mi_alpha], matT(a_last, g))
     acc(dbs[li + 1], jnp.sum(g[:, 3:4], axis=0))
-    da = matWT(dz_f, matsT[mi_feat]) + matWT(g, matsT[mi_alpha])
+    da = matWT(dz_f, mats[mi_feat]) + matWT(g, mats[mi_alpha])
 
-    # trunk, reversed
+    # trunk, reversed: layer i's relu mask comes from its OUTPUT, which is
+    # the (post-relu) input saved for layer i+1 — or a_last for the last
     for i in reversed(range(num_trunk)):
-        dz = da * trunk_masks[i].astype(jnp.float32)
+        out_act = trunk_inputs[i + 1] if i + 1 < num_trunk else a_last
+        dz = da * relu_mask(out_act)
         mi_i = trunk_mi[i]
         acc(dmats[mi_i], matT(trunk_inputs[i], dz))
         if i in skip:
             acc(dmats[mi_i + 1], matT(xyz, dz))
         acc(dbs[1 + i], jnp.sum(dz, axis=0))
-        da = matWT(dz, matsT[mi_i])
+        da = matWT(dz, mats[mi_i])
 
     # layer1 (no activation)
     acc(dmats[mi_layer1], matT(xyz, da))
@@ -176,14 +186,13 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
     n_bp = n_b + 1  # biases + the appended combined head bias (viewdirs)
 
     def kernel(*refs):
-        # inputs: pts, dirs, g, mats..., matsT..., biases...
+        # inputs: pts, dirs, g, mats..., biases...
         # outputs: dmats..., dbs... (dbs only for the n_b REAL biases)
         pts_ref, dirs_ref, g_ref = refs[0], refs[1], refs[2]
         mats = refs[3 : 3 + n_mats]
-        matsT = refs[3 + n_mats : 3 + 2 * n_mats]
-        biases = refs[3 + 2 * n_mats : 3 + 2 * n_mats + n_bp]
-        dmats = refs[3 + 2 * n_mats + n_bp : 3 + 3 * n_mats + n_bp]
-        dbs = refs[3 + 3 * n_mats + n_bp :]
+        biases = refs[3 + n_mats : 3 + n_mats + n_bp]
+        dmats = refs[3 + n_mats + n_bp : 3 + 2 * n_mats + n_bp]
+        dbs = refs[3 + 2 * n_mats + n_bp :]
 
         xyz = _pe_in_kernel(
             pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
@@ -205,7 +214,7 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
 
         g = g_ref[:]  # [B, 4] f32
         _backward_chain(
-            model, cd, dw_dtype, matsT, dmats, dbs, tuple(saved),
+            model, cd, dw_dtype, mats, dmats, dbs, tuple(saved),
             xyz, dir_enc, g, _skip_dw=_skip_dw,
         )
 
@@ -308,7 +317,6 @@ def make_fused_flexible_field_train(
         dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
         padded = total + pad
         grid = (padded // block,)
-        mats_t = tuple(jnp.swapaxes(m, 0, 1) for m in mats)
         bwd_kernel = get_bwd_kernel(S)
 
         sample_spec = pl.BlockSpec(
@@ -349,11 +357,10 @@ def make_fused_flexible_field_train(
             grid=grid,
             in_specs=[sample_spec, dir_spec, g_spec]
             + full2d(mats)
-            + full2d(mats_t)
             + b_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(pts_flat, dirs_in, g_flat, *mats, *mats_t, *bs)
+        )(pts_flat, dirs_in, g_flat, *mats, *bs)
         return grads[: len(mats)], grads[len(mats) :]
 
     @jax.custom_vjp

@@ -28,10 +28,15 @@ through a ``jax.custom_vjp`` whose backward simply scales the
 kernel-computed gradient tree by the incoming loss cotangent, so
 ``jax.value_and_grad`` over the train step keeps working unchanged.
 
-Compositing math matches the fused render kernel (``fused_render``): the
-exclusive cumprod is ``exp(Mstrict @ log(max(1 - alpha, 1e-10)))`` with
-iota-built group masks, and its backward uses the matching derivative
-(``-suffix / (1 - alpha)`` where the guard is inactive, 0 where it clamps).
+Compositing math is value-equivalent to the fused render kernel
+(``fused_render``) but the segmented scans use a cheaper layout: the [B, 1]
+per-sample columns are mapped to rays x samples via selector MATMULS (Mosaic
+cannot shape-cast [B, 1] <-> [R, S]) so the exclusive cumprod and the
+backward's suffix sum become [S, S] lane matmuls — the [B, B] strict-lower
+mask of fused_render costs 4 MB of VMEM at block 1024, which alone blew this
+kernel's scoped-VMEM budget. The backward uses the matching guard derivative
+(``-suffix / (1 - alpha)`` where ``max(1 - alpha, 1e-10)`` is inactive, 0
+where it clamps).
 σ-noise is injected from a PRE-GENERATED normal input (XLA generates it with
 the same ``jax.random`` key stream as the XLA path, so trajectories match).
 
@@ -57,15 +62,27 @@ from dexnerf_tpu.ops.fused_mlp import (
     _forward_block,
     _num_mats,
     _pe_in_kernel,
-    _ray_blocking,
     split_flex_params,
 )
 from dexnerf_tpu.ops.fused_mlp_train import _assemble_grads, _backward_chain
-from dexnerf_tpu.ops.fused_render import _f32dot, _group_masks
+from dexnerf_tpu.ops.fused_render import _f32dot
 
 # Rec.601 luma weights (reference train_nerf_ir.py:260-263); kept local —
 # importing from train.step would cycle through the package facades.
 _LUMA = (0.299, 0.587, 0.114)
+
+
+def _loss_ray_blocking(block_samples: int, N: int, S: int):
+    """(block, pad, rays_per_block) — like ``fused_mlp._ray_blocking`` but
+    with the Mosaic sublane floor on the per-RAY blocks: this kernel has
+    [R, 4]/[R, 1] outputs, whose leading block dim must be a multiple of 8
+    (or the full array). So R >= 8 when N >= 8, else one full-array block."""
+    if N < 8:
+        return N * S, 0, N
+    rays_per_block = max(8, min(block_samples // S, N))
+    block = rays_per_block * S
+    pad = (-N * S) % block
+    return block, pad, rays_per_block
 
 
 def _make_loss_kernel(
@@ -84,7 +101,7 @@ def _make_loss_kernel(
 
     def kernel(*refs):
         # inputs: pts, dirs, dists, [noise], target4, valid,
-        #         mats..., matsT..., biases...
+        #         mats..., biases...
         # outputs: loss(1,1) acc, w [B,1], rgb [R,4], dmats... acc, dbs... acc
         pts_ref, dirs_ref, dists_ref = refs[0], refs[1], refs[2]
         i = 3
@@ -95,9 +112,8 @@ def _make_loss_kernel(
         target_ref, valid_ref = refs[i], refs[i + 1]
         i += 2
         mats = refs[i : i + n_mats]
-        matsT = refs[i + n_mats : i + 2 * n_mats]
-        biases = refs[i + 2 * n_mats : i + 2 * n_mats + n_bp]
-        i += 2 * n_mats + n_bp
+        biases = refs[i + n_mats : i + n_mats + n_bp]
+        i += n_mats + n_bp
         out_loss, out_w, out_rgb = refs[i], refs[i + 1], refs[i + 2]
         dmats = refs[i + 3 : i + 3 + n_mats]
         dbs = refs[i + 3 + n_mats :]
@@ -130,11 +146,37 @@ def _make_loss_kernel(
         sigma = sigma_pre * relu_mask
         dists = dists_ref[:]
         alpha = 1.0 - jnp.exp(-sigma * dists)
-        mstrict, G = _group_masks(B, S)
+        # ray-group indicator [R, B] for per-ray reductions (tiny)
+        gr_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+        gc_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+        G = jnp.where(gc_i // S == gr_i, 1.0, 0.0)
+        # Segmented scans in rays x samples layout: the exclusive cumsum
+        # (and the backward's suffix sum) become [S, S] LANE matmuls — the
+        # [B, B] strict-lower mask of fused_render costs 4 MB of VMEM at
+        # block 1024, which alone blew this kernel's scoped-VMEM budget.
+        # Mosaic cannot shape-cast [B, 1] <-> [R, S], so the layout change
+        # is ALSO a matmul: to_rs via the ray indicator G with a [B, S]
+        # lane selector, from_rs via the row expander + the same selector.
+        b_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+        s_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [B, S]
+
+        def to_rs(v):  # [B, 1] -> [R, S]
+            return _f32dot(G, v * lane_sel)
+
+        def from_rs(x):  # [R, S] -> [B, 1]
+            return jnp.sum(
+                _expand_rows(x, S, B) * lane_sel, axis=1, keepdims=True
+            )
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        upper_strict = jnp.where(rr < cc, 1.0, 0.0)  # j < s -> col s
         # guard written as a max (not 1 - alpha + 1e-10): the compiler
         # reassociates and 1 + 1e-10 rounds to 1 in f32 (see fused_render)
         one_m = jnp.maximum(1.0 - alpha, 1e-10)
-        trans = jnp.exp(_f32dot(mstrict, jnp.log(one_m)))
+        cum = _f32dot(to_rs(jnp.log(one_m)), upper_strict)
+        trans = jnp.exp(from_rs(cum))
         w = alpha * trans  # [B, 1]
         out_w[:] = w
 
@@ -180,11 +222,10 @@ def _make_loss_kernel(
             ga = -jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)  # [R,1]
             gw = gw + _expand_rows(ga, S, B)
         draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col 3 = 0
-        # suffix_s = sum_{u>s, same ray} gw_u * w_u — Mstrict^T @ x via a
-        # dim-0/dim-0 contraction (no second [B, B] mask build)
-        suffix = jax.lax.dot_general(
-            mstrict, gw * w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # suffix_s = sum_{u>s, same ray} gw_u * w_u — the transposed scan:
+        # same lane-matmul trick against the strict-lower [S, S] mask
+        suffix = from_rs(
+            _f32dot(to_rs(gw * w), jnp.where(rr > cc, 1.0, 0.0))
         )
         inv = jnp.where(1.0 - alpha > 1e-10, 1.0 / one_m, 0.0)
         galpha = trans * gw - inv * suffix
@@ -192,7 +233,7 @@ def _make_loss_kernel(
         g = draw_rgb + draw_sigma * jnp.where(col4 == 3, 1.0, 0.0)
 
         _backward_chain(
-            model, compute_dtype, dw_dtype, matsT, dmats, dbs, tuple(saved),
+            model, compute_dtype, dw_dtype, mats, dmats, dbs, tuple(saved),
             xyz, dir_enc, g,
         )
 
@@ -243,7 +284,7 @@ def make_fused_pass_loss(
         N, S, _ = pts.shape
         total = N * S
         has_noise = noise is not None
-        block, pad, rays_per_block = _ray_blocking(block_samples, N, S)
+        block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
         n_ray_pad = (total + pad) // S
 
         pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
@@ -264,7 +305,6 @@ def make_fused_pass_loss(
         inputs += [target4, valid]
 
         mats, bs = split_flex_params(model, params, compute_dtype)
-        mats_t = tuple(jnp.swapaxes(m, 0, 1) for m in mats)
         bs_real = bs[: len(names)]
         padded = total + pad
         grid = (padded // block,)
@@ -287,7 +327,7 @@ def make_fused_pass_loss(
         if has_noise:
             in_specs.append(blk((block, 1)))
         in_specs += [blk((R, 4)), blk((R, 1))]
-        in_specs += full2d(mats) + full2d(mats_t)
+        in_specs += full2d(mats)
         in_specs += [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
             for b in bs
@@ -317,7 +357,14 @@ def make_fused_pass_loss(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(*inputs, *mats, *mats_t, *bs)
+            # the combined kernel legitimately holds the forward activations
+            # through the backward chain; the default 16 MB scoped-VMEM
+            # budget is a compiler default, not the hardware bound (v5e has
+            # 128 MB of VMEM) — raise it rather than shrink blocks
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(*inputs, *mats, *bs)
 
         loss_sum = outs[0][0, 0]
         weights = outs[1][:total, 0].reshape(N, S)

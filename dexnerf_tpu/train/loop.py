@@ -203,6 +203,41 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
     return cf, ff
 
 
+def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
+    """The combined loss+gradients kernel path (``ops/fused_train_loss``)
+    when ``cfg.nerf.use_pallas`` is set — the fastest TPU train path (the
+    forward runs once per step; the separate-field path recomputes it in
+    the backward kernel). Opt-out via ``cfg.nerf.pallas_fused_loss: false``
+    (falls back to the fused fields). None when unavailable (non-Flexible
+    models, no viewdirs)."""
+    if not bool(_get(cfg.nerf, "use_pallas", False)):
+        return None
+    if not bool(_get(cfg.nerf, "pallas_fused_loss", True)):
+        return None
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_train_loss
+
+    coarse, fine = models_from_cfg(cfg)
+    if not isinstance(coarse, FlexibleNeRFModel) or not coarse.use_viewdirs:
+        return None
+    if fine is not None and not isinstance(fine, FlexibleNeRFModel):
+        return None
+    if not settings.use_viewdirs:
+        return None
+    cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
+    dtype = jnp.bfloat16 if cdt == "bfloat16" else jnp.float32
+    return make_fused_train_loss(
+        coarse,
+        fine,
+        settings,
+        supervision=supervision,
+        block_samples=int(_get(cfg.nerf, "pallas_loss_block_samples", 512)),
+        compute_dtype=dtype,
+        dw_dtype=dtype,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
 def maybe_fused_render_impl(cfg: CfgNode, settings):
     """A fully fused PE→MLP→compositing ``rays_impl`` for render_image when
     ``cfg.nerf.use_fused_render`` is set (deterministic validation/eval
@@ -604,7 +639,12 @@ def run_training(
         if steps_per_call is not None
         else _get(cfg.nerf.train, "steps_per_call", 1)
     )
-    coarse_field, fine_field = maybe_fused_fields(cfg, train=True)
+    fused_loss = maybe_fused_loss(cfg, s_train, supervision)
+    # the combined loss kernel supersedes the separate field kernels
+    coarse_field, fine_field = (
+        (None, None) if fused_loss is not None
+        else maybe_fused_fields(cfg, train=True)
+    )
 
     mesh = None
     if num_devices is not None and num_devices > 1:
@@ -623,6 +663,7 @@ def run_training(
             steps_per_call=steps_per_call,
             coarse_field=coarse_field,
             fine_field=fine_field,
+            fused_loss=fused_loss,
         )
     else:
         train_step = make_train_step(
@@ -630,6 +671,7 @@ def run_training(
             supervision=supervision,
             coarse_field=coarse_field,
             fine_field=fine_field,
+            fused_loss=fused_loss,
             sampling=sampling,
             steps_per_call=steps_per_call,
         )

@@ -214,3 +214,33 @@ def test_use_pallas_training_interpret(tmp_path):
         cfg, scene=_scene(), use_tensorboard=False, max_iters=2
     )
     assert np.isfinite(out["final_train_metrics"]["loss"])
+
+
+def test_use_pallas_fused_loss_opt_out(tmp_path):
+    """pallas_fused_loss: false falls back to the separate fused-field
+    kernels; both reach a finite loss through run_training."""
+    cfg = _base_cfg(tmp_path)
+    cfg.nerf["use_pallas"] = True
+    cfg.nerf["pallas_fused_loss"] = False
+    cfg.experiment["validate_every"] = 0
+    out = run_training(
+        cfg, scene=_scene(), use_tensorboard=False, max_iters=2
+    )
+    assert np.isfinite(out["final_train_metrics"]["loss"])
+
+
+def test_maybe_fused_loss_gating(tmp_path):
+    """maybe_fused_loss: on for use_pallas FlexibleNeRF+viewdirs, off when
+    disabled or opted out."""
+    from dexnerf_tpu.train.loop import (
+        maybe_fused_loss,
+        render_settings_from_cfg,
+    )
+
+    cfg = _base_cfg(tmp_path)
+    s = render_settings_from_cfg(cfg, "train", dex=False)
+    assert maybe_fused_loss(cfg, s, "rgb") is None  # use_pallas unset
+    cfg.nerf["use_pallas"] = True
+    assert maybe_fused_loss(cfg, s, "rgb") is not None
+    cfg.nerf["pallas_fused_loss"] = False
+    assert maybe_fused_loss(cfg, s, "rgb") is None

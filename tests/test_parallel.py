@@ -220,3 +220,45 @@ def test_parallel_train_step_with_fused_field():
         key, sub = jax.random.split(key)
         state, metrics = step(state, store, sub)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_parallel_train_step_with_fused_loss():
+    """The combined loss+gradients kernel runs inside shard_map (per-device
+    ray shards) and matches the XLA parallel step's loss."""
+    from dexnerf_tpu.ops import make_fused_train_loss
+
+    mesh = make_mesh()
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+    )
+    in_dim = encoding_dim(3, ENC_XYZ) + encoding_dim(3, ENC_DIR)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    images, _, poses, hwf = make_synthetic_scene(num_views=2, height=8, width=8)
+    store = build_ray_store(images, poses, hwf, 2.0, 6.0)
+    tx = make_optimizer(5e-3)
+
+    fused = make_fused_train_loss(
+        model, model, SETTINGS, block_samples=32, interpret=True
+    )
+    step_fused = make_parallel_train_step(
+        mesh, model.apply, model.apply, tx, SETTINGS, global_batch_size=16,
+        fused_loss=fused,
+    )
+    step_xla = make_parallel_train_step(
+        mesh, model.apply, model.apply, tx, SETTINGS, global_batch_size=16,
+    )
+    st_f = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    st_x = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        st_f, mf = step_fused(st_f, store, sub)
+        st_x, mx = step_xla(st_x, store, sub)
+    np.testing.assert_allclose(
+        float(mf["loss"]), float(mx["loss"]), rtol=1e-4
+    )

@@ -31,6 +31,13 @@ def main() -> int:
         "chain) instead of the XLA field — quality-parity check for the "
         "kernel path",
     )
+    p.add_argument(
+        "--fused-loss",
+        action="store_true",
+        help="train through the combined loss+gradients kernel "
+        "(ops/fused_train_loss) — quality-parity check for the "
+        "single-program fwd+bwd path",
+    )
     args = p.parse_args()
 
     import jax
@@ -83,9 +90,19 @@ def main() -> int:
             )
 
         cf, ff = fused_field(), fused_field()
+    fused_loss = None
+    if args.fused_loss:
+        from dexnerf_tpu.ops import make_fused_train_loss
+
+        fused_loss = make_fused_train_loss(
+            model, model, settings,
+            block_samples=512,
+            compute_dtype=jnp.bfloat16,
+            dw_dtype=jnp.bfloat16,
+        )
     step = make_train_step(
         model.apply, model.apply, tx, settings, args.batch,
-        coarse_field=cf, fine_field=ff,
+        coarse_field=cf, fine_field=ff, fused_loss=fused_loss,
     )
     t0 = time.time()
     final_psnr = 0.0

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--stages", type=str, default="f32,bf16")
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--batch", type=int, default=4096)
+    p.add_argument(
+        "--ref-cache", type=str, default="/tmp/fused_loss_ref.npz",
+        help="cache the (slow, ~7 min) XLA reference grads across runs",
+    )
     args = p.parse_args()
 
     from dexnerf_tpu.core.encoding import encoding_dim
@@ -73,12 +77,29 @@ def main():
         loss, _ = nerf_loss(result, target)
         return loss
 
-    print("computing XLA reference grads...", flush=True)
     t0 = time.time()
-    ref_loss, ref_grads = jax.jit(jax.value_and_grad(xla_loss))(params)
-    ref_loss = float(ref_loss)
-    ref_grads = jax.device_get(ref_grads)
-    print(f"XLA ref loss={ref_loss:.6f} ({time.time()-t0:.1f}s)", flush=True)
+    leaves_tpl, treedef = jax.tree_util.tree_flatten(params)
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        data = np.load(args.ref_cache)
+        ref_loss = float(data["loss"])
+        ref_grads = jax.tree_util.tree_unflatten(
+            treedef, [data[f"g{i}"] for i in range(len(leaves_tpl))]
+        )
+        print(f"XLA ref loss={ref_loss:.6f} (cached)", flush=True)
+    else:
+        print("computing XLA reference grads...", flush=True)
+        ref_loss, ref_grads = jax.jit(jax.value_and_grad(xla_loss))(params)
+        ref_loss = float(ref_loss)
+        ref_grads = jax.device_get(ref_grads)
+        if args.ref_cache:
+            gleaves = jax.tree_util.tree_leaves(ref_grads)
+            np.savez(
+                args.ref_cache, loss=ref_loss,
+                **{f"g{i}": np.asarray(g) for i, g in enumerate(gleaves)},
+            )
+        print(
+            f"XLA ref loss={ref_loss:.6f} ({time.time()-t0:.1f}s)", flush=True
+        )
 
     for name in args.stages.split(","):
         name = name.strip()
