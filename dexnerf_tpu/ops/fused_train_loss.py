@@ -102,7 +102,7 @@ def _make_loss_kernel(
     def kernel(*refs):
         # inputs: pts, dirs, dists, [noise], target4, valid,
         #         mats..., biases...
-        # outputs: loss(1,1) acc, w [B,1], rgb [R,4], dmats... acc, dbs... acc
+        # outputs: loss(1,1) acc, w [R,S], rgb [R,4], dmats... acc, dbs... acc
         pts_ref, dirs_ref, dists_ref = refs[0], refs[1], refs[2]
         i = 3
         noise_ref = None
@@ -135,56 +135,64 @@ def _make_loss_kernel(
             keep_activations=True,
         )
 
-        # ---- compositing forward (f32 chain; volume_rendering_utils.py) ----
+        # ---- compositing, rays x samples layout ----
+        # Per-sample scalars ([B, 1] columns) are maximally lane-wasteful on
+        # TPU: a [B, 1] f32 tile occupies B x 128 lanes with one useful
+        # lane, so every elementwise op pays 128x. The whole σ chain
+        # (noise, relu, alpha, log/exp scans, weights, and its backward)
+        # therefore runs in DENSE [R, S] tiles: dists/noise arrive [R, S]
+        # from the wrapper, σ converts once via a selector matmul (Mosaic
+        # cannot shape-cast [B, 1] <-> [R, S]), and the segmented scans are
+        # [S, S] lane matmuls. Only the rgb math stays [B, 4].
         col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
         mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [B, 4]
         rgb4 = jax.nn.sigmoid(raw) * mask_rgb
-        sigma_pre = raw[:, 3:4]
-        if has_noise:
-            sigma_pre = sigma_pre + noise_ref[:]
-        relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
-        sigma = sigma_pre * relu_mask
-        dists = dists_ref[:]
-        alpha = 1.0 - jnp.exp(-sigma * dists)
-        # ray-group indicator [R, B] for per-ray reductions (tiny)
+
+        # ray-group indicator [R, B]: per-ray reductions (dim-1), row
+        # expansion (dim-0 contraction), and the to_rs/from_rs selectors
         gr_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
         gc_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
         G = jnp.where(gc_i // S == gr_i, 1.0, 0.0)
-        # Segmented scans in rays x samples layout: the exclusive cumsum
-        # (and the backward's suffix sum) become [S, S] LANE matmuls — the
-        # [B, B] strict-lower mask of fused_render costs 4 MB of VMEM at
-        # block 1024, which alone blew this kernel's scoped-VMEM budget.
-        # Mosaic cannot shape-cast [B, 1] <-> [R, S], so the layout change
-        # is ALSO a matmul: to_rs via the ray indicator G with a [B, S]
-        # lane selector, from_rs via the row expander + the same selector.
         b_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
         s_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
         lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [B, S]
+
+        def expand(x):  # [R, D] -> [B, D]: row b = x[b // S]
+            return jax.lax.dot_general(
+                G, x, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         def to_rs(v):  # [B, 1] -> [R, S]
             return _f32dot(G, v * lane_sel)
 
         def from_rs(x):  # [R, S] -> [B, 1]
-            return jnp.sum(
-                _expand_rows(x, S, B) * lane_sel, axis=1, keepdims=True
-            )
+            return jnp.sum(expand(x) * lane_sel, axis=1, keepdims=True)
 
+        sigma_pre = to_rs(raw[:, 3:4])  # [R, S]
+        if has_noise:
+            sigma_pre = sigma_pre + noise_ref[:]
+        relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
+        sigma = sigma_pre * relu_mask
+        dists = dists_ref[:]  # [R, S]
+        alpha = 1.0 - jnp.exp(-sigma * dists)
         rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        upper_strict = jnp.where(rr < cc, 1.0, 0.0)  # j < s -> col s
         # guard written as a max (not 1 - alpha + 1e-10): the compiler
         # reassociates and 1 + 1e-10 rounds to 1 in f32 (see fused_render)
         one_m = jnp.maximum(1.0 - alpha, 1e-10)
-        cum = _f32dot(to_rs(jnp.log(one_m)), upper_strict)
-        trans = jnp.exp(from_rs(cum))
-        w = alpha * trans  # [B, 1]
-        out_w[:] = w
+        # exclusive cumsum along samples: j < s contributes to column s
+        cum = _f32dot(jnp.log(one_m), jnp.where(rr < cc, 1.0, 0.0))
+        trans = jnp.exp(cum)
+        w_rs = alpha * trans  # [R, S]
+        out_w[:] = w_rs  # weights leave in dense rays-x-samples layout
+        w = from_rs(w_rs)  # [B, 1]
 
         ray_rgb = _f32dot(G, w * rgb4)  # [R, 4] (col 3 = 0)
         colR = jax.lax.broadcasted_iota(jnp.int32, (R, 4), 1)
         mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
         if white_background:
-            acc_r = _f32dot(G, w)  # [R, 1]
+            acc_r = jnp.sum(w_rs, axis=1, keepdims=True)  # [R, 1]
             ray_rgb = ray_rgb + (1.0 - acc_r) * mask_rgb_r
         out_rgb[:] = ray_rgb
 
@@ -215,22 +223,19 @@ def _make_loss_kernel(
         def _():
             out_loss[:] = out_loss[:] + val
 
-        # ---- compositing backward ----
-        gr = _expand_rows(g_ray, S, B)  # [B, 4] per-sample ray cotangent
-        gw = jnp.sum(gr * rgb4, axis=1, keepdims=True)  # [B, 1]
+        # ---- compositing backward (σ chain in [R, S], rgb in [B, 4]) ----
+        gr = expand(g_ray)  # [B, 4] per-sample ray cotangent
+        gw = to_rs(jnp.sum(gr * rgb4, axis=1, keepdims=True))  # [R, S]
         if white_background:
-            ga = -jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)  # [R,1]
-            gw = gw + _expand_rows(ga, S, B)
+            # dL/dacc broadcasts across the ray's samples (lane broadcast)
+            gw = gw - jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)
         draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col 3 = 0
-        # suffix_s = sum_{u>s, same ray} gw_u * w_u — the transposed scan:
-        # same lane-matmul trick against the strict-lower [S, S] mask
-        suffix = from_rs(
-            _f32dot(to_rs(gw * w), jnp.where(rr > cc, 1.0, 0.0))
-        )
+        # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
+        suffix = _f32dot(gw * w_rs, jnp.where(rr > cc, 1.0, 0.0))
         inv = jnp.where(1.0 - alpha > 1e-10, 1.0 / one_m, 0.0)
         galpha = trans * gw - inv * suffix
-        draw_sigma = galpha * dists * (1.0 - alpha) * relu_mask  # [B, 1]
-        g = draw_rgb + draw_sigma * jnp.where(col4 == 3, 1.0, 0.0)
+        gsigma = galpha * dists * (1.0 - alpha) * relu_mask  # [R, S]
+        g = draw_rgb + from_rs(gsigma) * jnp.where(col4 == 3, 1.0, 0.0)
 
         _backward_chain(
             model, compute_dtype, dw_dtype, mats, dmats, dbs, tuple(saved),
@@ -289,19 +294,17 @@ def make_fused_pass_loss(
 
         pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
         dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
-        dists_flat = jnp.pad(
-            dists.reshape(total, 1), ((0, pad), (0, 0))
-        )
+        # dists/noise stream in rays-x-samples layout — the kernel's σ
+        # chain runs in dense [R, S] tiles (see kernel comment)
+        dists_rows = jnp.pad(dists, ((0, n_ray_pad - N), (0, 0)))
         target4 = jnp.pad(
             target.astype(jnp.float32), ((0, n_ray_pad - N), (0, 1))
         )
         valid = jnp.pad(jnp.ones((N, 1), jnp.float32),
                         ((0, n_ray_pad - N), (0, 0)))
-        inputs = [pts_flat, dirs_in, dists_flat]
+        inputs = [pts_flat, dirs_in, dists_rows]
         if has_noise:
-            inputs.append(
-                jnp.pad(noise.reshape(total, 1), ((0, pad), (0, 0)))
-            )
+            inputs.append(jnp.pad(noise, ((0, n_ray_pad - N), (0, 0))))
         inputs += [target4, valid]
 
         mats, bs = split_flex_params(model, params, compute_dtype)
@@ -323,9 +326,9 @@ def make_fused_pass_loss(
                 for a in arrs
             ]
 
-        in_specs = [blk((block, 3)), blk((R, 3)), blk((block, 1))]
+        in_specs = [blk((block, 3)), blk((R, 3)), blk((R, S))]
         if has_noise:
-            in_specs.append(blk((block, 1)))
+            in_specs.append(blk((R, S)))
         in_specs += [blk((R, 4)), blk((R, 1))]
         in_specs += full2d(mats)
         in_specs += [
@@ -334,12 +337,12 @@ def make_fused_pass_loss(
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss sum
-            jax.ShapeDtypeStruct((padded, 1), jnp.float32),  # weights
+            jax.ShapeDtypeStruct((n_ray_pad, S), jnp.float32),  # weights
             jax.ShapeDtypeStruct((n_ray_pad, 4), jnp.float32),  # rgb
         ]
         out_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            blk((block, 1)),
+            blk((R, S)),
             blk((R, 4)),
         ]
         out_shapes += [
@@ -362,12 +365,12 @@ def make_fused_pass_loss(
             # budget is a compiler default, not the hardware bound (v5e has
             # 128 MB of VMEM) — raise it rather than shrink blocks
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024
             ),
         )(*inputs, *mats, *bs)
 
         loss_sum = outs[0][0, 0]
-        weights = outs[1][:total, 0].reshape(N, S)
+        weights = outs[1][:N]
         rgb = outs[2][:N, :3]
         dmats = outs[3 : 3 + len(mats)]
         dbs = outs[3 + len(mats) :]

@@ -231,7 +231,7 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         fine,
         settings,
         supervision=supervision,
-        block_samples=int(_get(cfg.nerf, "pallas_loss_block_samples", 512)),
+        block_samples=int(_get(cfg.nerf, "pallas_loss_block_samples", 2048)),
         compute_dtype=dtype,
         dw_dtype=dtype,
         interpret=jax.default_backend() == "cpu",
