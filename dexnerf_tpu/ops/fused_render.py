@@ -7,15 +7,17 @@ the per-RAY outputs (rgb/disparity/accumulation/depth, the per-sample
 weights for hierarchical sampling, and the Dex-NeRF σ-threshold depths).
 
 Compositing the reference way (``volume_rendering_utils.py:6-70``) needs an
-exclusive cumprod along each ray's samples. In this kernel's sample-major
-layout (block = R rays x S samples as rows), that scan is expressed as
-MATMULS with iota-built group masks — the MXU-native form:
+exclusive cumprod along each ray's samples. The σ chain runs in DENSE
+[R, S] rays-x-samples tiles (per-sample [B, 1] columns waste 128x lanes on
+TPU — see ``_rs_ops``), and the scans are [S, S] lane MATMULS with
+iota-built masks — the MXU-native form:
 
-* exclusive cumprod:  ``T_i = exp( Mstrict @ log(1 - alpha + 1e-10) )``
-  with ``Mstrict[r, c] = (same ray) & (c < r)``;
-* per-ray reductions: ``G @ X`` with ``G[g, c] = (c // S == g)``;
-* σ-threshold FIRST crossing: hit count ``Mstrict @ ind + ind == 1`` picks
-  the first hit as a one-hot, so the Dex depth is ``G @ (first * z)``, with
+* exclusive cumprod:  ``T = exp( log(1 - alpha + eps) @ U )`` with
+  ``U[j, s] = (j < s)``;
+* per-ray reductions are lane rowsums; only the rgb accumulation uses the
+  ray-group indicator ``G[g, c] = (c // S == g)``;
+* σ-threshold FIRST crossing: hit count ``ind @ U + ind == 1`` picks the
+  first hit as a one-hot, so the Dex depth is ``rowsum(first * z)``, with
   the reference's no-hit fallback (argmax of all-zeros -> sample 0).
 
 Stage-1 scope: forward (no-grad) path — validation/eval rendering; training
@@ -49,25 +51,45 @@ from dexnerf_tpu.ops.fused_mlp import (
 )
 
 
-def _group_masks(B: int, S: int):
-    """(Mstrict [B, B], G [R, B]) from iotas — same-ray strictly-lower mask
-    and the ray-group indicator. Built in-kernel (Pallas kernels cannot
-    capture array constants); iota compares are trivial VPU work."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    same = (r // S) == (c // S)
-    mstrict = jnp.where(jnp.logical_and(same, c < r), 1.0, 0.0)
-    R = B // S
-    g = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
-    G = jnp.where(cc // S == g, 1.0, 0.0)
-    return mstrict, G
-
-
 def _f32dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+def _rs_ops(B: int, S: int):
+    """Rays-x-samples layout toolkit for one block of B = R*S samples.
+
+    Per-sample [B, 1] columns are maximally lane-wasteful on TPU (a [B, 1]
+    f32 tile occupies B x 128 lanes with one useful lane), so compositing
+    chains run in dense [R, S] tiles instead. Mosaic cannot shape-cast
+    [B, 1] <-> [R, S], so the layout change is itself a selector matmul.
+    Returns ``(G, expand, to_rs, from_rs)``: the [R, B] ray-group
+    indicator (per-ray reductions via dim-1, row expansion via dim-0
+    contraction), and the three layout mappers. All masks are iota-built
+    (Pallas kernels cannot capture array constants).
+    """
+    R = B // S
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+    G = jnp.where(gc // S == g, 1.0, 0.0)
+    b_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [B, S]
+
+    def expand(x):  # [R, D] -> [B, D]: row b = x[b // S]
+        return jax.lax.dot_general(
+            G, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def to_rs(v):  # [B, 1] -> [R, S]
+        return _f32dot(G, v * lane_sel)
+
+    def from_rs(x):  # [R, S] -> [B, 1]
+        return jnp.sum(expand(x) * lane_sel, axis=1, keepdims=True)
+
+    return G, expand, to_rs, from_rs
 
 
 def _make_render_kernel(
@@ -90,6 +112,7 @@ def _make_render_kernel(
         outs = refs[4 + n_mats + n_b :]
         out_rgb, out_disp, out_acc, out_depth, out_w = outs[:5]
         B = pts_ref.shape[0]
+        R = B // S
 
         xyz = _pe_in_kernel(
             pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
@@ -102,28 +125,29 @@ def _make_render_kernel(
         dir_enc = _expand_rows(dir_enc, S, B)
         raw = _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype)
 
-        # compositing (reference volume_rendering_utils.py:29-49), f32
+        # compositing (reference volume_rendering_utils.py:29-49), f32,
+        # in dense rays-x-samples tiles (see _rs_ops: [B, 1] columns are
+        # 128x lane-wasteful); z/dists arrive [R, S] from the wrapper
         col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
         rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)  # [B,4]
-        sigma = jnp.maximum(raw[:, 3:4], 0.0)  # [B,1]
-        z = z_ref[:]
-        dists = dists_ref[:]
-        alpha = 1.0 - jnp.exp(-sigma * dists)
-        mstrict, G = _group_masks(B, S)
-        # reference guard is (1 - alpha + 1e-10); written as a max because
-        # the compiler reassociates (1.0 + 1e-10) - alpha, and 1 + 1e-10
-        # rounds to 1 in f32 -> log(0) = -inf at alpha == 1
-        log_t = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
-        trans = jnp.exp(_f32dot(mstrict, log_t))  # exclusive cumprod
-        w = alpha * trans  # [B, 1]
-        out_w[:] = w
+        G, _, to_rs, from_rs = _rs_ops(B, S)
+        sigma = jnp.maximum(to_rs(raw[:, 3:4]), 0.0)  # [R, S]
+        z = z_ref[:]  # [R, S]
+        alpha = 1.0 - jnp.exp(-sigma * dists_ref[:])
+        # exclusive cumsum along samples as an [S, S] lane matmul
+        rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        # reference guard is (1 - alpha + 1e-10); the outer max defends
+        # against the compiler reassociating (1.0 + 1e-10) - alpha (the
+        # eps rounds away and alpha == 1 would give log(0))
+        log_t = jnp.log(jnp.maximum((1.0 - alpha) + 1e-10, 1e-10))
+        trans = jnp.exp(_f32dot(log_t, jnp.where(rr < cc, 1.0, 0.0)))
+        w_rs = alpha * trans  # [R, S]
+        out_w[:] = w_rs
 
-        # per-ray reductions in one G-matmul: [w*rgb(4) | w*z | w]
-        stats = jnp.concatenate([w * rgb, w * z, w], axis=-1)  # [B, 6]
-        ray_stats = _f32dot(G, stats)  # [R, 6]
-        rgb_map = ray_stats[:, 0:3]
-        depth = ray_stats[:, 4:5]
-        acc = ray_stats[:, 5:6]
+        rgb_map = _f32dot(G, from_rs(w_rs) * rgb)[:, 0:3]  # [R, 3]
+        depth = jnp.sum(w_rs * z, axis=1, keepdims=True)  # [R, 1]
+        acc = jnp.sum(w_rs, axis=1, keepdims=True)  # [R, 1]
         if white_background:
             rgb_map = rgb_map + (1.0 - acc)
         out_rgb[:] = rgb_map
@@ -133,23 +157,21 @@ def _make_render_kernel(
 
         if T:
             out_dex = outs[5]
-            # threshold row vector from iota selects (static values)
-            colT = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-            m_row = jnp.zeros((1, T), jnp.float32)
+            colT = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+            dex = jnp.zeros((R, T), jnp.float32)
+            z_first = z[:, :1]  # no-hit fallback: reference argmax of
+            # all-zeros -> sample 0 (the nearest z)
             for i, m in enumerate(thresholds):
-                m_row = jnp.where(colT == i, np.float32(m), m_row)
-            ind = jnp.where(sigma > m_row, 1.0, 0.0)  # [B, T]
-            hits_before = _f32dot(mstrict, ind)
-            first = jnp.where(
-                jnp.logical_and(hits_before < 0.5, ind > 0.5), 1.0, 0.0
-            )
-            ddex = _f32dot(G, first * z)  # [R, T]
-            # no-hit fallback: reference argmax of all-zeros -> sample 0
-            rowB = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-            isfirst = jnp.where(rowB % S == 0, 1.0, 0.0)
-            z_first = _f32dot(G, isfirst * z)  # [R, 1]
-            any_hit = _f32dot(G, ind)  # [R, T]
-            out_dex[:] = jnp.where(any_hit > 0.5, ddex, z_first)
+                ind = jnp.where(sigma > np.float32(m), 1.0, 0.0)  # [R, S]
+                hits_before = _f32dot(ind, jnp.where(rr < cc, 1.0, 0.0))
+                first = jnp.where(
+                    jnp.logical_and(hits_before < 0.5, ind > 0.5), 1.0, 0.0
+                )
+                ddex = jnp.sum(first * z, axis=1, keepdims=True)  # [R, 1]
+                any_hit = jnp.sum(ind, axis=1, keepdims=True)
+                val = jnp.where(any_hit > 0.5, ddex, z_first)
+                dex = jnp.where(colT == i, val, dex)
+            out_dex[:] = dex
 
     return kernel
 
@@ -189,8 +211,9 @@ def make_fused_render(
 
         pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
         dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
-        z_flat = jnp.pad(z_vals.reshape(total, 1), ((0, pad), (0, 0)))
-        d_flat = jnp.pad(dists.reshape(total, 1), ((0, pad), (0, 0)))
+        # z/dists stream in rays-x-samples layout (dense tiles in-kernel)
+        z_rows = jnp.pad(z_vals, ((0, n_ray_pad - N), (0, 0)))
+        d_rows = jnp.pad(dists, ((0, n_ray_pad - N), (0, 0)))
 
         mats, bs = split_flex_params(model, params, compute_dtype)
         padded = total + pad
@@ -202,8 +225,7 @@ def make_fused_render(
                 shape2, lambda i: (i, 0), memory_space=pltpu.VMEM
             )
 
-        in_specs = [blk((block, 3)), blk((R, 3)), blk((block, 1)),
-                    blk((block, 1))]
+        in_specs = [blk((block, 3)), blk((R, 3)), blk((R, S)), blk((R, S))]
         in_specs += [
             pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for m in mats
@@ -217,10 +239,10 @@ def make_fused_render(
             jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # disparity
             jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # acc
             jax.ShapeDtypeStruct((n_ray_pad, 1), jnp.float32),  # depth
-            jax.ShapeDtypeStruct((padded, 1), jnp.float32),  # weights
+            jax.ShapeDtypeStruct((n_ray_pad, S), jnp.float32),  # weights
         ]
         out_specs = [blk((R, 3)), blk((R, 1)), blk((R, 1)), blk((R, 1)),
-                     blk((block, 1))]
+                     blk((R, S))]
         if T:
             out_shapes.append(jax.ShapeDtypeStruct((n_ray_pad, T), jnp.float32))
             out_specs.append(blk((R, T)))
@@ -232,14 +254,14 @@ def make_fused_render(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(pts_flat, dirs_in, z_flat, d_flat, *mats, *bs)
+        )(pts_flat, dirs_in, z_rows, d_rows, *mats, *bs)
 
         rgb, disp, acc, depth, w = outs[:5]
         return VolumeRenderOutputs(
             rgb=rgb[:N],
             disparity=disp[:N, 0],
             accumulation=acc[:N, 0],
-            weights=w[:total, 0].reshape(N, S),
+            weights=w[:N],
             depth=depth[:N, 0],
             depth_dex=(
                 jnp.moveaxis(outs[5][:N], -1, 0) if T else None

@@ -34,9 +34,10 @@ per-sample columns are mapped to rays x samples via selector MATMULS (Mosaic
 cannot shape-cast [B, 1] <-> [R, S]) so the exclusive cumprod and the
 backward's suffix sum become [S, S] lane matmuls — the [B, B] strict-lower
 mask of fused_render costs 4 MB of VMEM at block 1024, which alone blew this
-kernel's scoped-VMEM budget. The backward uses the matching guard derivative
-(``-suffix / (1 - alpha)`` where ``max(1 - alpha, 1e-10)`` is inactive, 0
-where it clamps).
+kernel's scoped-VMEM budget. The backward matches autodiff through the
+reference's guarded cumprod: ``-suffix / (1 - alpha + 1e-10)``, which stays
+finite AND non-zero at saturated samples (see the in-kernel comment — a
+zeroing guard measurably hurts late training).
 σ-noise is injected from a PRE-GENERATED normal input (XLA generates it with
 the same ``jax.random`` key stream as the XLA path, so trajectories match).
 
@@ -65,7 +66,7 @@ from dexnerf_tpu.ops.fused_mlp import (
     split_flex_params,
 )
 from dexnerf_tpu.ops.fused_mlp_train import _assemble_grads, _backward_chain
-from dexnerf_tpu.ops.fused_render import _f32dot
+from dexnerf_tpu.ops.fused_render import _f32dot, _rs_ops
 
 # Rec.601 luma weights (reference train_nerf_ir.py:260-263); kept local —
 # importing from train.step would cycle through the package facades.
@@ -148,26 +149,9 @@ def _make_loss_kernel(
         mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [B, 4]
         rgb4 = jax.nn.sigmoid(raw) * mask_rgb
 
-        # ray-group indicator [R, B]: per-ray reductions (dim-1), row
-        # expansion (dim-0 contraction), and the to_rs/from_rs selectors
-        gr_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-        gc_i = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
-        G = jnp.where(gc_i // S == gr_i, 1.0, 0.0)
-        b_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
-        s_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-        lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [B, S]
-
-        def expand(x):  # [R, D] -> [B, D]: row b = x[b // S]
-            return jax.lax.dot_general(
-                G, x, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def to_rs(v):  # [B, 1] -> [R, S]
-            return _f32dot(G, v * lane_sel)
-
-        def from_rs(x):  # [R, S] -> [B, 1]
-            return jnp.sum(expand(x) * lane_sel, axis=1, keepdims=True)
+        # ray-group indicator + [B,1] <-> [R,S] layout mappers (shared
+        # with the render kernel — see fused_render._rs_ops)
+        G, expand, to_rs, from_rs = _rs_ops(B, S)
 
         sigma_pre = to_rs(raw[:, 3:4])  # [R, S]
         if has_noise:
@@ -178,9 +162,16 @@ def _make_loss_kernel(
         alpha = 1.0 - jnp.exp(-sigma * dists)
         rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        # guard written as a max (not 1 - alpha + 1e-10): the compiler
-        # reassociates and 1 + 1e-10 rounds to 1 in f32 (see fused_render)
-        one_m = jnp.maximum(1.0 - alpha, 1e-10)
+        # the reference guard is (1 - alpha + 1e-10) INSIDE the product —
+        # its derivative -1/(1-alpha+eps) keeps gradient flowing through
+        # SATURATED samples (alpha == 1), where a max(1-alpha, eps) guard
+        # would zero it (w_u ∝ eps cancels the 1/eps, recovering the
+        # excluded-factor product). A 20k-iter soak showed the difference:
+        # densities sharpen late in training and the zeroing form lost
+        # ~2.5 dB holdout. The outer max only defends against the
+        # compiler reassociating (1.0 + 1e-10) - alpha, where the eps
+        # rounds away and alpha == 1 would give log(0).
+        one_m = jnp.maximum((1.0 - alpha) + 1e-10, 1e-10)
         # exclusive cumsum along samples: j < s contributes to column s
         cum = _f32dot(jnp.log(one_m), jnp.where(rr < cc, 1.0, 0.0))
         trans = jnp.exp(cum)
@@ -232,8 +223,9 @@ def _make_loss_kernel(
         draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col 3 = 0
         # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
         suffix = _f32dot(gw * w_rs, jnp.where(rr > cc, 1.0, 0.0))
-        inv = jnp.where(1.0 - alpha > 1e-10, 1.0 / one_m, 0.0)
-        galpha = trans * gw - inv * suffix
+        # -suffix / (1 - alpha + eps): finite AND non-zero at saturation
+        # (matches autodiff through the reference's guarded cumprod)
+        galpha = trans * gw - suffix / one_m
         gsigma = galpha * dists * (1.0 - alpha) * relu_mask  # [R, S]
         g = draw_rgb + from_rs(gsigma) * jnp.where(col4 == 3, 1.0, 0.0)
 

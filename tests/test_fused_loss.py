@@ -166,3 +166,42 @@ def test_fused_loss_in_train_step():
         losses_x.append(float(mx["loss"]))
     np.testing.assert_allclose(losses_f, losses_x, rtol=1e-4)
     assert losses_f[-1] < losses_f[0]
+
+
+def test_fused_loss_saturated_density_grads():
+    """Gradient parity in the saturated-compositing regime (interior
+    samples with alpha == 1): late in training densities sharpen, and the
+    backward through the guarded cumprod must keep matching autodiff.
+    Saturation is forced by biasing the alpha head strongly positive."""
+    model, params, s, rays, target = _setup(perturb=False)
+
+    def boost(tree):
+        li = model.num_layers  # Dense_{li+1} is the alpha head
+        t = jax.tree_util.tree_map(lambda x: x, tree)  # copy structure
+        p = t["params"][f"Dense_{li + 1}"]
+        p["bias"] = p["bias"] + 60.0
+        return t
+
+    params = {
+        "coarse": boost(params["coarse"]),
+        "fine": boost(params["fine"]),
+    }
+    # sanity: the boosted field really saturates interior samples
+    from dexnerf_tpu.core.sampling import stratified_z_vals
+    from dexnerf_tpu.core.volrend import ray_dists
+    from dexnerf_tpu.render.renderer import encode_points
+
+    z = stratified_z_vals(rays.near, rays.far, s.num_coarse)
+    pts = (
+        rays.origins[..., None, :]
+        + rays.directions[..., None, :] * z[..., :, None]
+    )
+    raw = model.apply(
+        params["coarse"], encode_points(pts, rays.viewdirs, s)
+    )
+    alpha = 1.0 - jnp.exp(
+        -jax.nn.relu(raw[..., 3]) * ray_dists(z, rays.directions)
+    )
+    assert float(jnp.max(alpha[..., :-1])) == 1.0  # interior saturation
+
+    _compare(model, params, s, rays, target, key=None, atol=2e-4)
