@@ -23,6 +23,7 @@ def main() -> int:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--iters", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument(
         "--fused",
@@ -68,7 +69,7 @@ def main() -> int:
         dtype=args.dtype,
     )
     in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     params = {
         "coarse": model.init(key, jnp.ones((1, in_dim))),
         "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
