@@ -43,6 +43,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _coord_dot(x, sel, dims, x_operand: int = 0):
+    """Value-exact structural dot for operands that carry COORDINATES.
+
+    Mosaic's DEFAULT f32 dot truncates operands to bf16 (measured 3.9e-3
+    on unit-scale values), and a 2^-9 relative pts error is amplified by
+    the top encoding frequency (2^(F-1)) into an O(1) sin phase error in
+    the positional encoding; fixing it cut the combined kernel's on-chip
+    grad residual vs XLA autodiff from 4.6e-2 to 6e-3. ``sel`` is a 0/1
+    selection matrix (exactly bf16-representable), so all truncation error
+    comes from ``x``: splitting x into a bf16-representable ``hi`` plus the
+    f32 residual ``lo`` makes two DEFAULT-precision passes exact to ~2^-18
+    relative — Precision.HIGHEST costs 6 passes (measured +3.0 ms/step on
+    the combined loss kernel) and Mosaic has no 3-pass Precision.HIGH.
+    ``x_operand`` says whether x is the lhs (0) or rhs (1) of the dot."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+
+    def d(part):
+        operands = (part, sel) if x_operand == 0 else (sel, part)
+        return jax.lax.dot_general(
+            *operands, dims, preferred_element_type=jnp.float32
+        )
+
+    return d(hi) + d(lo)
+
+
 def _expand_rows(x, reps: int, out_rows: int):
     """[R, D] -> [out_rows, D], repeating each row ``reps`` times, via a
     one-hot expansion matmul (MXU) — sublane-repeat relayouts are slow in
@@ -87,10 +113,10 @@ def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
     r = jax.lax.broadcasted_iota(jnp.int32, (3, padded_dim), 0)
     live = jnp.logical_or(is_input, valid)  # zero projector for pad columns
     P = jnp.where(jnp.logical_and(r == dim_of, live), 1.0, 0.0)
-    xt = jax.lax.dot_general(
-        x, P, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # _coord_dot: this projection carries the raw coordinates — default
+    # precision would put an O(1) phase error into the top-frequency sin
+    # columns (see _coord_dot's comment).
+    xt = _coord_dot(x, P, (((1,), (0,)), ((), ())))
     z = jnp.sin(xt * freq + phase)
     # padded columns: projector column is zero -> xt = 0 and sin(0) = 0
     return jnp.where(is_input, xt, z)

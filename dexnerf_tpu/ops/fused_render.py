@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dexnerf_tpu.core.volrend import VolumeRenderOutputs
 from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.ops.fused_mlp import (
+    _coord_dot,
     _dims,
     _expand_rows,
     _forward_block,
@@ -77,17 +78,24 @@ def _rs_ops(B: int, S: int):
     s_i = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
     lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [B, S]
 
-    def expand(x):  # [R, D] -> [B, D]: row b = x[b // S]
+    def expand(x, exact=False):  # [R, D] -> [B, D]: row b = x[b // S]
+        # exact=True uses the 2-pass hi/lo split dot — Mosaic's default f32
+        # dot truncates operands to bf16, which is fine for the σ/weight
+        # chains but NOT for values feeding the positional encoding
+        # (coordinates; the top frequency amplifies a 2^-9 relative error
+        # into an O(1) sin phase error). See fused_mlp._coord_dot.
+        dims = (((0,), (0,)), ((), ()))
+        if exact:
+            return _coord_dot(x, G, dims, x_operand=1)
         return jax.lax.dot_general(
-            G, x, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            G, x, dims, preferred_element_type=jnp.float32
         )
 
     def to_rs(v):  # [B, 1] -> [R, S]
         return _f32dot(G, v * lane_sel)
 
-    def from_rs(x):  # [R, S] -> [B, 1]
-        return jnp.sum(expand(x) * lane_sel, axis=1, keepdims=True)
+    def from_rs(x, exact=False):  # [R, S] -> [B, 1]
+        return jnp.sum(expand(x, exact) * lane_sel, axis=1, keepdims=True)
 
     return G, expand, to_rs, from_rs
 

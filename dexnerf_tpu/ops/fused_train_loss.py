@@ -101,11 +101,12 @@ def _make_loss_kernel(
     S = samples_per_ray
 
     def kernel(*refs):
-        # inputs: pts, dirs, dists, [noise], target4, valid,
-        #         mats..., biases...
+        # inputs: origins, raydirs, z, viewdirs, dists, [noise], target4,
+        #         valid, mats..., biases...
         # outputs: loss(1,1) acc, w [R,S], rgb [R,4], dmats... acc, dbs... acc
-        pts_ref, dirs_ref, dists_ref = refs[0], refs[1], refs[2]
-        i = 3
+        orig_ref, rdir_ref, z_ref = refs[0], refs[1], refs[2]
+        dirs_ref, dists_ref = refs[3], refs[4]
+        i = 5
         noise_ref = None
         if has_noise:
             noise_ref = refs[i]
@@ -119,11 +120,26 @@ def _make_loss_kernel(
         dmats = refs[i + 3 : i + 3 + n_mats]
         dbs = refs[i + 3 + n_mats :]
 
-        B = pts_ref.shape[0]
-        R = B // S
+        R = dists_ref.shape[0]
+        B = R * S
 
+        # ray-group indicator + [B,1] <-> [R,S] layout mappers (shared
+        # with the render kernel — see fused_render._rs_ops)
+        G, expand, to_rs, from_rs = _rs_ops(B, S)
+
+        # Sample positions are computed IN-KERNEL from per-ray origins/
+        # directions and the dense [R, S] z tile: the XLA-side
+        # pts = o + d*z materialized [N, S, 3] arrays whose minor dim of 3
+        # pads to 128 lanes — the profiler showed ~3 ms/step (16%) going to
+        # those broadcasts + multiply-adds alone (docs/PERF_NOTES.md).
+        # exact=True: coordinates must not ride bf16-truncating dots (see
+        # _rs_ops); these three selection matmuls are <5% of block FLOPs
+        # even at 6-pass HIGHEST.
+        pts = (expand(orig_ref[:], exact=True)
+               + expand(rdir_ref[:], exact=True)
+               * from_rs(z_ref[:], exact=True))
         xyz = _pe_in_kernel(
-            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            pts, model.num_encoding_fn_xyz, model.include_input_xyz,
             d.pad_xyz,
         )
         dir_enc = _pe_in_kernel(
@@ -148,10 +164,6 @@ def _make_loss_kernel(
         col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
         mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [B, 4]
         rgb4 = jax.nn.sigmoid(raw) * mask_rgb
-
-        # ray-group indicator + [B,1] <-> [R,S] layout mappers (shared
-        # with the render kernel — see fused_render._rs_ops)
-        G, expand, to_rs, from_rs = _rs_ops(B, S)
 
         sigma_pre = to_rs(raw[:, 3:4])  # [R, S]
         if has_noise:
@@ -249,9 +261,12 @@ def make_fused_pass_loss(
 ):
     """One render pass as a fused loss op.
 
-    Returns ``passfn(params, pts [N,S,3], viewdirs [N,3], dists [N,S],
-    noise [N,S] | None, target [N,3]) -> (loss_sum, weights [N,S],
-    rgb [N,3])`` where ``loss_sum`` is the UNNORMALIZED sum of squared
+    Returns ``passfn(params, origins [N,3], directions [N,3], z_vals [N,S],
+    viewdirs [N,3], dists [N,S], noise [N,S] | None, target [N,3]) ->
+    (loss_sum, weights [N,S], rgb [N,3])`` — sample positions
+    ``o + d*z`` are computed in-kernel from the per-ray inputs (no
+    [N, S, 3] HBM intermediates) — where ``loss_sum`` is the UNNORMALIZED
+    sum of squared
     errors over real rays, differentiable w.r.t. ``params`` only (the
     parameter gradients are computed inside the forward kernel and the
     custom-VJP backward scales them by the loss cotangent; the cotangents
@@ -277,26 +292,35 @@ def make_fused_pass_loss(
 
     names = _flex_param_layout(model)
 
-    def _kernel_call(params, pts, viewdirs, dists, noise, target):
-        N, S, _ = pts.shape
+    def _kernel_call(params, origins, directions, z_vals, viewdirs, dists,
+                     noise, target):
+        N, S = z_vals.shape
         total = N * S
         has_noise = noise is not None
         block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
         n_ray_pad = (total + pad) // S
 
-        pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
-        dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
+        def pad_rays(a):
+            return jnp.pad(a, ((0, n_ray_pad - N), (0, 0)))
+
+        # origins/directions stream PER-RAY and z in rays-x-samples layout;
+        # pts = o + d*z is computed in-kernel (no [N, S, 3] intermediates —
+        # see kernel comment)
+        orig_in = pad_rays(origins)
+        rdir_in = pad_rays(directions)
+        z_rows = pad_rays(z_vals)
+        dirs_in = pad_rays(viewdirs)
         # dists/noise stream in rays-x-samples layout — the kernel's σ
         # chain runs in dense [R, S] tiles (see kernel comment)
-        dists_rows = jnp.pad(dists, ((0, n_ray_pad - N), (0, 0)))
+        dists_rows = pad_rays(dists)
         target4 = jnp.pad(
             target.astype(jnp.float32), ((0, n_ray_pad - N), (0, 1))
         )
         valid = jnp.pad(jnp.ones((N, 1), jnp.float32),
                         ((0, n_ray_pad - N), (0, 0)))
-        inputs = [pts_flat, dirs_in, dists_rows]
+        inputs = [orig_in, rdir_in, z_rows, dirs_in, dists_rows]
         if has_noise:
-            inputs.append(jnp.pad(noise, ((0, n_ray_pad - N), (0, 0))))
+            inputs.append(pad_rays(noise))
         inputs += [target4, valid]
 
         mats, bs = split_flex_params(model, params, compute_dtype)
@@ -318,7 +342,8 @@ def make_fused_pass_loss(
                 for a in arrs
             ]
 
-        in_specs = [blk((block, 3)), blk((R, 3)), blk((R, S))]
+        in_specs = [blk((R, 3)), blk((R, 3)), blk((R, S)),
+                    blk((R, 3)), blk((R, S))]
         if has_noise:
             in_specs.append(blk((R, S)))
         in_specs += [blk((R, 4)), blk((R, 1))]
@@ -370,23 +395,33 @@ def make_fused_pass_loss(
         return (loss_sum, weights, rgb), grads
 
     @jax.custom_vjp
-    def passfn(params, pts, viewdirs, dists, noise, target):
-        outs, _ = _kernel_call(params, pts, viewdirs, dists, noise, target)
+    def passfn(params, origins, directions, z_vals, viewdirs, dists, noise,
+               target):
+        outs, _ = _kernel_call(
+            params, origins, directions, z_vals, viewdirs, dists, noise,
+            target,
+        )
         return outs
 
-    def passfn_fwd(params, pts, viewdirs, dists, noise, target):
+    def passfn_fwd(params, origins, directions, z_vals, viewdirs, dists,
+                   noise, target):
         outs, grads = _kernel_call(
-            params, pts, viewdirs, dists, noise, target
+            params, origins, directions, z_vals, viewdirs, dists, noise,
+            target,
         )
-        return outs, (grads, pts, viewdirs, dists, noise, target)
+        return outs, (grads, origins, directions, z_vals, viewdirs, dists,
+                      noise, target)
 
     def passfn_bwd(res, g):
-        grads, pts, viewdirs, dists, noise, target = res
+        (grads, origins, directions, z_vals, viewdirs, dists, noise,
+         target) = res
         g_loss = g[0]  # cotangents of weights/rgb are zero by contract
         dparams = jax.tree.map(lambda t: t * g_loss, grads)
         return (
             dparams,
-            jnp.zeros_like(pts),
+            jnp.zeros_like(origins),
+            jnp.zeros_like(directions),
+            jnp.zeros_like(z_vals),
             jnp.zeros_like(viewdirs),
             jnp.zeros_like(dists),
             None if noise is None else jnp.zeros_like(noise),
@@ -395,13 +430,14 @@ def make_fused_pass_loss(
 
     passfn.defvjp(passfn_fwd, passfn_bwd)
 
-    def pass_loss(params, pts, viewdirs, dists, noise, target):
+    def pass_loss(params, origins, directions, z_vals, viewdirs, dists,
+                  noise, target):
         # stop_gradient makes the zero-input-cotangent contract explicit and
         # lets XLA DCE the structural zeros the VJP must return
         sg = jax.lax.stop_gradient
         return passfn(
-            params, sg(pts), sg(viewdirs), sg(dists),
-            None if noise is None else sg(noise), sg(target),
+            params, sg(origins), sg(directions), sg(z_vals), sg(viewdirs),
+            sg(dists), None if noise is None else sg(noise), sg(target),
         )
 
     return pass_loss
@@ -477,13 +513,9 @@ def make_fused_train_loss(
         n = target.shape[0]
         norm = float(n * 3 if supervision == "rgb" else n)
 
-        pts = (
-            rays.origins[..., None, :]
-            + rays.directions[..., None, :] * z_vals[..., :, None]
-        )
         loss_c_sum, w_c, _ = coarse_pass(
-            params["coarse"], pts, rays.viewdirs,
-            ray_dists(z_vals, rays.directions),
+            params["coarse"], rays.origins, rays.directions, z_vals,
+            rays.viewdirs, ray_dists(z_vals, rays.directions),
             noise_for(k_noise_c, z_vals.shape), target,
         )
         coarse_loss = loss_c_sum / norm
@@ -493,13 +525,9 @@ def make_fused_train_loss(
             z_merged, _ = hierarchical_z_vals(
                 k_fine, z_vals, w_c, s.num_fine, det=not s.perturb
             )
-            pts_f = (
-                rays.origins[..., None, :]
-                + rays.directions[..., None, :] * z_merged[..., :, None]
-            )
             loss_f_sum, _, _ = fine_pass(
-                params["fine"], pts_f, rays.viewdirs,
-                ray_dists(z_merged, rays.directions),
+                params["fine"], rays.origins, rays.directions, z_merged,
+                rays.viewdirs, ray_dists(z_merged, rays.directions),
                 noise_for(k_noise_f, z_merged.shape), target,
             )
             fine_loss = loss_f_sum / norm

@@ -25,6 +25,12 @@ def main() -> int:
         action="store_true",
         help="profile the fused Pallas field path (TPU-validated config)",
     )
+    p.add_argument(
+        "--fused-loss",
+        action="store_true",
+        help="profile the combined loss+gradients kernel path (the TPU "
+        "default; block 2048)",
+    )
     args = p.parse_args()
 
     import numpy as np
@@ -71,9 +77,17 @@ def main() -> int:
             )
 
         cf, ff = fused(), fused()
+    fl = None
+    if args.fused_loss:
+        from dexnerf_tpu.ops import make_fused_train_loss
+
+        fl = make_fused_train_loss(
+            model, model, settings, block_samples=2048,
+            compute_dtype=jnp.bfloat16, dw_dtype=jnp.bfloat16,
+        )
     step = make_train_step(
         model.apply, model.apply, tx, settings, args.batch,
-        coarse_field=cf, fine_field=ff,
+        coarse_field=cf, fine_field=ff, fused_loss=fl,
     )
 
     for _ in range(args.warmup):
