@@ -114,16 +114,27 @@ def _make_render_kernel(
     T = len(thresholds)
 
     def kernel(*refs):
-        pts_ref, dirs_ref, z_ref, dists_ref = refs[0], refs[1], refs[2], refs[3]
-        mats = refs[4 : 4 + n_mats]
-        biases = refs[4 + n_mats : 4 + n_mats + n_b]
-        outs = refs[4 + n_mats + n_b :]
+        orig_ref, rdir_ref, dirs_ref = refs[0], refs[1], refs[2]
+        z_ref, dists_ref = refs[3], refs[4]
+        mats = refs[5 : 5 + n_mats]
+        biases = refs[5 + n_mats : 5 + n_mats + n_b]
+        outs = refs[5 + n_mats + n_b :]
         out_rgb, out_disp, out_acc, out_depth, out_w = outs[:5]
-        B = pts_ref.shape[0]
-        R = B // S
+        R = dists_ref.shape[0]
+        B = R * S
 
+        G, expand, to_rs, from_rs = _rs_ops(B, S)
+        # Sample positions are computed IN-KERNEL from per-ray origins/
+        # directions and the dense [R, S] z tile — the XLA-side
+        # pts = o + d*z materializes [N, S, 3] arrays whose minor dim of 3
+        # pads to 128 lanes (the same ~16%-of-step cost found on the train
+        # path, docs/PERF_NOTES.md "in-kernel pts"). exact=True: coordinate
+        # values must not ride bf16-truncating dots.
+        pts = (expand(orig_ref[:], exact=True)
+               + expand(rdir_ref[:], exact=True)
+               * from_rs(z_ref[:], exact=True))
         xyz = _pe_in_kernel(
-            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
+            pts, model.num_encoding_fn_xyz, model.include_input_xyz,
             d.pad_xyz,
         )
         dir_enc = _pe_in_kernel(
@@ -138,7 +149,6 @@ def _make_render_kernel(
         # 128x lane-wasteful); z/dists arrive [R, S] from the wrapper
         col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
         rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)  # [B,4]
-        G, _, to_rs, from_rs = _rs_ops(B, S)
         sigma = jnp.maximum(to_rs(raw[:, 3:4]), 0.0)  # [R, S]
         z = z_ref[:]  # [R, S]
         alpha = 1.0 - jnp.exp(-sigma * dists_ref[:])
@@ -191,17 +201,19 @@ def make_fused_render(
     compute_dtype=jnp.float32,
     interpret: bool = False,
 ):
-    """Returns render(params, pts[N,S,3], viewdirs[N,3], z_vals[N,S],
-    dists[N,S], thresholds, white_background) -> VolumeRenderOutputs with
-    [N]-shaped maps. Deterministic (no σ-noise) — the validation/eval path.
+    """Returns render(params, origins[N,3], directions[N,3], viewdirs[N,3],
+    z_vals[N,S], dists[N,S], thresholds, white_background) ->
+    VolumeRenderOutputs with [N]-shaped maps — sample positions ``o + d*z``
+    are computed in-kernel from the per-ray inputs (no [N, S, 3] HBM
+    intermediates). Deterministic (no σ-noise) — the validation/eval path.
     """
     if not model.use_viewdirs:
         raise NotImplementedError("fused render requires use_viewdirs=True")
     kernels = {}
 
-    def render(params, pts, viewdirs, z_vals, dists, *, thresholds=(),
-               white_background=False):
-        N, S, _ = pts.shape
+    def render(params, origins, directions, viewdirs, z_vals, dists, *,
+               thresholds=(), white_background=False):
+        N, S = z_vals.shape
         total = N * S
         T = len(thresholds)
         key = (S, tuple(thresholds), bool(white_background))
@@ -217,11 +229,17 @@ def make_fused_render(
         pad = (-total) % block
         n_ray_pad = (total + pad) // S
 
-        pts_flat = jnp.pad(pts.reshape(total, 3), ((0, pad), (0, 0)))
-        dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
-        # z/dists stream in rays-x-samples layout (dense tiles in-kernel)
-        z_rows = jnp.pad(z_vals, ((0, n_ray_pad - N), (0, 0)))
-        d_rows = jnp.pad(dists, ((0, n_ray_pad - N), (0, 0)))
+        def pad_rays(a):
+            return jnp.pad(a, ((0, n_ray_pad - N), (0, 0)))
+
+        # origins/directions stream PER-RAY; z/dists in rays-x-samples
+        # layout (dense tiles in-kernel); pts = o + d*z is computed
+        # in-kernel (see kernel comment)
+        orig_in = pad_rays(origins)
+        rdir_in = pad_rays(directions)
+        dirs_in = pad_rays(viewdirs)
+        z_rows = pad_rays(z_vals)
+        d_rows = pad_rays(dists)
 
         mats, bs = split_flex_params(model, params, compute_dtype)
         padded = total + pad
@@ -233,7 +251,8 @@ def make_fused_render(
                 shape2, lambda i: (i, 0), memory_space=pltpu.VMEM
             )
 
-        in_specs = [blk((block, 3)), blk((R, 3)), blk((R, S)), blk((R, S))]
+        in_specs = [blk((R, 3)), blk((R, 3)), blk((R, 3)),
+                    blk((R, S)), blk((R, S))]
         in_specs += [
             pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for m in mats
@@ -262,7 +281,7 @@ def make_fused_render(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
-        )(pts_flat, dirs_in, z_rows, d_rows, *mats, *bs)
+        )(orig_in, rdir_in, dirs_in, z_rows, d_rows, *mats, *bs)
 
         rgb, disp, acc, depth, w = outs[:5]
         return VolumeRenderOutputs(
@@ -319,13 +338,9 @@ def make_fused_render_rays(
         z_vals = stratified_z_vals(
             rays.near, rays.far, s.num_coarse, lindisp=s.lindisp
         )
-        pts = (
-            rays.origins[..., None, :]
-            + rays.directions[..., None, :] * z_vals[..., :, None]
-        )
         coarse = rc(
-            params["coarse"], pts, viewdirs, z_vals,
-            ray_dists(z_vals, rays.directions),
+            params["coarse"], rays.origins, rays.directions, viewdirs,
+            z_vals, ray_dists(z_vals, rays.directions),
             thresholds=(), white_background=s.white_background,
         )
         fine = None
@@ -333,13 +348,9 @@ def make_fused_render_rays(
             z_merged, _ = hierarchical_z_vals(
                 None, z_vals, coarse.weights, s.num_fine, det=True
             )
-            pts_f = (
-                rays.origins[..., None, :]
-                + rays.directions[..., None, :] * z_merged[..., :, None]
-            )
             fine = rf(
-                params["fine"], pts_f, viewdirs, z_merged,
-                ray_dists(z_merged, rays.directions),
+                params["fine"], rays.origins, rays.directions, viewdirs,
+                z_merged, ray_dists(z_merged, rays.directions),
                 thresholds=tuple(s.m_thres_cand),
                 white_background=s.white_background,
             )
