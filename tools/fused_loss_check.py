@@ -30,6 +30,9 @@ def main():
     p.add_argument("--stages", type=str, default="f32,bf16")
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--hidden", type=int, default=128,
+                   help="MLP width (256 = paper-scale NeRF)")
     p.add_argument(
         "--ref-cache", type=str, default="/tmp/fused_loss_ref.npz",
         help="cache the (slow, ~7 min) XLA reference grads across runs",
@@ -44,7 +47,8 @@ def main():
 
     enc_xyz, enc_dir = 10, 4
     model = FlexibleNeRFModel(
-        num_layers=8, hidden_size=128, skip_connect_every=3,
+        num_layers=args.layers, hidden_size=args.hidden,
+        skip_connect_every=3,
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
     settings = RenderSettings(

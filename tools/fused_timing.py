@@ -49,6 +49,9 @@ def main():
     )
     global BATCH
     p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--hidden", type=int, default=128,
+                   help="MLP width (256 = paper-scale NeRF)")
     args = p.parse_args()
     BATCH = args.batch
 
@@ -70,7 +73,8 @@ def main():
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
     model = FlexibleNeRFModel(
-        num_layers=8, hidden_size=128, skip_connect_every=3,
+        num_layers=args.layers, hidden_size=args.hidden,
+        skip_connect_every=3,
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
     in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
