@@ -226,12 +226,18 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         return None
     cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
     dtype = jnp.bfloat16 if cdt == "bfloat16" else jnp.float32
+    # measured block sweet spots (docs/PERF_NOTES.md): 2048 at width 128,
+    # 1024 at width 256+ (the kernel holds activations through the
+    # backward, so VMEM pressure scales with width)
+    default_block = 2048 if coarse.hidden_size <= 128 else 1024
     return make_fused_train_loss(
         coarse,
         fine,
         settings,
         supervision=supervision,
-        block_samples=int(_get(cfg.nerf, "pallas_loss_block_samples", 2048)),
+        block_samples=int(
+            _get(cfg.nerf, "pallas_loss_block_samples", default_block)
+        ),
         compute_dtype=dtype,
         dw_dtype=dtype,
         interpret=jax.default_backend() == "cpu",
