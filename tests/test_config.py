@@ -82,7 +82,9 @@ def test_cfgnode_py_source(tmp_path):
     assert cfg.lr == 0.1
 
 
-@pytest.mark.parametrize("name", ["lego", "tiny", "messytable-obj", "fern"])
+@pytest.mark.parametrize(
+    "name", ["lego", "lego-tpu", "tiny", "messytable-obj", "fern"]
+)
 def test_shipped_configs_load(name):
     cfg = load_config(os.path.join(CONFIGS, f"{name}.yml"))
     assert cfg.experiment.id
@@ -91,6 +93,18 @@ def test_shipped_configs_load(name):
     assert s.num_coarse > 0
     sv = render_settings_from_cfg(cfg, "validation")
     assert not sv.perturb
+
+
+def test_lego_tpu_config_builds_fused_loss():
+    # the TPU-tuned config reaches the combined-kernel path end-to-end
+    from dexnerf_tpu.train.loop import maybe_fused_loss
+
+    cfg = load_config(os.path.join(CONFIGS, "lego-tpu.yml"))
+    assert cfg.nerf.use_pallas
+    assert cfg.nerf.train.num_random_rays == 8192
+    s = render_settings_from_cfg(cfg, "train")
+    fl = maybe_fused_loss(cfg, s, "rgb")
+    assert fl is not None
 
 
 def test_render_settings_from_lego():
