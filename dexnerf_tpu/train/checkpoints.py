@@ -258,3 +258,152 @@ def build_opt_state_from_torch(
             n, (optax.ScaleByAdamState, optax.ScaleByScheduleState)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference (PyTorch) checkpoint EXPORT — the inverse of the importer, so a
+# model trained here can be handed back to the reference stack (its
+# eval_nerf.py / resume path reads this schema; keys per
+# train_nerf_rgb.py:288-300).
+# ---------------------------------------------------------------------------
+
+def _flax_to_torch_state_dict(flax_params: Dict, use_viewdirs: bool = True):
+    """Our flax param tree -> reference FlexibleNeRFModel state_dict.
+
+    Inverse of :func:`_torch_state_dict_to_flax`: call-order Dense_{i}
+    submodules map back to ``layer1`` / ``layers_xyz.{i}`` / ``fc_feat`` /
+    ``fc_alpha`` / ``layers_dir.0`` / ``fc_rgb`` (or ``fc_out``), with
+    kernels transposed to torch's [out, in] convention.
+    """
+    import torch
+
+    tree = flax_params["params"] if "params" in flax_params else flax_params
+    names = sorted(tree, key=lambda k: int(k.split("_")[1]))
+    n = len(names)
+    tail = (
+        ["fc_feat", "fc_alpha", "layers_dir.0", "fc_rgb"]
+        if use_viewdirs
+        else ["fc_out"]
+    )
+    num_trunk = n - 1 - len(tail)
+    if num_trunk < 0:
+        raise ValueError(f"param tree has only {n} Dense layers")
+    prefixes = (
+        ["layer1"] + [f"layers_xyz.{i}" for i in range(num_trunk)] + tail
+    )
+    sd = {}
+    for name, prefix in zip(names, prefixes):
+        w = np.asarray(tree[name]["kernel"], dtype=np.float32)
+        b = np.asarray(tree[name]["bias"], dtype=np.float32)
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.ascontiguousarray(w.T))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.ascontiguousarray(b))
+    return sd
+
+
+def _find_adam_state(opt_state):
+    import optax
+
+    found = []
+    jax.tree.map(
+        lambda n: found.append(n)
+        if isinstance(n, optax.ScaleByAdamState)
+        else None,
+        opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+    return found[0] if found else None
+
+
+def export_torch_checkpoint(
+    path: str,
+    params: Dict,
+    step: int = 0,
+    opt_state=None,
+    *,
+    use_viewdirs: bool = True,
+    lr: float = 5.0e-3,
+    hwf=None,
+    loss: float = 0.0,
+    psnr: float = 0.0,
+) -> None:
+    """Write a reference-schema ``.ckpt`` (torch pickle) from our state.
+
+    ``params`` is ``{"coarse": flax_params, "fine": flax_params|None}``.
+    When ``opt_state`` (the optax state holding a ``ScaleByAdamState``) is
+    given, Adam first/second moments are exported in torch Adam layout —
+    index-keyed over ``parameters()`` order, weights [out, in] — so the
+    reference can RESUME training from it, not just render. Roundtrips
+    through :func:`import_torch_checkpoint` /
+    :func:`build_opt_state_from_torch` (tested).
+    """
+    import torch
+
+    sds = {"coarse": _flax_to_torch_state_dict(params["coarse"], use_viewdirs)}
+    fine = params.get("fine")
+    sds["fine"] = (
+        _flax_to_torch_state_dict(fine, use_viewdirs)
+        if fine is not None
+        else None
+    )
+    ckpt = {
+        "iter": int(step),
+        "model_coarse_state_dict": sds["coarse"],
+        "model_fine_state_dict": sds["fine"],
+        "loss": float(loss),
+        "psnr": float(psnr),
+    }
+    if hwf is not None:
+        ckpt["height"], ckpt["width"], ckpt["focal_length"] = (
+            int(hwf[0]), int(hwf[1]), float(hwf[2]),
+        )
+    adam = _find_adam_state(opt_state) if opt_state is not None else None
+    if adam is not None:
+        # torch Adam: state keyed by parameters() index; parameters() order
+        # equals state_dict key order (weight before bias per Linear)
+        mus = [
+            {"params": jax.device_get(adam.mu["coarse"])["params"]},
+            *(
+                [{"params": jax.device_get(adam.mu["fine"])["params"]}]
+                if fine is not None
+                else []
+            ),
+        ]
+        nus = [
+            {"params": jax.device_get(adam.nu["coarse"])["params"]},
+            *(
+                [{"params": jax.device_get(adam.nu["fine"])["params"]}]
+                if fine is not None
+                else []
+            ),
+        ]
+        count = int(jax.device_get(adam.count))
+        state = {}
+        pos = 0
+        for mu_tree, nu_tree, sel in zip(
+            mus, nus, ("coarse", "fine")
+        ):
+            sd_sel = sds[sel]
+            uv = use_viewdirs
+            mu_sd = _flax_to_torch_state_dict(mu_tree, uv)
+            nu_sd = _flax_to_torch_state_dict(nu_tree, uv)
+            for k in sd_sel:
+                state[pos] = {
+                    "step": count,
+                    "exp_avg": mu_sd[k],
+                    "exp_avg_sq": nu_sd[k],
+                }
+                pos += 1
+        ckpt["optimizer_state_dict"] = {
+            "state": state,
+            "param_groups": [
+                {
+                    "lr": float(lr),
+                    "betas": (0.9, 0.999),
+                    "eps": 1e-8,
+                    "weight_decay": 0,
+                    "amsgrad": False,
+                    "params": list(range(pos)),
+                }
+            ],
+        }
+    torch.save(ckpt, path)

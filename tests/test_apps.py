@@ -100,3 +100,82 @@ def test_optimizer_registry():
     assert tx is not None
     with pytest.raises(KeyError):
         make_optimizer(1e-3, opt_type="Nadamax")
+
+
+def test_export_app_roundtrips_reference_ckpt(tmp_path):
+    """apps.export: orbax checkpoint -> reference .ckpt -> import parity."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from dexnerf_tpu.apps.export import main as export_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train import (
+        import_torch_checkpoint,
+        init_train_state,
+        make_optimizer,
+    )
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": str(tmp_path / "nodata"),
+                    "near": 2.0, "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+            "fine": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                     "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                     "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    tx = make_optimizer(5e-3)
+    state = init_train_state(params, tx)
+    # one update so the exported Adam moments are nonzero
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, state.opt_state, params)
+    state = state._replace(
+        step=jnp.asarray(7, jnp.int32), opt_state=opt_state
+    )
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 7, state)
+
+    out_ckpt = str(tmp_path / "exported.ckpt")
+    rc = export_main(["--config", cfg_path, "--checkpoint", ckpt_dir,
+                      "--out", out_ckpt])
+    assert rc == 0
+
+    imported = import_torch_checkpoint(out_ckpt)
+    assert imported["step"] == 7
+    assert "optimizer_state_dict" in imported
+    want = params["coarse"]["params"]
+    got = imported["coarse"]["params"]
+    for name in want:
+        np.testing.assert_allclose(
+            got[name]["kernel"], np.asarray(want[name]["kernel"]), atol=0
+        )

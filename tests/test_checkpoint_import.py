@@ -285,3 +285,75 @@ def test_run_training_resumes_from_reference_ckpt(tmp_path):
     )
     want = sd_coarse["layer1.weight"].numpy().T
     assert np.max(np.abs(got - want)) < 0.1
+
+
+def test_export_torch_checkpoint_roundtrip(tmp_path):
+    """export -> import reproduces params, step, and Adam moments."""
+    import jax
+    import optax
+
+    from dexnerf_tpu.train import make_optimizer
+    from dexnerf_tpu.train.checkpoints import (
+        build_opt_state_from_torch,
+        export_torch_checkpoint,
+    )
+
+    model = FlexibleNeRFModel(
+        num_layers=NUM_LAYERS, hidden_size=HID, skip_connect_every=4,
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    key = jax.random.PRNGKey(3)
+    dummy = jnp.ones((1, DIM_XYZ + DIM_DIR))
+    params = {
+        "coarse": model.init(key, dummy),
+        "fine": model.init(jax.random.fold_in(key, 1), dummy),
+    }
+    tx = make_optimizer(5e-3)
+    opt_state = tx.init(params)
+    # make the moments nonzero so the roundtrip is meaningful
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = tx.update(grads, opt_state, params)
+
+    path = str(tmp_path / "export.ckpt")
+    export_torch_checkpoint(
+        path, params, step=1234, opt_state=opt_state,
+        hwf=(25, 25, 20.0),
+    )
+
+    imported = import_torch_checkpoint(path)
+    assert imported["step"] == 1234
+    assert imported["height"] == 25 and imported["focal_length"] == 20.0
+    for sel in ("coarse", "fine"):
+        got = imported[sel]["params"]
+        want = (
+            params[sel]["params"] if "params" in params[sel] else params[sel]
+        )
+        for name in want:
+            np.testing.assert_allclose(
+                got[name]["kernel"], np.asarray(want[name]["kernel"]),
+                rtol=0, atol=0,
+            )
+            np.testing.assert_allclose(
+                got[name]["bias"], np.asarray(want[name]["bias"]),
+                rtol=0, atol=0,
+            )
+
+    restored = build_opt_state_from_torch(imported, params, tx)
+
+    def adam(s):
+        found = []
+        jax.tree.map(
+            lambda n: found.append(n)
+            if isinstance(n, optax.ScaleByAdamState)
+            else None,
+            s,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        return found[0]
+
+    a0, a1 = adam(opt_state), adam(restored)
+    flat0 = jax.tree.leaves(a0.mu) + jax.tree.leaves(a0.nu)
+    flat1 = jax.tree.leaves(a1.mu) + jax.tree.leaves(a1.nu)
+    assert len(flat0) == len(flat1)
+    for x, y in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
