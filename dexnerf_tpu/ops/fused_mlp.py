@@ -254,53 +254,111 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
     the Mosaic compiler (docs/PERF_NOTES.md bisection); bf16 dot operands
     with f32 accumulation are the part that buys MXU rate anyway.
     """
+    (out,), saved = _forward_block_parts(
+        model, mats, biases, (xyz,), (dir_enc,), compute_dtype,
+        keep_activations=keep_activations,
+    )
+    if keep_activations:
+        trunk_inputs, a_in, feat_in, y = saved[0]
+        return (out, trunk_inputs, a_in, feat_in, y)
+    return out
+
+
+def _forward_block_parts(model, mats, biases, xyz_parts, dir_parts,
+                         compute_dtype, keep_activations=False):
+    """``_forward_block`` over P independent row-parts, ops interleaved.
+
+    The layer chain is LATENCY-bound on the MXU: a microbenchmark of the
+    12-dot [2048, 128] chain runs at ~65% MFU, while two independent
+    chains interleaved reach ~99% (a second full-size chain costs only
+    +3.5% time — docs/PERF_NOTES.md "interleave experiment"). Emitting
+    each layer's dots for all parts before the parts' relus gives Mosaic
+    the independent instruction streams to overlap.
+
+    Returns ``(outs, saveds)``: per-part raw [Bp, 4] outputs, and (with
+    ``keep_activations``) per-part ``(trunk_inputs, a_in, feat_in, y)``
+    tuples in ``compute_dtype``.
+    """
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
     cd = compute_dtype
-    xyz_op = xyz.astype(cd)  # pre-cast dot operand (used by layer1 + skips)
+    P = len(xyz_parts)
+    xyz_ops = tuple(x.astype(cd) for x in xyz_parts)
 
     mi = 0
     # layer1: no activation (reference models.py:238); h stays f32
-    h = _dot(xyz_op, mats[mi][:], jnp.float32) + biases[0][:]
+    hs = tuple(
+        _dot(x, mats[mi][:], jnp.float32) + biases[0][:] for x in xyz_ops
+    )
     mi += 1
-    trunk_inputs = []
+    trunk_inputs = [[] for _ in range(P)]
     for i in range(num_trunk):
-        h_in = h.astype(cd)
+        h_ins = tuple(h.astype(cd) for h in hs)
         if i in skip:
-            y = _dot(h_in, mats[mi][:], jnp.float32)
-            y = y + _dot(xyz_op, mats[mi + 1][:], jnp.float32)
+            ys = tuple(
+                _dot(h, mats[mi][:], jnp.float32) for h in h_ins
+            )
+            ys = tuple(
+                y + _dot(x, mats[mi + 1][:], jnp.float32)
+                for y, x in zip(ys, xyz_ops)
+            )
             mi += 2
         else:
-            y = _dot(h_in, mats[mi][:], jnp.float32)
+            ys = tuple(_dot(h, mats[mi][:], jnp.float32) for h in h_ins)
             mi += 1
         if keep_activations:
-            trunk_inputs.append(h_in)
-        h = jnp.maximum(y + biases[1 + i][:], 0.0)
-    a_last = h
+            for p in range(P):
+                trunk_inputs[p].append(h_ins[p])
+        hs = tuple(jnp.maximum(y + biases[1 + i][:], 0.0) for y in ys)
+    a_lasts = hs
     li = model.num_layers
     if model.use_viewdirs:
-        a_in = a_last.astype(cd)
-        feat = jnp.maximum(
-            _dot(a_in, mats[mi][:], jnp.float32) + biases[li][:], 0.0
+        a_ins = tuple(a.astype(cd) for a in a_lasts)
+        feats = tuple(
+            jnp.maximum(
+                _dot(a, mats[mi][:], jnp.float32) + biases[li][:], 0.0
+            )
+            for a in a_ins
         )
         mi += 1
         # alpha head: 4-wide padded weight (alpha in column 3), f32
-        alpha4 = _dot(a_last, mats[mi][:], jnp.float32)
+        alpha4s = tuple(
+            _dot(a, mats[mi][:], jnp.float32) for a in a_lasts
+        )
         mi += 1
-        feat_in = feat.astype(cd)
-        y = _dot(feat_in, mats[mi][:], jnp.float32)
-        y = y + _dot(dir_enc.astype(cd), mats[mi + 1][:], jnp.float32)
+        feat_ins = tuple(f.astype(cd) for f in feats)
+        ys = tuple(_dot(f, mats[mi][:], jnp.float32) for f in feat_ins)
+        ys = tuple(
+            y + _dot(d.astype(cd), mats[mi + 1][:], jnp.float32)
+            for y, d in zip(ys, dir_parts)
+        )
         mi += 2
-        y = jnp.maximum(y + biases[li + 2][:], 0.0)
+        ys = tuple(jnp.maximum(y + biases[li + 2][:], 0.0) for y in ys)
         # [B, 4] raw output as a sum of padded-head matmuls + combined
         # bias (biases[-1] = [rgb_b, alpha_b]) — no lane concatenation
-        out = _dot(y, mats[mi][:], jnp.float32) + alpha4 + biases[-1][:]
+        outs = tuple(
+            _dot(y, mats[mi][:], jnp.float32) + a4 + biases[-1][:]
+            for y, a4 in zip(ys, alpha4s)
+        )
     else:
-        feat = y = None
-        out = _dot(a_last, mats[mi][:], jnp.float32) + biases[li][:]
+        feat_ins = ys = (None,) * P
+        outs = tuple(
+            _dot(a, mats[mi][:], jnp.float32) + biases[li][:]
+            for a in a_lasts
+        )
+        a_ins = tuple(a.astype(cd) for a in a_lasts)
     if keep_activations:
-        return (out, trunk_inputs, a_in, feat_in, y.astype(cd))
-    return out
+        saveds = tuple(
+            (
+                trunk_inputs[p],
+                a_ins[p],
+                feat_ins[p],
+                ys[p].astype(cd) if ys[p] is not None else None,
+            )
+            for p in range(P)
+        )
+        return outs, saveds
+    return outs, None
 
 
 def _num_mats(model: FlexibleNeRFModel) -> int:

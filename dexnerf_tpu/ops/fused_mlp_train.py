@@ -75,10 +75,39 @@ def _backward_chain(
     accumulators — is float32; ``compute_dtype`` casts only dot operands.
     ``dw_dtype`` controls the dW contraction operands separately.
     """
+    return _backward_chain_parts(
+        model, compute_dtype, dw_dtype, mats, dmats, dbs, (saved,),
+        (xyz,), (dir_enc,), (g,), _skip_dw=_skip_dw,
+    )
+
+
+def _backward_chain_parts(
+    model: FlexibleNeRFModel,
+    compute_dtype,
+    dw_dtype,
+    mats,
+    dmats,
+    dbs,
+    saveds,
+    xyz_parts,
+    dir_parts,
+    gs,
+    *,
+    _skip_dw: bool = False,
+):
+    """``_backward_chain`` over P independent row-parts, ops interleaved
+    (the delta chain is latency-bound like the forward — see
+    ``fused_mlp._forward_block_parts``). dW/db accumulate the SUM over
+    parts into the grid-accumulated refs, so gradients are exactly the
+    full-block values."""
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
     dw = dw_dtype if dw_dtype is not None else jnp.float32
-    trunk_inputs, a_last, feat, y = saved
+    P = len(saveds)
+    trunk_inputs_p = [s[0] for s in saveds]
+    a_last_p = [s[1] for s in saveds]
+    feat_p = [s[2] for s in saveds]
+    y_p = [s[3] for s in saveds]
 
     def relu_mask(act):
         # 0/1 f32 multiply operand from a saved post-relu activation
@@ -134,42 +163,58 @@ def _backward_chain(
     )
     li = model.num_layers  # bias index of fc_feat
 
+    def psum(vals):
+        total = vals[0]
+        for v in vals[1:]:
+            total = total + v
+        return total
+
     # relu backprop is a MULTIPLY by a derived 0/1 mask (no saved masks)
     # rgb head: padded 4-wide weight, full-g matmuls (the zero column
     # routes alpha's cotangent nowhere; assemble slices the dW)
-    acc(dmats[mi_rgb], matT(y, g))
-    acc(dbs[li + 3], jnp.sum(g[:, 0:3], axis=0))
-    dy = matWT(g, mats[mi_rgb])
+    acc(dmats[mi_rgb], psum([matT(y_p[p], gs[p]) for p in range(P)]))
+    acc(dbs[li + 3], psum([jnp.sum(gs[p][:, 0:3], axis=0) for p in range(P)]))
+    dy = tuple(matWT(gs[p], mats[mi_rgb]) for p in range(P))
     # dir layer (split matmul); whole delta chain f32
-    dz_y = dy * relu_mask(y)
-    acc(dmats[mi_dir_h], matT(feat, dz_y))
-    acc(dmats[mi_dir_d], matT(dir_enc, dz_y))
-    acc(dbs[li + 2], jnp.sum(dz_y, axis=0))
-    dfeat = matWT(dz_y, mats[mi_dir_h])
+    dz_y = tuple(dy[p] * relu_mask(y_p[p]) for p in range(P))
+    acc(dmats[mi_dir_h], psum([matT(feat_p[p], dz_y[p]) for p in range(P)]))
+    acc(dmats[mi_dir_d],
+        psum([matT(dir_parts[p], dz_y[p]) for p in range(P)]))
+    acc(dbs[li + 2], psum([jnp.sum(dz_y[p], axis=0) for p in range(P)]))
+    dfeat = tuple(matWT(dz_y[p], mats[mi_dir_h]) for p in range(P))
     # feat head
-    dz_f = dfeat * relu_mask(feat)
-    acc(dmats[mi_feat], matT(a_last, dz_f))
-    acc(dbs[li], jnp.sum(dz_f, axis=0))
+    dz_f = tuple(dfeat[p] * relu_mask(feat_p[p]) for p in range(P))
+    acc(dmats[mi_feat], psum([matT(a_last_p[p], dz_f[p]) for p in range(P)]))
+    acc(dbs[li], psum([jnp.sum(dz_f[p], axis=0) for p in range(P)]))
     # alpha head (linear, padded 4-wide weight)
-    acc(dmats[mi_alpha], matT(a_last, g))
-    acc(dbs[li + 1], jnp.sum(g[:, 3:4], axis=0))
-    da = matWT(dz_f, mats[mi_feat]) + matWT(g, mats[mi_alpha])
+    acc(dmats[mi_alpha], psum([matT(a_last_p[p], gs[p]) for p in range(P)]))
+    acc(dbs[li + 1], psum([jnp.sum(gs[p][:, 3:4], axis=0) for p in range(P)]))
+    da = tuple(
+        matWT(dz_f[p], mats[mi_feat]) + matWT(gs[p], mats[mi_alpha])
+        for p in range(P)
+    )
 
     # trunk, reversed: layer i's relu mask comes from its OUTPUT, which is
     # the (post-relu) input saved for layer i+1 — or a_last for the last
     for i in reversed(range(num_trunk)):
-        out_act = trunk_inputs[i + 1] if i + 1 < num_trunk else a_last
-        dz = da * relu_mask(out_act)
+        out_acts = tuple(
+            trunk_inputs_p[p][i + 1] if i + 1 < num_trunk else a_last_p[p]
+            for p in range(P)
+        )
+        dz = tuple(da[p] * relu_mask(out_acts[p]) for p in range(P))
         mi_i = trunk_mi[i]
-        acc(dmats[mi_i], matT(trunk_inputs[i], dz))
+        acc(dmats[mi_i],
+            psum([matT(trunk_inputs_p[p][i], dz[p]) for p in range(P)]))
         if i in skip:
-            acc(dmats[mi_i + 1], matT(xyz, dz))
-        acc(dbs[1 + i], jnp.sum(dz, axis=0))
-        da = matWT(dz, mats[mi_i])
+            acc(dmats[mi_i + 1],
+                psum([matT(xyz_parts[p], dz[p]) for p in range(P)]))
+        acc(dbs[1 + i], psum([jnp.sum(dz[p], axis=0) for p in range(P)]))
+        da = tuple(matWT(dz[p], mats[mi_i]) for p in range(P))
 
     # layer1 (no activation)
-    acc(dmats[mi_layer1], matT(xyz, da))
-    acc(dbs[0], jnp.sum(da, axis=0))
+    acc(dmats[mi_layer1],
+        psum([matT(xyz_parts[p], da[p]) for p in range(P)]))
+    acc(dbs[0], psum([jnp.sum(da[p], axis=0) for p in range(P)]))
 
 
 def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,

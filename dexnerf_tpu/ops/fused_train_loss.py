@@ -60,12 +60,15 @@ from dexnerf_tpu.ops.fused_mlp import (
     _dims,
     _expand_rows,
     _flex_param_layout,
-    _forward_block,
+    _forward_block_parts,
     _num_mats,
     _pe_in_kernel,
     split_flex_params,
 )
-from dexnerf_tpu.ops.fused_mlp_train import _assemble_grads, _backward_chain
+from dexnerf_tpu.ops.fused_mlp_train import (
+    _assemble_grads,
+    _backward_chain_parts,
+)
 from dexnerf_tpu.ops.fused_render import _f32dot, _rs_ops
 
 # Rec.601 luma weights (reference train_nerf_ir.py:260-263); kept local —
@@ -94,6 +97,7 @@ def _make_loss_kernel(
     white_background: bool,
     supervision: str,
     has_noise: bool,
+    parts: int = 1,
 ):
     d = _dims(model)
     n_mats = _num_mats(model)
@@ -121,102 +125,146 @@ def _make_loss_kernel(
         dbs = refs[i + 3 + n_mats :]
 
         R = dists_ref.shape[0]
-        B = R * S
+        P = parts
+        Rp = R // P
+        Bp = Rp * S
 
-        # ray-group indicator + [B,1] <-> [R,S] layout mappers (shared
-        # with the render kernel — see fused_render._rs_ops)
-        G, expand, to_rs, from_rs = _rs_ops(B, S)
+        # ray-group indicator + [Bp,1] <-> [Rp,S] layout mappers for ONE
+        # row-part (shared across parts — see fused_render._rs_ops). The
+        # block is processed as P independent ray-parts with the MLP ops
+        # INTERLEAVED across parts: the layer chain is latency-bound on
+        # the MXU (~65% MFU single-chain, ~99% with two interleaved
+        # chains — docs/PERF_NOTES.md "interleave experiment").
+        G, expand, to_rs, from_rs = _rs_ops(Bp, S)
+
+        def rows(ref, p):
+            return ref[p * Rp:(p + 1) * Rp, :]
 
         # Sample positions are computed IN-KERNEL from per-ray origins/
-        # directions and the dense [R, S] z tile: the XLA-side
+        # directions and the dense [Rp, S] z tiles: the XLA-side
         # pts = o + d*z materialized [N, S, 3] arrays whose minor dim of 3
         # pads to 128 lanes — the profiler showed ~3 ms/step (16%) going to
         # those broadcasts + multiply-adds alone (docs/PERF_NOTES.md).
         # exact=True: coordinates must not ride bf16-truncating dots (see
-        # _rs_ops); these three selection matmuls are <5% of block FLOPs
-        # even at 6-pass HIGHEST.
-        pts = (expand(orig_ref[:], exact=True)
-               + expand(rdir_ref[:], exact=True)
-               * from_rs(z_ref[:], exact=True))
-        xyz = _pe_in_kernel(
-            pts, model.num_encoding_fn_xyz, model.include_input_xyz,
-            d.pad_xyz,
+        # _rs_ops); these selection matmuls are <5% of block FLOPs.
+        pts_p = tuple(
+            expand(rows(orig_ref, p), exact=True)
+            + expand(rows(rdir_ref, p), exact=True)
+            * from_rs(rows(z_ref, p), exact=True)
+            for p in range(P)
         )
-        dir_enc = _pe_in_kernel(
-            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
-            d.pad_dir,
+        xyz_p = tuple(
+            _pe_in_kernel(
+                pts, model.num_encoding_fn_xyz, model.include_input_xyz,
+                d.pad_xyz,
+            )
+            for pts in pts_p
         )
-        dir_enc = _expand_rows(dir_enc, S, B)
-        (raw, *saved) = _forward_block(
-            model, mats, biases, xyz, dir_enc, compute_dtype,
+        dir_p = tuple(
+            _expand_rows(
+                _pe_in_kernel(
+                    rows(dirs_ref, p), model.num_encoding_fn_dir,
+                    model.include_input_dir, d.pad_dir,
+                ),
+                S, Bp,
+            )
+            for p in range(P)
+        )
+        raws, saveds = _forward_block_parts(
+            model, mats, biases, xyz_p, dir_p, compute_dtype,
             keep_activations=True,
         )
 
-        # ---- compositing, rays x samples layout ----
+        # ---- compositing, rays x samples layout, per part ----
         # Per-sample scalars ([B, 1] columns) are maximally lane-wasteful on
         # TPU: a [B, 1] f32 tile occupies B x 128 lanes with one useful
         # lane, so every elementwise op pays 128x. The whole σ chain
         # (noise, relu, alpha, log/exp scans, weights, and its backward)
-        # therefore runs in DENSE [R, S] tiles: dists/noise arrive [R, S]
+        # therefore runs in DENSE [Rp, S] tiles: dists/noise arrive [R, S]
         # from the wrapper, σ converts once via a selector matmul (Mosaic
         # cannot shape-cast [B, 1] <-> [R, S]), and the segmented scans are
-        # [S, S] lane matmuls. Only the rgb math stays [B, 4].
-        col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
-        mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [B, 4]
-        rgb4 = jax.nn.sigmoid(raw) * mask_rgb
-
-        sigma_pre = to_rs(raw[:, 3:4])  # [R, S]
-        if has_noise:
-            sigma_pre = sigma_pre + noise_ref[:]
-        relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
-        sigma = sigma_pre * relu_mask
-        dists = dists_ref[:]  # [R, S]
-        alpha = 1.0 - jnp.exp(-sigma * dists)
+        # [S, S] lane matmuls. Only the rgb math stays [Bp, 4].
+        col4 = jax.lax.broadcasted_iota(jnp.int32, (Bp, 4), 1)
+        mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [Bp, 4]
         rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        # the reference guard is (1 - alpha + 1e-10) INSIDE the product —
-        # its derivative -1/(1-alpha+eps) keeps gradient flowing through
-        # SATURATED samples (alpha == 1), where a max(1-alpha, eps) guard
-        # would zero it (w_u ∝ eps cancels the 1/eps, recovering the
-        # excluded-factor product). A 20k-iter soak showed the difference:
-        # densities sharpen late in training and the zeroing form lost
-        # ~2.5 dB holdout. The outer max only defends against the
-        # compiler reassociating (1.0 + 1e-10) - alpha, where the eps
-        # rounds away and alpha == 1 would give log(0).
-        one_m = jnp.maximum((1.0 - alpha) + 1e-10, 1e-10)
-        # exclusive cumsum along samples: j < s contributes to column s
-        cum = _f32dot(jnp.log(one_m), jnp.where(rr < cc, 1.0, 0.0))
-        trans = jnp.exp(cum)
-        w_rs = alpha * trans  # [R, S]
-        out_w[:] = w_rs  # weights leave in dense rays-x-samples layout
-        w = from_rs(w_rs)  # [B, 1]
-
-        ray_rgb = _f32dot(G, w * rgb4)  # [R, 4] (col 3 = 0)
-        colR = jax.lax.broadcasted_iota(jnp.int32, (R, 4), 1)
+        colR = jax.lax.broadcasted_iota(jnp.int32, (Rp, 4), 1)
         mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
-        if white_background:
-            acc_r = jnp.sum(w_rs, axis=1, keepdims=True)  # [R, 1]
-            ray_rgb = ray_rgb + (1.0 - acc_r) * mask_rgb_r
-        out_rgb[:] = ray_rgb
 
-        # ---- per-ray squared error + its cotangent (UNNORMALIZED: the
-        # wrapper divides by N*3 / N, and the custom-VJP backward folds the
-        # same factor into its scale-by-cotangent multiply) ----
-        valid = valid_ref[:]  # [R, 1] 1 = real ray, 0 = padding
-        diff = (ray_rgb - target_ref[:]) * mask_rgb_r * valid
-        if supervision == "luminance":
-            luma = jnp.zeros((1, 4), jnp.float32)
-            for ci, lw in enumerate(_LUMA):
-                luma = jnp.where(colR[:1] == ci, jnp.float32(lw), luma)
-            dy = jnp.sum(diff * luma, axis=1, keepdims=True)  # [R, 1]
-            loss_blk = jnp.sum(dy * dy)
-            g_ray = 2.0 * dy * luma  # [R, 4]
-        else:
-            loss_blk = jnp.sum(diff * diff)
-            g_ray = 2.0 * diff
+        loss_total = None
+        gs = []
+        for p in range(P):
+            raw = raws[p]
+            rgb4 = jax.nn.sigmoid(raw) * mask_rgb
+
+            sigma_pre = to_rs(raw[:, 3:4])  # [Rp, S]
+            if has_noise:
+                sigma_pre = sigma_pre + rows(noise_ref, p)
+            relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
+            sigma = sigma_pre * relu_mask
+            dists = rows(dists_ref, p)  # [Rp, S]
+            alpha = 1.0 - jnp.exp(-sigma * dists)
+            # the reference guard is (1 - alpha + 1e-10) INSIDE the product
+            # — its derivative -1/(1-alpha+eps) keeps gradient flowing
+            # through SATURATED samples (alpha == 1), where a
+            # max(1-alpha, eps) guard would zero it (w_u ∝ eps cancels the
+            # 1/eps, recovering the excluded-factor product). The outer max
+            # only defends against the compiler reassociating
+            # (1.0 + 1e-10) - alpha, where the eps rounds away and
+            # alpha == 1 would give log(0).
+            one_m = jnp.maximum((1.0 - alpha) + 1e-10, 1e-10)
+            # exclusive cumsum along samples: j < s contributes to col s
+            cum = _f32dot(jnp.log(one_m), jnp.where(rr < cc, 1.0, 0.0))
+            trans = jnp.exp(cum)
+            w_rs = alpha * trans  # [Rp, S]
+            out_w[p * Rp:(p + 1) * Rp, :] = w_rs
+            w = from_rs(w_rs)  # [Bp, 1]
+
+            ray_rgb = _f32dot(G, w * rgb4)  # [Rp, 4] (col 3 = 0)
+            if white_background:
+                acc_r = jnp.sum(w_rs, axis=1, keepdims=True)  # [Rp, 1]
+                ray_rgb = ray_rgb + (1.0 - acc_r) * mask_rgb_r
+            out_rgb[p * Rp:(p + 1) * Rp, :] = ray_rgb
+
+            # ---- per-ray squared error + its cotangent (UNNORMALIZED:
+            # the wrapper divides by N*3 / N, and the custom-VJP backward
+            # folds the same factor into its scale-by-cotangent multiply)
+            valid = rows(valid_ref, p)  # [Rp, 1] 1 = real, 0 = padding
+            diff = (ray_rgb - rows(target_ref, p)) * mask_rgb_r * valid
+            if supervision == "luminance":
+                luma = jnp.zeros((1, 4), jnp.float32)
+                for ci, lw in enumerate(_LUMA):
+                    luma = jnp.where(colR[:1] == ci, jnp.float32(lw), luma)
+                dy = jnp.sum(diff * luma, axis=1, keepdims=True)  # [Rp, 1]
+                loss_blk = jnp.sum(dy * dy)
+                g_ray = 2.0 * dy * luma  # [Rp, 4]
+            else:
+                loss_blk = jnp.sum(diff * diff)
+                g_ray = 2.0 * diff
+            loss_total = (
+                loss_blk if loss_total is None else loss_total + loss_blk
+            )
+
+            # ---- compositing backward (σ chain [Rp, S], rgb [Bp, 4]) ----
+            gr = expand(g_ray)  # [Bp, 4] per-sample ray cotangent
+            gw = to_rs(jnp.sum(gr * rgb4, axis=1, keepdims=True))  # [Rp,S]
+            if white_background:
+                # dL/dacc broadcasts across the ray's samples
+                gw = gw - jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)
+            draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col3 = 0
+            # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
+            suffix = _f32dot(gw * w_rs, jnp.where(rr > cc, 1.0, 0.0))
+            # -suffix / (1 - alpha + eps): finite AND non-zero at
+            # saturation (matches autodiff through the guarded cumprod)
+            galpha = trans * gw - suffix / one_m
+            gsigma = galpha * dists * (1.0 - alpha) * relu_mask  # [Rp, S]
+            gs.append(
+                draw_rgb
+                + from_rs(gsigma) * jnp.where(col4 == 3, 1.0, 0.0)
+            )
 
         first = pl.program_id(0) == 0
-        val = loss_blk.reshape(1, 1)
+        val = loss_total.reshape(1, 1)
 
         @pl.when(first)
         def _():
@@ -226,24 +274,9 @@ def _make_loss_kernel(
         def _():
             out_loss[:] = out_loss[:] + val
 
-        # ---- compositing backward (σ chain in [R, S], rgb in [B, 4]) ----
-        gr = expand(g_ray)  # [B, 4] per-sample ray cotangent
-        gw = to_rs(jnp.sum(gr * rgb4, axis=1, keepdims=True))  # [R, S]
-        if white_background:
-            # dL/dacc broadcasts across the ray's samples (lane broadcast)
-            gw = gw - jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)
-        draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col 3 = 0
-        # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
-        suffix = _f32dot(gw * w_rs, jnp.where(rr > cc, 1.0, 0.0))
-        # -suffix / (1 - alpha + eps): finite AND non-zero at saturation
-        # (matches autodiff through the reference's guarded cumprod)
-        galpha = trans * gw - suffix / one_m
-        gsigma = galpha * dists * (1.0 - alpha) * relu_mask  # [R, S]
-        g = draw_rgb + from_rs(gsigma) * jnp.where(col4 == 3, 1.0, 0.0)
-
-        _backward_chain(
-            model, compute_dtype, dw_dtype, mats, dmats, dbs, tuple(saved),
-            xyz, dir_enc, g,
+        _backward_chain_parts(
+            model, compute_dtype, dw_dtype, mats, dmats, dbs, saveds,
+            xyz_p, dir_p, tuple(gs),
         )
 
     return kernel
@@ -281,12 +314,13 @@ def make_fused_pass_loss(
         raise ValueError(f"unknown supervision mode: {supervision}")
     kernels = {}
 
-    def get_kernel(S: int, has_noise: bool):
-        k = (S, has_noise)
+    def get_kernel(S: int, has_noise: bool, parts: int):
+        k = (S, has_noise, parts)
         if k not in kernels:
             kernels[k] = _make_loss_kernel(
                 model, compute_dtype, dw_dtype, S,
                 bool(white_background), supervision, has_noise,
+                parts=parts,
             )
         return kernels[k]
 
@@ -298,6 +332,9 @@ def make_fused_pass_loss(
         total = N * S
         has_noise = noise is not None
         block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
+        # 2-way ray-part interleave when each part keeps >= 8 sublane rows
+        # for its [Rp, S] tiles (see the kernel's interleave comment)
+        parts = 2 if rays_per_block % 2 == 0 and rays_per_block >= 16 else 1
         n_ray_pad = (total + pad) // S
 
         def pad_rays(a):
@@ -371,7 +408,7 @@ def make_fused_pass_loss(
         ]
 
         outs = pl.pallas_call(
-            get_kernel(S, has_noise),
+            get_kernel(S, has_noise, parts),
             out_shape=tuple(out_shapes),
             grid=grid,
             in_specs=in_specs,

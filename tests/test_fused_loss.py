@@ -121,6 +121,18 @@ def test_fused_loss_white_background_luminance():
     )
 
 
+def test_fused_loss_interleaved_parts():
+    """rays_per_block >= 16 triggers the 2-way ray-part interleave
+    (independent MXU chains); must match XLA exactly like parts=1."""
+    model, params, s, rays, target = _setup(
+        n=32, num_coarse=4, num_fine=4,
+        perturb=True, radiance_field_noise_std=0.2,
+    )
+    # block_samples 128 -> rays_per_block = 32 -> parts = 2 (Rp = 16)
+    _compare(model, params, s, rays, target, key=jax.random.PRNGKey(5),
+             block_samples=128)
+
+
 def test_fused_loss_ray_padding():
     """N not a multiple of rays-per-block: padded rays must contribute zero
     loss and zero gradient (the valid-mask path)."""
