@@ -85,7 +85,7 @@ def main():
 
             kw["fused_loss"] = make_fused_train_loss(
                 model, model, settings,
-                block_samples=2048,
+                block_samples=8192,
                 compute_dtype=jnp.bfloat16,
                 dw_dtype=jnp.bfloat16,
             )

@@ -291,6 +291,7 @@ def make_fused_pass_loss(
     white_background: bool = False,
     supervision: str = "rgb",
     interpret: bool = False,
+    parts: Optional[int] = None,
 ):
     """One render pass as a fused loss op.
 
@@ -332,9 +333,17 @@ def make_fused_pass_loss(
         total = N * S
         has_noise = noise is not None
         block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
-        # 2-way ray-part interleave when each part keeps >= 8 sublane rows
-        # for its [Rp, S] tiles (see the kernel's interleave comment)
-        parts = 2 if rays_per_block % 2 == 0 and rays_per_block >= 16 else 1
+        # ray-part interleave: the most parts whose [Rp, S] tiles keep
+        # >= 8 sublane rows (measured monotone wins through p8 on v5e —
+        # PERF_NOTES "interleave"); explicit ``parts`` overrides
+        if parts is not None:
+            n_parts = parts if rays_per_block % parts == 0 else 1
+        else:
+            n_parts = 1
+            for p in (8, 4, 2):
+                if rays_per_block % p == 0 and rays_per_block // p >= 8:
+                    n_parts = p
+                    break
         n_ray_pad = (total + pad) // S
 
         def pad_rays(a):
@@ -408,7 +417,7 @@ def make_fused_pass_loss(
         ]
 
         outs = pl.pallas_call(
-            get_kernel(S, has_noise, parts),
+            get_kernel(S, has_noise, n_parts),
             out_shape=tuple(out_shapes),
             grid=grid,
             in_specs=in_specs,
@@ -490,6 +499,7 @@ def make_fused_train_loss(
     compute_dtype=jnp.float32,
     dw_dtype=None,
     interpret: bool = False,
+    parts: Optional[int] = None,
 ):
     """The full hierarchical training loss on the combined kernels.
 
@@ -520,6 +530,7 @@ def make_fused_train_loss(
         white_background=s.white_background,
         supervision=supervision,
         interpret=interpret,
+        parts=parts,
     )
     coarse_pass = make_fused_pass_loss(coarse_model, **kwargs)
     fine_pass = (

@@ -226,10 +226,11 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         return None
     cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
     dtype = jnp.bfloat16 if cdt == "bfloat16" else jnp.float32
-    # measured block sweet spots (docs/PERF_NOTES.md): 2048 at width 128,
-    # 1024 at width 256+ (the kernel holds activations through the
-    # backward, so VMEM pressure scales with width)
-    default_block = 2048 if coarse.hidden_size <= 128 else 1024
+    # measured block sweet spots (docs/PERF_NOTES.md "interleave"): 8192
+    # with 8-way ray-part interleave at width <= 128; smaller at 256+ (the
+    # kernel holds activations through the backward, so VMEM pressure
+    # scales with width x block)
+    default_block = 8192 if coarse.hidden_size <= 128 else 1024
     return make_fused_train_loss(
         coarse,
         fine,

@@ -99,12 +99,13 @@ def main():
             _skip_dw=skip_dw,
         )
 
-    def fused_loss(block, cd=jnp.bfloat16, dw=jnp.bfloat16):
+    def fused_loss(block, cd=jnp.bfloat16, dw=jnp.bfloat16, n_parts=None):
         from dexnerf_tpu.ops import make_fused_train_loss
 
         return make_fused_train_loss(
             model, model, settings,
             block_samples=block, compute_dtype=cd, dw_dtype=dw,
+            parts=n_parts,
         )
 
     for name in args.configs.split(","):
@@ -130,11 +131,15 @@ def main():
             ff = fused(jnp.bfloat16, 1024, skip_dw=True)
         elif name.startswith("loss_"):
             # combined loss+grads kernel (ops/fused_train_loss):
-            # loss_<block> or loss_<block>_f32
-            parts = name.split("_")
-            cd = jnp.float32 if parts[-1] == "f32" else jnp.bfloat16
+            # loss_<block>[_f32][_p<parts>]
+            toks = name.split("_")
+            cd = jnp.float32 if "f32" in toks[2:] else jnp.bfloat16
+            n_parts = None
+            for t in toks[2:]:
+                if t.startswith("p"):
+                    n_parts = int(t[1:])
             cf = ff = None
-            fl = fused_loss(int(parts[1]), cd=cd, dw=cd)
+            fl = fused_loss(int(toks[1]), cd=cd, dw=cd, n_parts=n_parts)
         else:
             raise ValueError(name)
         step = make_train_step(
