@@ -226,11 +226,11 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         return None
     cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
     dtype = jnp.bfloat16 if cdt == "bfloat16" else jnp.float32
-    # measured block sweet spots (docs/PERF_NOTES.md "interleave"): 8192
-    # with 8-way ray-part interleave at width <= 128; smaller at 256+ (the
-    # kernel holds activations through the backward, so VMEM pressure
-    # scales with width x block)
-    default_block = 8192 if coarse.hidden_size <= 128 else 1024
+    # measured block sweet spot (docs/PERF_NOTES.md "interleave"): 8192
+    # with 8-way ray-part interleave, for widths through 256; beyond that
+    # the saved activations (block x width x layers, compute_dtype) press
+    # the 100 MB VMEM budget, so fall back to a small block
+    default_block = 8192 if coarse.hidden_size <= 256 else 1024
     return make_fused_train_loss(
         coarse,
         fine,
