@@ -44,7 +44,7 @@ from dexnerf_tpu.ops.fused_mlp import (
     _coord_dot,
     _dims,
     _expand_rows,
-    _forward_block,
+    _forward_block_parts,
     _num_biases,
     _num_mats,
     _pe_in_kernel,
@@ -106,6 +106,7 @@ def _make_render_kernel(
     samples_per_ray: int,
     thresholds: Tuple[float, ...],
     white_background: bool,
+    parts: int = 1,
 ):
     d = _dims(model)
     n_mats = _num_mats(model)
@@ -121,75 +122,108 @@ def _make_render_kernel(
         outs = refs[5 + n_mats + n_b :]
         out_rgb, out_disp, out_acc, out_depth, out_w = outs[:5]
         R = dists_ref.shape[0]
-        B = R * S
+        P = parts
+        Rp = R // P
+        Bp = Rp * S
 
-        G, expand, to_rs, from_rs = _rs_ops(B, S)
+        # P independent ray-parts with the MLP ops interleaved — the layer
+        # chain is latency-bound on the MXU (~65% MFU single-chain, ~99%
+        # interleaved; docs/PERF_NOTES.md "interleave"). Masks are built
+        # once for the part size and shared.
+        G, expand, to_rs, from_rs = _rs_ops(Bp, S)
+
+        def rows(ref, p):
+            return ref[p * Rp:(p + 1) * Rp, :]
+
         # Sample positions are computed IN-KERNEL from per-ray origins/
-        # directions and the dense [R, S] z tile — the XLA-side
+        # directions and the dense [Rp, S] z tiles — the XLA-side
         # pts = o + d*z materializes [N, S, 3] arrays whose minor dim of 3
         # pads to 128 lanes (the same ~16%-of-step cost found on the train
         # path, docs/PERF_NOTES.md "in-kernel pts"). exact=True: coordinate
         # values must not ride bf16-truncating dots.
-        pts = (expand(orig_ref[:], exact=True)
-               + expand(rdir_ref[:], exact=True)
-               * from_rs(z_ref[:], exact=True))
-        xyz = _pe_in_kernel(
-            pts, model.num_encoding_fn_xyz, model.include_input_xyz,
-            d.pad_xyz,
+        pts_p = tuple(
+            expand(rows(orig_ref, p), exact=True)
+            + expand(rows(rdir_ref, p), exact=True)
+            * from_rs(rows(z_ref, p), exact=True)
+            for p in range(P)
         )
-        dir_enc = _pe_in_kernel(
-            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
-            d.pad_dir,
+        xyz_p = tuple(
+            _pe_in_kernel(
+                pts, model.num_encoding_fn_xyz, model.include_input_xyz,
+                d.pad_xyz,
+            )
+            for pts in pts_p
         )
-        dir_enc = _expand_rows(dir_enc, S, B)
-        raw = _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype)
+        dir_p = tuple(
+            _expand_rows(
+                _pe_in_kernel(
+                    rows(dirs_ref, p), model.num_encoding_fn_dir,
+                    model.include_input_dir, d.pad_dir,
+                ),
+                S, Bp,
+            )
+            for p in range(P)
+        )
+        raws, _ = _forward_block_parts(
+            model, mats, biases, xyz_p, dir_p, compute_dtype,
+        )
 
         # compositing (reference volume_rendering_utils.py:29-49), f32,
         # in dense rays-x-samples tiles (see _rs_ops: [B, 1] columns are
         # 128x lane-wasteful); z/dists arrive [R, S] from the wrapper
-        col4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
-        rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)  # [B,4]
-        sigma = jnp.maximum(to_rs(raw[:, 3:4]), 0.0)  # [R, S]
-        z = z_ref[:]  # [R, S]
-        alpha = 1.0 - jnp.exp(-sigma * dists_ref[:])
-        # exclusive cumsum along samples as an [S, S] lane matmul
+        col4 = jax.lax.broadcasted_iota(jnp.int32, (Bp, 4), 1)
         rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        # reference guard is (1 - alpha + 1e-10); the outer max defends
-        # against the compiler reassociating (1.0 + 1e-10) - alpha (the
-        # eps rounds away and alpha == 1 would give log(0))
-        log_t = jnp.log(jnp.maximum((1.0 - alpha) + 1e-10, 1e-10))
-        trans = jnp.exp(_f32dot(log_t, jnp.where(rr < cc, 1.0, 0.0)))
-        w_rs = alpha * trans  # [R, S]
-        out_w[:] = w_rs
+        colT = (
+            jax.lax.broadcasted_iota(jnp.int32, (Rp, T), 1) if T else None
+        )
+        for p in range(P):
+            raw = raws[p]
+            sl = slice(p * Rp, (p + 1) * Rp)
+            rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)
+            sigma = jnp.maximum(to_rs(raw[:, 3:4]), 0.0)  # [Rp, S]
+            z = rows(z_ref, p)  # [Rp, S]
+            alpha = 1.0 - jnp.exp(-sigma * rows(dists_ref, p))
+            # exclusive cumsum along samples as an [S, S] lane matmul.
+            # reference guard is (1 - alpha + 1e-10); the outer max defends
+            # against the compiler reassociating (1.0 + 1e-10) - alpha (the
+            # eps rounds away and alpha == 1 would give log(0))
+            log_t = jnp.log(jnp.maximum((1.0 - alpha) + 1e-10, 1e-10))
+            trans = jnp.exp(_f32dot(log_t, jnp.where(rr < cc, 1.0, 0.0)))
+            w_rs = alpha * trans  # [Rp, S]
+            out_w[sl, :] = w_rs
 
-        rgb_map = _f32dot(G, from_rs(w_rs) * rgb)[:, 0:3]  # [R, 3]
-        depth = jnp.sum(w_rs * z, axis=1, keepdims=True)  # [R, 1]
-        acc = jnp.sum(w_rs, axis=1, keepdims=True)  # [R, 1]
-        if white_background:
-            rgb_map = rgb_map + (1.0 - acc)
-        out_rgb[:] = rgb_map
-        out_depth[:] = depth
-        out_acc[:] = acc
-        out_disp[:] = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-37))
+            rgb_map = _f32dot(G, from_rs(w_rs) * rgb)[:, 0:3]  # [Rp, 3]
+            depth = jnp.sum(w_rs * z, axis=1, keepdims=True)  # [Rp, 1]
+            acc = jnp.sum(w_rs, axis=1, keepdims=True)  # [Rp, 1]
+            if white_background:
+                rgb_map = rgb_map + (1.0 - acc)
+            out_rgb[sl, :] = rgb_map
+            out_depth[sl, :] = depth
+            out_acc[sl, :] = acc
+            out_disp[sl, :] = 1.0 / jnp.maximum(
+                1e-10, depth / jnp.maximum(acc, 1e-37)
+            )
 
-        if T:
-            out_dex = outs[5]
-            colT = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
-            dex = jnp.zeros((R, T), jnp.float32)
-            z_first = z[:, :1]  # no-hit fallback: reference argmax of
-            # all-zeros -> sample 0 (the nearest z)
-            for i, m in enumerate(thresholds):
-                ind = jnp.where(sigma > np.float32(m), 1.0, 0.0)  # [R, S]
-                hits_before = _f32dot(ind, jnp.where(rr < cc, 1.0, 0.0))
-                first = jnp.where(
-                    jnp.logical_and(hits_before < 0.5, ind > 0.5), 1.0, 0.0
-                )
-                ddex = jnp.sum(first * z, axis=1, keepdims=True)  # [R, 1]
-                any_hit = jnp.sum(ind, axis=1, keepdims=True)
-                val = jnp.where(any_hit > 0.5, ddex, z_first)
-                dex = jnp.where(colT == i, val, dex)
-            out_dex[:] = dex
+            if T:
+                out_dex = outs[5]
+                dex = jnp.zeros((Rp, T), jnp.float32)
+                z_first = z[:, :1]  # no-hit fallback: reference argmax of
+                # all-zeros -> sample 0 (the nearest z)
+                for i, m in enumerate(thresholds):
+                    ind = jnp.where(sigma > np.float32(m), 1.0, 0.0)
+                    hits_before = _f32dot(
+                        ind, jnp.where(rr < cc, 1.0, 0.0)
+                    )
+                    first = jnp.where(
+                        jnp.logical_and(hits_before < 0.5, ind > 0.5),
+                        1.0, 0.0,
+                    )
+                    ddex = jnp.sum(first * z, axis=1, keepdims=True)
+                    any_hit = jnp.sum(ind, axis=1, keepdims=True)
+                    val = jnp.where(any_hit > 0.5, ddex, z_first)
+                    dex = jnp.where(colT == i, val, dex)
+                out_dex[sl, :] = dex
 
     return kernel
 
@@ -216,18 +250,18 @@ def make_fused_render(
         N, S = z_vals.shape
         total = N * S
         T = len(thresholds)
-        key = (S, tuple(thresholds), bool(white_background))
-        if key not in kernels:
-            kernels[key] = _make_render_kernel(
-                model, compute_dtype, S, tuple(thresholds),
-                bool(white_background),
-            )
-        kernel = kernels[key]
 
         rays_per_block = max(1, min(block_samples // S, N))
         block = rays_per_block * S
         pad = (-total) % block
         n_ray_pad = (total + pad) // S
+        # the most interleaved ray-parts whose [Rp, S] tiles keep >= 8
+        # sublane rows (see the kernel comment / PERF_NOTES "interleave")
+        n_parts = 1
+        for cand in (8, 4, 2):
+            if rays_per_block % cand == 0 and rays_per_block // cand >= 8:
+                n_parts = cand
+                break
 
         def pad_rays(a):
             return jnp.pad(a, ((0, n_ray_pad - N), (0, 0)))
@@ -240,6 +274,14 @@ def make_fused_render(
         dirs_in = pad_rays(viewdirs)
         z_rows = pad_rays(z_vals)
         d_rows = pad_rays(dists)
+
+        key = (S, tuple(thresholds), bool(white_background), n_parts)
+        if key not in kernels:
+            kernels[key] = _make_render_kernel(
+                model, compute_dtype, S, tuple(thresholds),
+                bool(white_background), parts=n_parts,
+            )
+        kernel = kernels[key]
 
         mats, bs = split_flex_params(model, params, compute_dtype)
         padded = total + pad
@@ -281,6 +323,13 @@ def make_fused_render(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
+            # big interleaved blocks hold all parts' encodings/activations
+            # live; the 16 MB scoped-VMEM budget is a compiler DEFAULT,
+            # not hardware (v5e has 128 MB) — same raise as the combined
+            # loss kernel (docs/PERF_NOTES.md)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(orig_in, rdir_in, dirs_in, z_rows, d_rows, *mats, *bs)
 
         rgb, disp, acc, depth, w = outs[:5]

@@ -344,3 +344,67 @@ def test_fused_render_in_render_image():
         np.asarray(out_fused.fine.depth), np.asarray(out_xla.fine.depth),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_fused_render_interleaved_parts_matches_xla():
+    """Large rays-per-block engages the ray-part interleave in the render
+    kernel (independent MXU chains); outputs must match XLA exactly like
+    the parts=1 case."""
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_render_rays
+    from dexnerf_tpu.render import RayBatch, RenderSettings, render_rays
+
+    enc_xyz, enc_dir = 3, 2
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=False,
+        radiance_field_noise_std=0.0, white_background=False,
+        m_thres_cand=(5.0,),
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=3, hidden_size=32, skip_connect_every=4,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(1)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    n = 32
+    rd = jax.random.normal(jax.random.fold_in(key, 2), (n, 3))
+    rays = RayBatch(
+        origins=jnp.zeros((n, 3)),
+        directions=rd,
+        viewdirs=rd / jnp.linalg.norm(rd, axis=-1, keepdims=True),
+        near=jnp.full((n,), 2.0),
+        far=jnp.full((n,), 6.0),
+    )
+    # fine pass: S = 16, rays_per_block = 512 // 16 = 32 -> parts = 4
+    impl = make_fused_render_rays(
+        model, model, settings, block_samples=512, interpret=True
+    )
+    got = impl(params, rays, None)
+    # vs XLA, same tolerance as the parts=1 test (fine outputs are
+    # inherently sample_pdf-bin-sensitive to coarse-weight rounding)
+    want = render_rays(
+        model.apply, model.apply, params, rays, None, settings
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.coarse.weights), np.asarray(want.coarse.weights),
+        rtol=2e-4, atol=2e-5,
+    )
+    # the sharper property: the interleaved kernel reproduces the
+    # parts=1 kernel EXACTLY (row partitioning changes no per-ray math)
+    base = make_fused_render_rays(
+        model, model, settings, block_samples=64, interpret=True
+    )(params, rays, None)
+    for g, w in [
+        (got.fine.rgb, base.fine.rgb),
+        (got.fine.weights, base.fine.weights),
+        (got.fine.depth, base.fine.depth),
+        (got.fine.disparity, base.fine.disparity),
+        (got.fine.depth_dex, base.fine.depth_dex),
+    ]:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
