@@ -231,6 +231,7 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
     # the saved activations (block x width x layers, compute_dtype) press
     # the 100 MB VMEM budget, so fall back to a small block
     default_block = 8192 if coarse.hidden_size <= 256 else 1024
+    parts_cfg = _get(cfg.nerf, "pallas_loss_parts", None)
     return make_fused_train_loss(
         coarse,
         fine,
@@ -242,6 +243,7 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         compute_dtype=dtype,
         dw_dtype=dtype,
         interpret=jax.default_backend() == "cpu",
+        parts=None if parts_cfg is None else int(parts_cfg),
     )
 
 
