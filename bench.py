@@ -95,8 +95,8 @@ def main():
             def fused():
                 return make_fused_flexible_field_train(
                     model,
-                    block_samples=1024,
-                    block_samples_bwd=1024,
+                    block_samples=4096,
+                    block_samples_bwd=4096,
                     compute_dtype=jnp.bfloat16,
                     dw_dtype=jnp.bfloat16,
                 )

@@ -377,10 +377,13 @@ def _num_biases(model: FlexibleNeRFModel) -> int:
 
 
 def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype,
-                     samples_per_ray: int = 0):
+                     samples_per_ray: int = 0, parts: int = 1):
     """``samples_per_ray`` > 0 means the dirs input is PER-RAY ([R, 3],
     R = block // samples_per_ray) and is expanded to samples in-kernel —
-    the caller then avoids materializing a [N*S, 3] broadcast in HBM."""
+    the caller then avoids materializing a [N*S, 3] broadcast in HBM.
+    ``parts`` > 1 processes the block as independent row-parts with the
+    layer chain interleaved (latency-bound MXU chains —
+    ``_forward_block_parts``)."""
     d = _dims(model)
     n_mats = _num_mats(model)
     n_b = _num_biases(model)
@@ -392,25 +395,60 @@ def _make_fwd_kernel(model: FlexibleNeRFModel, compute_dtype,
         mats = refs[off : off + n_mats]
         biases = refs[off + n_mats : off + n_mats + n_b]
         out_ref = refs[-1]
-        xyz = _pe_in_kernel(
-            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
-            d.pad_xyz,
-        )
-        dir_enc = None
-        if use_viewdirs:
-            dir_enc = _pe_in_kernel(
-                refs[1][:], model.num_encoding_fn_dir,
-                model.include_input_dir, d.pad_dir,
+        B = pts_ref.shape[0]
+        P = parts
+        Bp = B // P
+        xyz_p = tuple(
+            _pe_in_kernel(
+                pts_ref[p * Bp:(p + 1) * Bp, :],
+                model.num_encoding_fn_xyz, model.include_input_xyz,
+                d.pad_xyz,
             )
-            if samples_per_ray:
-                dir_enc = _expand_rows(
-                    dir_enc, samples_per_ray, pts_ref.shape[0]
-                )
-        out_ref[:] = _forward_block(
-            model, mats, biases, xyz, dir_enc, compute_dtype
+            for p in range(P)
         )
+        dir_p = (None,) * P
+        if use_viewdirs:
+            if samples_per_ray:
+                R = refs[1].shape[0]
+                Rp = R // P
+                dir_p = tuple(
+                    _expand_rows(
+                        _pe_in_kernel(
+                            refs[1][p * Rp:(p + 1) * Rp, :],
+                            model.num_encoding_fn_dir,
+                            model.include_input_dir, d.pad_dir,
+                        ),
+                        samples_per_ray, Bp,
+                    )
+                    for p in range(P)
+                )
+            else:
+                dir_p = tuple(
+                    _pe_in_kernel(
+                        refs[1][p * Bp:(p + 1) * Bp, :],
+                        model.num_encoding_fn_dir,
+                        model.include_input_dir, d.pad_dir,
+                    )
+                    for p in range(P)
+                )
+        outs, _ = _forward_block_parts(
+            model, mats, biases, xyz_p, dir_p, compute_dtype
+        )
+        for p in range(P):
+            out_ref[p * Bp:(p + 1) * Bp, :] = outs[p]
 
     return kernel
+
+
+def _field_parts(rays_per_block: int, samples_per_ray: int) -> int:
+    """The most interleaved row-parts for a field-kernel block: per-ray
+    blocks split by rays (>= 8 rays/part); sample-flat blocks stay 1."""
+    if not samples_per_ray:
+        return 1
+    for p in (8, 4, 2):
+        if rays_per_block % p == 0 and rays_per_block // p >= 8:
+            return p
+    return 1
 
 
 def _ray_blocking(block_samples: int, N: int, S: int):
@@ -434,12 +472,14 @@ def make_fused_flexible_field(
     use_viewdirs = model.use_viewdirs
     kernels = {}
 
-    def get_kernel(samples_per_ray: int):
-        if samples_per_ray not in kernels:
-            kernels[samples_per_ray] = _make_fwd_kernel(
-                model, compute_dtype, samples_per_ray=samples_per_ray
+    def get_kernel(samples_per_ray: int, parts: int = 1):
+        k = (samples_per_ray, parts)
+        if k not in kernels:
+            kernels[k] = _make_fwd_kernel(
+                model, compute_dtype, samples_per_ray=samples_per_ray,
+                parts=parts,
             )
-        return kernels[samples_per_ray]
+        return kernels[k]
 
     def field(params, pts, viewdirs):
         N, S, _ = pts.shape
@@ -459,7 +499,7 @@ def make_fused_flexible_field(
                 memory_space=pltpu.VMEM,
             )
             extra_specs = [dir_spec]
-            kernel = get_kernel(S)
+            kernel = get_kernel(S, _field_parts(rays_per_block, S))
         else:
             block = min(block_samples, total)
             pad = (-total) % block
@@ -492,6 +532,11 @@ def make_fused_flexible_field(
                 (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            # interleaved parts keep every part's encodings live; the
+            # 16 MB scoped-VMEM budget is a compiler default, not hardware
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(*inputs, *mats, *bs)
         return out[:total].reshape(N, S, 4)
 

@@ -34,8 +34,9 @@ from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.ops.fused_mlp import (
     _dims,
     _expand_rows,
+    _field_parts,
     _flex_param_layout,
-    _forward_block,
+    _forward_block_parts,
     _num_mats,
     _pe_in_kernel,
     _ray_blocking,
@@ -218,10 +219,13 @@ def _backward_chain_parts(
 
 
 def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
-                     samples_per_ray: int = 0, _skip_dw: bool = False):
+                     samples_per_ray: int = 0, _skip_dw: bool = False,
+                     parts: int = 1):
     """Backward kernel: recompute + chain rule + grid-accumulated grads.
 
     Outputs mirror the split-matmul operand list (f32) + biases (f32).
+    ``parts`` > 1 processes independent ray-parts with both the forward
+    recompute and the delta chain interleaved (latency-bound MXU chains).
     """
     d = _dims(model)
     n_mats = _num_mats(model)
@@ -239,28 +243,52 @@ def _make_bwd_kernel(model: FlexibleNeRFModel, compute_dtype, dw_dtype=None,
         dmats = refs[3 + n_mats + n_bp : 3 + 2 * n_mats + n_bp]
         dbs = refs[3 + 2 * n_mats + n_bp :]
 
-        xyz = _pe_in_kernel(
-            pts_ref[:], model.num_encoding_fn_xyz, model.include_input_xyz,
-            d.pad_xyz,
-        )
-        dir_enc = _pe_in_kernel(
-            dirs_ref[:], model.num_encoding_fn_dir, model.include_input_dir,
-            d.pad_dir,
+        B = pts_ref.shape[0]
+        P = parts
+        Bp = B // P
+        xyz_p = tuple(
+            _pe_in_kernel(
+                pts_ref[p * Bp:(p + 1) * Bp, :],
+                model.num_encoding_fn_xyz, model.include_input_xyz,
+                d.pad_xyz,
+            )
+            for p in range(P)
         )
         if samples_per_ray:
             # per-ray dirs input expanded to samples (see _make_fwd_kernel)
-            dir_enc = _expand_rows(dir_enc, samples_per_ray, pts_ref.shape[0])
+            R = dirs_ref.shape[0]
+            Rp = R // P
+            dir_p = tuple(
+                _expand_rows(
+                    _pe_in_kernel(
+                        dirs_ref[p * Rp:(p + 1) * Rp, :],
+                        model.num_encoding_fn_dir,
+                        model.include_input_dir, d.pad_dir,
+                    ),
+                    samples_per_ray, Bp,
+                )
+                for p in range(P)
+            )
+        else:
+            dir_p = tuple(
+                _pe_in_kernel(
+                    dirs_ref[p * Bp:(p + 1) * Bp, :],
+                    model.num_encoding_fn_dir, model.include_input_dir,
+                    d.pad_dir,
+                )
+                for p in range(P)
+            )
 
-        (
-            _, *saved
-        ) = _forward_block(
-            model, mats, biases, xyz, dir_enc, cd, keep_activations=True
+        _, saveds = _forward_block_parts(
+            model, mats, biases, xyz_p, dir_p, cd, keep_activations=True
         )
 
-        g = g_ref[:]  # [B, 4] f32
-        _backward_chain(
-            model, cd, dw_dtype, mats, dmats, dbs, tuple(saved),
-            xyz, dir_enc, g, _skip_dw=_skip_dw,
+        gs = tuple(
+            g_ref[p * Bp:(p + 1) * Bp, :] for p in range(P)
+        )  # [Bp, 4] f32
+        _backward_chain_parts(
+            model, cd, dw_dtype, mats, dmats, dbs, saveds,
+            xyz_p, dir_p, gs, _skip_dw=_skip_dw,
         )
 
     return kernel
@@ -340,13 +368,15 @@ def make_fused_flexible_field_train(
     )
     bwd_kernels = {}
 
-    def get_bwd_kernel(samples_per_ray: int):
-        if samples_per_ray not in bwd_kernels:
-            bwd_kernels[samples_per_ray] = _make_bwd_kernel(
+    def get_bwd_kernel(samples_per_ray: int, parts: int = 1):
+        k = (samples_per_ray, parts)
+        if k not in bwd_kernels:
+            bwd_kernels[k] = _make_bwd_kernel(
                 model, compute_dtype, dw_dtype=dw_dtype,
                 samples_per_ray=samples_per_ray, _skip_dw=_skip_dw,
+                parts=parts,
             )
-        return bwd_kernels[samples_per_ray]
+        return bwd_kernels[k]
 
     names = _flex_param_layout(model)
 
@@ -362,7 +392,7 @@ def make_fused_flexible_field_train(
         dirs_in = jnp.pad(viewdirs, ((0, n_ray_pad - N), (0, 0)))
         padded = total + pad
         grid = (padded // block,)
-        bwd_kernel = get_bwd_kernel(S)
+        bwd_kernel = get_bwd_kernel(S, _field_parts(rays_per_block, S))
 
         sample_spec = pl.BlockSpec(
             (block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -405,6 +435,11 @@ def make_fused_flexible_field_train(
             + b_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
+            # interleaved parts keep every part's recompute live; the
+            # 16 MB scoped-VMEM budget is a compiler default, not hardware
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(pts_flat, dirs_in, g_flat, *mats, *bs)
         return grads[: len(mats)], grads[len(mats) :]
 

@@ -171,11 +171,13 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
 
     # Pallas has no CPU lowering; fall back to the interpreter off-TPU.
     interpret = jax.default_backend() == "cpu"
-    # TPU-validated configuration (docs/PERF_NOTES.md round-2 head-to-head):
-    # bf16 matmul operands / f32 chain, fwd+bwd block 1024 — beats the XLA
-    # step 30.0 vs 33.1 ms on v5e. Overridable via cfg.nerf.pallas_*.
+    # TPU-validated configuration (docs/PERF_NOTES.md): bf16 matmul
+    # operands / f32 chain, fwd+bwd block 4096 with the ray-part
+    # interleave — 19.9 ms/step vs 33.1 XLA on v5e (the combined loss
+    # kernel at 14.0 ms remains the default; this is its fallback).
+    # Overridable via cfg.nerf.pallas_*.
     cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
-    block = int(_get(cfg.nerf, "pallas_block_samples", 1024))
+    block = int(_get(cfg.nerf, "pallas_block_samples", 4096))
     kwargs = dict(
         block_samples=block,
         compute_dtype=jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,

@@ -408,3 +408,35 @@ def test_fused_render_interleaved_parts_matches_xla():
         (got.fine.depth_dex, base.fine.depth_dex),
     ]:
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
+
+
+def test_fused_train_field_interleaved_parts():
+    """rays_per_block >= 16 engages the ray-part interleave in the field
+    fwd+bwd kernels; outputs and grads must equal the parts=1 kernels."""
+    from dexnerf_tpu.ops.fused_mlp_train import make_fused_flexible_field_train
+
+    model = FlexibleNeRFModel(
+        num_layers=3, hidden_size=16, skip_connect_every=2,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+    )
+    in_dim = encoding_dim(3, 2) + encoding_dim(3, 1)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, in_dim)))
+    N, S = 32, 4
+    pts = jax.random.normal(jax.random.PRNGKey(1), (N, S, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+
+    def val_and_grad(block):
+        # block 128 -> rays_per_block 32 -> parts 4; block 16 -> parts 1
+        field = make_fused_flexible_field_train(
+            model, block_samples=block, block_samples_bwd=block,
+            compute_dtype=jnp.float32, interpret=True,
+        )
+        return jax.value_and_grad(
+            lambda p: jnp.sum(field(p, pts, vd) ** 2)
+        )(params)
+
+    v1, g1 = val_and_grad(16)
+    v4, g4 = val_and_grad(128)
+    np.testing.assert_allclose(float(v4), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

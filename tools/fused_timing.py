@@ -122,6 +122,12 @@ def main():
         elif name == "bf16_bwd2048":
             cf = fused(jnp.bfloat16, 2048)
             ff = fused(jnp.bfloat16, 2048)
+        elif name == "bf16_bwd4096":
+            cf = fused(jnp.bfloat16, 4096, fwd_block=4096)
+            ff = fused(jnp.bfloat16, 4096, fwd_block=4096)
+        elif name == "bf16_bwd8192":
+            cf = fused(jnp.bfloat16, 8192, fwd_block=8192)
+            ff = fused(jnp.bfloat16, 8192, fwd_block=8192)
         elif name == "bf16_fwd2048":
             cf = fused(jnp.bfloat16, 1024, fwd_block=2048)
             ff = fused(jnp.bfloat16, 1024, fwd_block=2048)
