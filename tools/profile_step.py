@@ -82,7 +82,7 @@ def main() -> int:
         from dexnerf_tpu.ops import make_fused_train_loss
 
         fl = make_fused_train_loss(
-            model, model, settings, block_samples=2048,
+            model, model, settings, block_samples=8192,
             compute_dtype=jnp.bfloat16, dw_dtype=jnp.bfloat16,
         )
     step = make_train_step(
