@@ -253,9 +253,10 @@ def maybe_fused_render_impl(cfg: CfgNode, settings):
     """A fully fused PE→MLP→compositing ``rays_impl`` for render_image when
     ``cfg.nerf.use_fused_render`` is set (deterministic validation/eval
     path); None otherwise. Opt-in separately from ``use_pallas``: the fused
-    TRAIN field wins (26.4 vs 33.1 ms/step) but plain XLA currently renders
-    full frames fastest (559 vs 334-368 krays/s, docs/PERF_NOTES.md), so
-    inference defaults to XLA."""
+    TRAIN kernels win (14.0 vs 33.1 ms/step) but plain XLA renders full
+    frames fastest (569 vs 527 krays/s — frame rendering is
+    elementwise-bound in both paths, docs/PERF_NOTES.md), so inference
+    defaults to XLA."""
     if not bool(_get(cfg.nerf, "use_fused_render", False)):
         return None
     from dexnerf_tpu.models import FlexibleNeRFModel
