@@ -37,6 +37,9 @@ def compute_err_metric(
     """Depth metrics over masked pixels (reference ``train_utils.py:9-30``).
 
     * ``depth_abs_err``: mean |gt - pred| in millimeters over the mask.
+    * ``depth_rmse``: root-mean-square error in millimeters (the
+      BASELINE.md transparent-object metric of record; superset of the
+      reference's logged set).
     * ``depth_err{2,4,8}``: fraction of masked pixels whose |error| exceeds
       2/4/8 mm — note the denominator is the number of *masked* pixels, as in
       the reference (``depth_diff.numel()`` after boolean indexing).
@@ -47,6 +50,7 @@ def compute_err_metric(
     n = max(int(diff.size), 1)
     return {
         "depth_abs_err": float(jnp.mean(jnp.abs(pred - gt)) * 1000.0),
+        "depth_rmse": float(jnp.sqrt(jnp.mean((pred - gt) ** 2)) * 1000.0),
         "depth_err2": float(jnp.sum(diff > 2e-3)) / n,
         "depth_err4": float(jnp.sum(diff > 4e-3)) / n,
         "depth_err8": float(jnp.sum(diff > 8e-3)) / n,

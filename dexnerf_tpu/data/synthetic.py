@@ -57,6 +57,22 @@ def analytic_field(pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb_logit, sigma[..., None]], axis=-1)
 
 
+def render_analytic_rays(
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_samples: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ground-truth (rgb, depth) of the analytic scene along given rays."""
+    t = jnp.linspace(near, far, num_samples)
+    pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
+    raw = analytic_field(pts)
+    z = jnp.broadcast_to(t, (*rd.shape[:-1], num_samples))
+    out = volume_render_radiance_field(raw, z, rd, white_background=True)
+    return np.asarray(out.rgb), np.asarray(out.depth)
+
+
 def render_analytic_image(
     c2w: np.ndarray,
     height: int,
@@ -68,12 +84,7 @@ def render_analytic_image(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth (rgb, depth) of the analytic scene from one pose."""
     ro, rd = get_ray_bundle_c2w(height, width, focal, jnp.asarray(c2w))
-    t = jnp.linspace(near, far, num_samples)
-    pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
-    raw = analytic_field(pts)
-    z = jnp.broadcast_to(t, (*rd.shape[:-1], num_samples))
-    out = volume_render_radiance_field(raw, z, rd, white_background=True)
-    return np.asarray(out.rgb), np.asarray(out.depth)
+    return render_analytic_rays(ro, rd, near, far, num_samples)
 
 
 def make_synthetic_scene(
@@ -150,17 +161,35 @@ def write_messytable_dataset(
 ) -> None:
     """Write a tiny messytable-format dataset (meta.pkl + image + depth PNG).
 
-    Poses are w2c (inverted spherical c2w); depth PNGs are uint16
-    millimeters, matching the real format.
+    Geometry is consistent END-TO-END with the loader + trainer: the
+    loader always halves the stored resolution and returns the meta
+    intrinsics UNSCALED (reference ``load_messytable.py:148-165``), and
+    the trainer unprojects with ``get_ray_bundle_w2c`` (+y-down /
+    +z-forward pixel convention) using those intrinsics directly. So the
+    ground truth here is rendered along exactly those rays at the
+    LOADER-OUTPUT resolution (height//2), stored upscaled 2x (nearest —
+    the loader's area-downsize inverts it), and the meta stores the
+    output-resolution K. Poses are w2c of an OpenCV-convention camera
+    (the blender spherical c2w with its y/z axes flipped, so +z looks at
+    the scene); depth PNGs are uint16 millimeters, matching the real
+    format. A geometry regression test unprojects the GT depth through
+    the loader's rays and asserts it lands on the analytic surfaces.
     """
     import imageio.v2 as imageio
+    import jax.numpy as jnp
     from PIL import Image
 
-    focal = 1.2 * width
+    from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+
+    h_out, w_out = height // 2, width // 2
+    focal = 1.2 * w_out
     K = np.array(
-        [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1]],
+        [[focal, 0, w_out / 2.0], [0, focal, h_out / 2.0], [0, 0, 1]],
         dtype=np.float64,
     )
+    # blender c2w looks along -z with +y up; the w2c+K pixel convention
+    # is +z forward / +y down — flip those camera axes
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
     idx = 0
     total = sum(views_per_split)
     for split, n in zip(["train", "val", "test"], views_per_split):
@@ -168,13 +197,20 @@ def write_messytable_dataset(
             d = os.path.join(basedir, split, f"scene-{k}")
             os.makedirs(d, exist_ok=True)
             theta = -180 + 360.0 * (idx / float(total))
-            c2w = pose_spherical(theta, -30.0, 4.0).astype(np.float64)
+            c2w = pose_spherical(theta, -30.0, 4.0).astype(np.float64) @ flip
             w2c = np.linalg.inv(c2w)
-            rgb, depth = render_analytic_image(c2w, height, width, focal)
+            ro, rd = get_ray_bundle_w2c(
+                h_out, w_out, jnp.asarray(w2c), jnp.asarray(K)
+            )
+            rgb, depth = render_analytic_rays(ro, rd)
             gray = (np.clip(rgb.mean(-1), 0, 1) * 255).astype(np.uint8)
-            imageio.imwrite(os.path.join(d, imgname), gray)
+            # store at 2x: nearest upsample, so the loader's halving
+            # round-trips to the rendered ground truth
+            gray2 = np.repeat(np.repeat(gray, 2, axis=0), 2, axis=1)
+            imageio.imwrite(os.path.join(d, imgname), gray2)
             depth_mm = (depth * 1000).astype(np.uint16)
-            Image.fromarray(depth_mm, mode="I;16").save(
+            depth2 = np.repeat(np.repeat(depth_mm, 2, axis=0), 2, axis=1)
+            Image.fromarray(depth2, mode="I;16").save(
                 os.path.join(d, "depthL.png")
             )
             with open(os.path.join(d, "meta.pkl"), "wb") as f:

@@ -308,6 +308,10 @@ def test_compute_err_metric():
     mask = jnp.array([[True, True, True, True]])
     err = compute_err_metric(gt, pred, mask)
     np.testing.assert_allclose(err["depth_abs_err"], 4.5, rtol=1e-4)
+    # rmse = sqrt(mean([0, 9, 25, 100] mm^2)) = sqrt(33.5)
+    np.testing.assert_allclose(
+        err["depth_rmse"], float(np.sqrt(33.5)), rtol=1e-4
+    )
     np.testing.assert_allclose(err["depth_err2"], 0.75)
     np.testing.assert_allclose(err["depth_err4"], 0.5)
     np.testing.assert_allclose(err["depth_err8"], 0.25)

@@ -110,5 +110,6 @@ def test_dex_ir_training_end_to_end(mt_dir, tmp_path):
     # depth metrics on the standard masked protocol exist per threshold
     for e in val["dex_errors"]:
         assert set(e) == {
-            "depth_abs_err", "depth_err2", "depth_err4", "depth_err8",
+            "depth_abs_err", "depth_rmse",
+            "depth_err2", "depth_err4", "depth_err8",
         }
