@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-variations", type=int, default=1,
                    help="sampled shards per train image")
     p.add_argument("--testskip", type=int, default=1)
+    p.add_argument("--torch-format", action="store_true",
+                   help="write reference-format torch.save .data shards "
+                        "(cache_dataset.py:104-132) instead of .npz")
     return p
 
 
@@ -68,6 +71,25 @@ def cache_nerf_dataset(args) -> None:
     os.makedirs(os.path.join(args.savedir, "train"), exist_ok=True)
     os.makedirs(os.path.join(args.savedir, "val"), exist_ok=True)
 
+    torch_format = bool(getattr(args, "torch_format", False))
+
+    def save_shard(split: str, stem: str, payload: dict) -> None:
+        if torch_format:
+            # reference interop: torch.save pickle with tensor values,
+            # named <stem>.data (cache_dataset.py:104-132) — readable by
+            # the reference's USE_CACHED_DATASET train branch
+            import torch
+
+            out = {
+                k: (torch.from_numpy(np.ascontiguousarray(v))
+                    if isinstance(v, np.ndarray) else v)
+                for k, v in payload.items()
+            }
+            torch.save(out, os.path.join(args.savedir, split, stem + ".data"))
+        else:
+            np.savez(os.path.join(args.savedir, split, stem + ".npz"),
+                     **payload)
+
     def gather_rows(packed: np.ndarray, seed: int, batch: int) -> np.ndarray:
         """Random-row gather for shard sampling: the native C++ kernel
         (``ops/native/dexnerf_host.cc``, one fused pass) with a numpy
@@ -106,26 +128,30 @@ def cache_nerf_dataset(args) -> None:
                 packed, seed=shard,
                 batch=min(args.num_random_rays, packed.shape[0]),
             )
-            np.savez(
-                os.path.join(args.savedir, "train", f"{shard:04d}.npz"),
-                height=H,
-                width=W,
-                focal_length=focal,
-                ray_bundle=np.stack([rows[:, 0:3], rows[:, 3:6]], 0),
-                target=rows[:, 6:9],
+            save_shard(
+                "train", f"{shard:04d}",
+                dict(
+                    height=H,
+                    width=W,
+                    focal_length=focal,
+                    ray_bundle=np.stack([rows[:, 0:3], rows[:, 3:6]], 0),
+                    target=rows[:, 6:9],
+                ),
             )
             shard += 1
 
     for k, idx in enumerate(i_val):
         ro, rd = bundle(int(idx))
-        np.savez(
-            os.path.join(args.savedir, "val", f"{k:04d}.npz"),
-            height=H,
-            width=W,
-            focal_length=focal,
-            ray_origins=ro,
-            ray_directions=rd,
-            target=images[int(idx)][..., :3],
+        save_shard(
+            "val", f"{k:04d}",
+            dict(
+                height=H,
+                width=W,
+                focal_length=focal,
+                ray_origins=ro,
+                ray_directions=rd,
+                target=images[int(idx)][..., :3],
+            ),
         )
     print(f"cached {shard} train shards, {len(i_val)} val bundles -> {args.savedir}")
 

@@ -139,14 +139,31 @@ def build_ray_store_from_cache(
     import os
 
     rows = []
-    shards = sorted(glob.glob(os.path.join(cachedir, "train", "*.npz")))
+    shards = sorted(
+        glob.glob(os.path.join(cachedir, "train", "*.npz"))
+        # the reference's cache_dataset.py writes ``torch.save`` pickles
+        # named ``train/XXXX.data`` (cache_dataset.py:104-115); a user's
+        # existing reference cache directory trains directly
+        + glob.glob(os.path.join(cachedir, "train", "*.data"))
+    )
     if not shards:
         raise FileNotFoundError(f"no train shards under {cachedir}/train")
     pack = _host_pack_rays()
     for path in shards:
-        with np.load(path) as z:
-            ro, rd = z["ray_bundle"][0], z["ray_bundle"][1]
-            rgb = z["target"]
+        if path.endswith(".data"):
+            import torch
+
+            d = torch.load(path, map_location="cpu", weights_only=False)
+            bundle = np.asarray(d["ray_bundle"], dtype=np.float32)
+            ro, rd = bundle[0].reshape(-1, 3), bundle[1].reshape(-1, 3)
+            # target may be RGBA and/or full-image shaped; the reference
+            # consumes it as [..., :3].reshape(-1, 3)
+            # (train_nerf_rgb.py:194)
+            rgb = np.asarray(d["target"], dtype=np.float32)[..., :3]
+        else:
+            with np.load(path) as z:
+                ro, rd = z["ray_bundle"][0], z["ray_bundle"][1]
+                rgb = z["target"]
         rows.append(pack(ro, rd, rgb))
     data = jnp.asarray(np.concatenate(rows, axis=0))
     return RayStore(data=jax.device_put(data), near=float(near), far=float(far))

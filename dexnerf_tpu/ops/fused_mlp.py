@@ -82,7 +82,8 @@ def _expand_rows(x, reps: int, out_rows: int):
     )
 
 
-def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
+def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int,
+                  exact: bool = True):
     """Positional encoding built inside the kernel, zero-padded to
     ``padded_dim`` ([B, 3] -> [B, padded_dim], float32).
 
@@ -115,8 +116,15 @@ def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int):
     P = jnp.where(jnp.logical_and(r == dim_of, live), 1.0, 0.0)
     # _coord_dot: this projection carries the raw coordinates — default
     # precision would put an O(1) phase error into the top-frequency sin
-    # columns (see _coord_dot's comment).
-    xt = _coord_dot(x, P, (((1,), (0,)), ((), ())))
+    # columns (see _coord_dot's comment). exact=False is timing-ablation
+    # only (tools/loss_kernel_ablation.py).
+    if exact:
+        xt = _coord_dot(x, P, (((1,), (0,)), ((), ())))
+    else:
+        xt = jax.lax.dot_general(
+            x, P, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     z = jnp.sin(xt * freq + phase)
     # padded columns: projector column is zero -> xt = 0 and sin(0) = 0
     return jnp.where(is_input, xt, z)

@@ -84,6 +84,12 @@ def _loss_ray_blocking(block_samples: int, N: int, S: int):
     if N < 8:
         return N * S, 0, N
     rays_per_block = max(8, min(block_samples // S, N))
+    if rays_per_block < N:
+        # blocked (grid > 1): the [R, 4]/[R, 1] output block's leading dim
+        # must be a multiple of 8 (Mosaic block-dim constraint); a user-set
+        # block_samples that is not a multiple of 8*S would otherwise fail
+        # to compile (ADVICE r2)
+        rays_per_block = max(8, (rays_per_block // 8) * 8)
     block = rays_per_block * S
     pad = (-N * S) % block
     return block, pad, rays_per_block
@@ -98,7 +104,16 @@ def _make_loss_kernel(
     supervision: str,
     has_noise: bool,
     parts: int = 1,
+    ablate: Optional[str] = None,
 ):
+    """``ablate`` is a TIMING-ONLY bisection knob
+    (tools/loss_kernel_ablation.py): "no_bwd" skips the backward chain,
+    "no_comp" additionally skips compositing (loss = sum of raw),
+    "no_save" = no_comp without saving activations, "mlp_only"
+    additionally replaces coordinate prep + PE with an iota input,
+    "cheap_coords" keeps everything but drops the 2-pass exact
+    coordinate dots. Outputs are numerically WRONG in every mode but
+    ``None``."""
     d = _dims(model)
     n_mats = _num_mats(model)
     n_bp = len(_flex_param_layout(model)) + 1  # + combined head bias
@@ -147,24 +162,33 @@ def _make_loss_kernel(
         # those broadcasts + multiply-adds alone (docs/PERF_NOTES.md).
         # exact=True: coordinates must not ride bf16-truncating dots (see
         # _rs_ops); these selection matmuls are <5% of block FLOPs.
-        pts_p = tuple(
-            expand(rows(orig_ref, p), exact=True)
-            + expand(rows(rdir_ref, p), exact=True)
-            * from_rs(rows(z_ref, p), exact=True)
-            for p in range(P)
-        )
-        xyz_p = tuple(
-            _pe_in_kernel(
-                pts, model.num_encoding_fn_xyz, model.include_input_xyz,
-                d.pad_xyz,
+        exact = ablate not in ("cheap_coords",)
+        if ablate == "mlp_only":
+            fake = (
+                jax.lax.broadcasted_iota(jnp.int32, (Bp, d.pad_xyz), 1)
+                .astype(jnp.float32)
+                * 1e-3
             )
-            for pts in pts_p
-        )
+            xyz_p = tuple(fake + float(p) for p in range(P))
+        else:
+            pts_p = tuple(
+                expand(rows(orig_ref, p), exact=exact)
+                + expand(rows(rdir_ref, p), exact=exact)
+                * from_rs(rows(z_ref, p), exact=exact)
+                for p in range(P)
+            )
+            xyz_p = tuple(
+                _pe_in_kernel(
+                    pts, model.num_encoding_fn_xyz, model.include_input_xyz,
+                    d.pad_xyz, exact=exact,
+                )
+                for pts in pts_p
+            )
         dir_p = tuple(
             _expand_rows(
                 _pe_in_kernel(
                     rows(dirs_ref, p), model.num_encoding_fn_dir,
-                    model.include_input_dir, d.pad_dir,
+                    model.include_input_dir, d.pad_dir, exact=exact,
                 ),
                 S, Bp,
             )
@@ -172,7 +196,7 @@ def _make_loss_kernel(
         )
         raws, saveds = _forward_block_parts(
             model, mats, biases, xyz_p, dir_p, compute_dtype,
-            keep_activations=True,
+            keep_activations=ablate not in ("no_save",),
         )
 
         # ---- compositing, rays x samples layout, per part ----
@@ -190,6 +214,29 @@ def _make_loss_kernel(
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
         colR = jax.lax.broadcasted_iota(jnp.int32, (Rp, 4), 1)
         mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
+
+        if ablate in ("no_comp", "no_save", "mlp_only"):
+            # timing only: loss = sum of raw field values, no compositing
+            loss_total = None
+            for p in range(P):
+                lb = jnp.sum(raws[p])
+                loss_total = lb if loss_total is None else loss_total + lb
+            out_w[:] = jnp.zeros_like(out_w)
+            out_rgb[:] = jnp.zeros_like(out_rgb)
+            val = loss_total.reshape(1, 1)
+            first = pl.program_id(0) == 0
+
+            @pl.when(first)
+            def _():
+                out_loss[:] = val
+                for r in (*dmats, *dbs):
+                    r[...] = jnp.zeros_like(r)
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                out_loss[:] = out_loss[:] + val
+
+            return
 
         loss_total = None
         gs = []
@@ -274,6 +321,15 @@ def _make_loss_kernel(
         def _():
             out_loss[:] = out_loss[:] + val
 
+        if ablate == "no_bwd":
+
+            @pl.when(first)
+            def _():
+                for r in (*dmats, *dbs):
+                    r[...] = jnp.zeros_like(r)
+
+            return
+
         _backward_chain_parts(
             model, compute_dtype, dw_dtype, mats, dmats, dbs, saveds,
             xyz_p, dir_p, tuple(gs),
@@ -292,6 +348,7 @@ def make_fused_pass_loss(
     supervision: str = "rgb",
     interpret: bool = False,
     parts: Optional[int] = None,
+    ablate: Optional[str] = None,
 ):
     """One render pass as a fused loss op.
 
@@ -321,7 +378,7 @@ def make_fused_pass_loss(
             kernels[k] = _make_loss_kernel(
                 model, compute_dtype, dw_dtype, S,
                 bool(white_background), supervision, has_noise,
-                parts=parts,
+                parts=parts, ablate=ablate,
             )
         return kernels[k]
 
@@ -336,9 +393,22 @@ def make_fused_pass_loss(
         # ray-part interleave: the most parts whose [Rp, S] tiles keep
         # >= 8 sublane rows (measured monotone wins through p8 on v5e —
         # PERF_NOTES "interleave"); explicit ``parts`` overrides
-        if parts is not None:
-            n_parts = parts if rays_per_block % parts == 0 else 1
+        if (
+            parts is not None
+            and rays_per_block % parts == 0
+            and rays_per_block // parts >= 8
+        ):
+            n_parts = parts
         else:
+            if parts is not None:
+                import warnings
+
+                warnings.warn(
+                    f"fused loss: parts={parts} violates the Mosaic "
+                    f"[Rp, S] tile floor (rays_per_block={rays_per_block} "
+                    f"needs Rp >= 8); using the auto rule instead",
+                    stacklevel=2,
+                )
             n_parts = 1
             for p in (8, 4, 2):
                 if rays_per_block % p == 0 and rays_per_block // p >= 8:

@@ -300,6 +300,36 @@ def _flax_to_torch_state_dict(flax_params: Dict, use_viewdirs: bool = True):
     return sd
 
 
+def _torch_registration_prefixes(sd: Dict, use_viewdirs: bool = True):
+    """Module prefixes of ``sd`` in torch REGISTRATION order.
+
+    ``parameters()`` / ``state_dict()`` iterate submodules in ``__init__``
+    assignment order, which for the reference ``FlexibleNeRFModel`` is
+    ``layer1, layers_xyz.*, layers_dir.0, fc_alpha, fc_rgb, fc_feat``
+    (``nerf/models.py:207-228``) — NOT forward-call order (the head order
+    this exporter's state_dict builder uses). The Adam state indices the
+    reference's ``optimizer.load_state_dict`` consumes are positional over
+    this order, so export must follow it exactly.
+    """
+    trunk = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"layers_xyz\.(\d+)\.weight", k))
+    )
+    prefixes = ["layer1"] + [f"layers_xyz.{i}" for i in trunk]
+    if use_viewdirs:
+        dirs = sorted(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"layers_dir\.(\d+)\.weight", k))
+        )
+        prefixes += [f"layers_dir.{i}" for i in dirs]
+        prefixes += ["fc_alpha", "fc_rgb", "fc_feat"]
+    else:
+        prefixes += ["fc_out"]
+    return prefixes
+
+
 def _find_adam_state(opt_state):
     import optax
 
@@ -338,10 +368,23 @@ def export_torch_checkpoint(
     """
     import torch
 
-    sds = {"coarse": _flax_to_torch_state_dict(params["coarse"], use_viewdirs)}
+    def reg_ordered(sd):
+        # emit keys in torch registration order so the saved state_dict
+        # iterates exactly like a real ``model.state_dict()``
+        out = {}
+        for prefix in _torch_registration_prefixes(sd, use_viewdirs):
+            out[f"{prefix}.weight"] = sd[f"{prefix}.weight"]
+            out[f"{prefix}.bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    sds = {
+        "coarse": reg_ordered(
+            _flax_to_torch_state_dict(params["coarse"], use_viewdirs)
+        )
+    }
     fine = params.get("fine")
     sds["fine"] = (
-        _flax_to_torch_state_dict(fine, use_viewdirs)
+        reg_ordered(_flax_to_torch_state_dict(fine, use_viewdirs))
         if fine is not None
         else None
     )

@@ -169,6 +169,18 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
         make_fused_flexible_field_train,
     )
 
+    if not bool(_get(cfg.nerf, "use_viewdirs", True)):
+        # the fused kernels require viewdirs; degrade to the XLA path
+        # instead of raising on a use_pallas + use_viewdirs:false config
+        import warnings
+
+        warnings.warn(
+            "cfg.nerf.use_pallas is set but use_viewdirs is false; the "
+            "fused Pallas kernels require viewdirs — using the XLA path",
+            stacklevel=2,
+        )
+        return None, None
+
     # Pallas has no CPU lowering; fall back to the interpreter off-TPU.
     interpret = jax.default_backend() == "cpu"
     # TPU-validated configuration (docs/PERF_NOTES.md): bf16 matmul
@@ -194,12 +206,12 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
     coarse, fine = models_from_cfg(cfg)
     cf = (
         make(coarse, **kwargs)
-        if isinstance(coarse, FlexibleNeRFModel)
+        if isinstance(coarse, FlexibleNeRFModel) and coarse.use_viewdirs
         else None
     )
     ff = (
         make(fine, **kwargs)
-        if isinstance(fine, FlexibleNeRFModel)
+        if isinstance(fine, FlexibleNeRFModel) and fine.use_viewdirs
         else None
     )
     return cf, ff

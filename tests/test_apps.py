@@ -65,6 +65,68 @@ def test_cache_store_missing_dir(tmp_path):
         build_ray_store_from_cache(str(tmp_path / "nope"), 2.0, 6.0)
 
 
+def test_reference_torch_cache_trains_our_store(tmp_path):
+    """A reference-written torch.save ``.data`` cache dir feeds our ray
+    store directly (schema per cache_dataset.py:104-115; consumption per
+    train_nerf_rgb.py:186-204 — target may be RGBA, reader takes [..., :3])."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / "train")
+    n = 32
+    bundles = []
+    for i in range(2):
+        ro = rng.randn(n, 3).astype(np.float32)
+        rd = rng.randn(n, 3).astype(np.float32)
+        tgt = rng.rand(n, 4).astype(np.float32)  # RGBA like blender images
+        torch.save(
+            {
+                "height": 25, "width": 25, "focal_length": 20.0,
+                "ray_bundle": torch.from_numpy(np.stack([ro, rd], 0)),
+                "target": torch.from_numpy(tgt),
+            },
+            str(tmp_path / "train" / f"{i:04d}.data"),
+        )
+        bundles.append((ro, rd, tgt))
+
+    store = build_ray_store_from_cache(str(tmp_path), 2.0, 6.0)
+    assert store.data.shape == (2 * n, 12)
+    got = np.asarray(store.data)
+    np.testing.assert_allclose(got[:n, 0:3], bundles[0][0], rtol=1e-6)
+    np.testing.assert_allclose(got[:n, 9:12], bundles[0][2][:, :3], rtol=1e-6)
+
+
+def test_cache_app_torch_format_reads_back_in_torch(blender_dir, tmp_path):
+    """--torch-format writes .data shards the reference stack can
+    torch.load, and our own store reader accepts them too."""
+    torch = pytest.importorskip("torch")
+
+    from dexnerf_tpu.apps.cache import build_parser, cache_nerf_dataset
+
+    savedir = str(tmp_path / "cache_t")
+    args = build_parser().parse_args(
+        [
+            "--datapath", blender_dir,
+            "--type", "blender",
+            "--savedir", savedir,
+            "--num-random-rays", "64",
+            "--torch-format",
+        ]
+    )
+    cache_nerf_dataset(args)
+
+    shards = sorted(os.listdir(os.path.join(savedir, "train")))
+    assert shards and all(s.endswith(".data") for s in shards)
+    d = torch.load(
+        os.path.join(savedir, "train", shards[0]),
+        map_location="cpu", weights_only=False,
+    )
+    assert torch.is_tensor(d["ray_bundle"])
+    assert tuple(d["ray_bundle"].shape) == (2, 64, 3)
+    store = build_ray_store_from_cache(savedir, 2.0, 6.0)
+    assert store.data.shape[0] == len(shards) * 64
+
+
 def test_tiny_app_smoke(tmp_path):
     from dexnerf_tpu.apps.tiny import main
 

@@ -9,6 +9,8 @@ reproduces the same forward pass as a direct numpy evaluation of those
 weights.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -285,6 +287,76 @@ def test_run_training_resumes_from_reference_ckpt(tmp_path):
     )
     want = sd_coarse["layer1.weight"].numpy().T
     assert np.max(np.abs(got - want)) < 0.1
+
+
+def test_export_loads_into_real_torch_model_and_steps(tmp_path):
+    """The exported .ckpt must drive the REFERENCE stack: state_dicts load
+    into the reference's own FlexibleNeRFModel, and the exported Adam state
+    load_state_dicts into a real torch.optim.Adam and survives a step().
+
+    torch assigns optimizer state positionally over ``parameters()`` order
+    (layer1, layers_xyz.*, layers_dir.0, fc_alpha, fc_rgb, fc_feat —
+    registration order, reference nerf/models.py:207-228), which differs
+    from our forward-call head order; a mis-ordered export produces
+    shape-mismatched moments that only a real optimizer.step() catches.
+    """
+    import jax
+
+    from tools.reference_parity import REFERENCE_ROOT, load_reference_modules
+    from dexnerf_tpu.train import make_optimizer
+    from dexnerf_tpu.train.checkpoints import export_torch_checkpoint
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference source not present")
+    refnerf = load_reference_modules()
+
+    model = FlexibleNeRFModel(
+        num_layers=NUM_LAYERS, hidden_size=HID, skip_connect_every=4,
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    key = jax.random.PRNGKey(11)
+    dummy = jnp.ones((1, DIM_XYZ + DIM_DIR))
+    params = {
+        "coarse": model.init(key, dummy),
+        "fine": model.init(jax.random.fold_in(key, 1), dummy),
+    }
+    tx = make_optimizer(5e-3)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = tx.update(grads, opt_state, params)
+
+    path = str(tmp_path / "export.ckpt")
+    export_torch_checkpoint(path, params, step=50, opt_state=opt_state)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    tmodels = []
+    for sel in ("coarse", "fine"):
+        tm = refnerf.models.FlexibleNeRFModel(
+            num_layers=NUM_LAYERS, hidden_size=HID, skip_connect_every=4,
+            num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+        )
+        missing = tm.load_state_dict(ckpt[f"model_{sel}_state_dict"])
+        assert not missing.missing_keys and not missing.unexpected_keys
+        tmodels.append(tm)
+
+    trainable = [p for tm in tmodels for p in tm.parameters()]
+    opt = torch.optim.Adam(trainable, lr=5e-3)
+    opt.load_state_dict(ckpt["optimizer_state_dict"])
+    # every positional moment must match its parameter's shape — this is
+    # what a wrong index order breaks
+    for i, p in enumerate(trainable):
+        st = opt.state[p]
+        assert tuple(st["exp_avg"].shape) == tuple(p.shape), (i, p.shape)
+    # moments must be the ONE-grad-step Adam moments for the right leaf:
+    # every exp_avg is (1-beta1)*1 = 0.1 after the single unit-grad update
+    for p in trainable:
+        np.testing.assert_allclose(
+            opt.state[p]["exp_avg"].numpy(), 0.1, rtol=1e-5
+        )
+    loss = sum((tm(torch.ones(2, DIM_XYZ + DIM_DIR)) ** 2).mean()
+               for tm in tmodels)
+    loss.backward()
+    opt.step()  # crashes on shape-mismatched moments
 
 
 def test_export_torch_checkpoint_roundtrip(tmp_path):

@@ -244,3 +244,17 @@ def test_maybe_fused_loss_gating(tmp_path):
     assert maybe_fused_loss(cfg, s, "rgb") is not None
     cfg.nerf["pallas_fused_loss"] = False
     assert maybe_fused_loss(cfg, s, "rgb") is None
+
+
+def test_use_pallas_without_viewdirs_degrades_to_xla(tmp_path):
+    """use_pallas + use_viewdirs: false must WARN and train on the XLA
+    path, not raise NotImplementedError (VERDICT r2 weak #6)."""
+    cfg = _base_cfg(tmp_path)
+    cfg.nerf["use_pallas"] = True
+    cfg.nerf["use_viewdirs"] = False
+    cfg.experiment["validate_every"] = 0
+    with pytest.warns(UserWarning, match="use_viewdirs"):
+        out = run_training(
+            cfg, scene=_scene(), use_tensorboard=False, max_iters=2
+        )
+    assert np.isfinite(out["final_train_metrics"]["loss"])
