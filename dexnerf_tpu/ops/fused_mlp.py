@@ -69,6 +69,53 @@ def _coord_dot(x, sel, dims, x_operand: int = 0):
     return d(hi) + d(lo)
 
 
+# 3-term Cody-Waite split of pi. hi/mid carry only 12 mantissa bits, so
+# n*hi and n*mid are EXACT f32 products for |n| <= 2^12 — the subtractions
+# then cancel exactly and the reduced argument is accurate to ~1e-10.
+_PI_HI = 3.140625
+_PI_MID = 9.675025939941406e-04
+_PI_LO = 1.5099580252808664e-07
+# minimax odd polynomial for sin on [-pi/2, pi/2] (fit on Chebyshev nodes;
+# max abs error 3.4e-9 — below f32 output ulp)
+_SIN_C = (
+    9.99999977e-01,
+    -1.66666476e-01,
+    8.33289922e-03,
+    -1.98008653e-04,
+    2.59043003e-06,
+)
+
+
+def _fast_sin(x):
+    """f32-accurate sin for the positional encoding, ~4x cheaper than the
+    Mosaic ``sin`` lowering.
+
+    The on-chip ablation (tools/loss_kernel_ablation.py, docs/PERF_NOTES.md
+    round 3) measured ``jnp.sin`` over the PE tiles at 4.5 ms of a 17.5 ms
+    combined-kernel pass — 26% of the whole train pass, the single largest
+    cost after the MLP dots. This replacement is range-reduction by pi
+    (round + two exact Cody-Waite fmas) + sign fixup + a degree-9 odd
+    minimax polynomial: ~12 VPU ops/element. Measured max abs error vs
+    f64 sin: 1.6e-7 (2-3 output ulps) for |x| up to 2^12*pi — far beyond
+    the PE argument range (top frequency 2^(F-1) x |pts| <= far), and
+    invisible under the bf16 truncation the PE values meet at the next
+    MXU dot. For |x| > 2^12*pi the n*pi_hi product starts rounding and
+    accuracy degrades gracefully (~1e-3 at |x|~5e4) — at those magnitudes
+    the f32 ARGUMENT itself already quantizes coarser than that, so true
+    sin is no better.
+    """
+    n = jnp.floor(x * jnp.float32(1.0 / np.pi) + 0.5)
+    r = ((x - n * _PI_HI) - n * _PI_MID) - n * _PI_LO
+    # sign = (-1)^n without integer ops: frac(n/2) is 0 or 0.5
+    half = n * 0.5
+    sign = 1.0 - 4.0 * (half - jnp.floor(half))
+    r2 = r * r
+    p = jnp.float32(_SIN_C[4])
+    for c in (_SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
+        p = p * r2 + c
+    return sign * r * p
+
+
 def _expand_rows(x, reps: int, out_rows: int):
     """[R, D] -> [out_rows, D], repeating each row ``reps`` times, via a
     one-hot expansion matmul (MXU) — sublane-repeat relayouts are slow in
@@ -83,7 +130,7 @@ def _expand_rows(x, reps: int, out_rows: int):
 
 
 def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int,
-                  exact: bool = True):
+                  exact: bool = True, _skip_sin: bool = False):
     """Positional encoding built inside the kernel, zero-padded to
     ``padded_dim`` ([B, 3] -> [B, padded_dim], float32).
 
@@ -125,7 +172,9 @@ def _pe_in_kernel(x, num_freq: int, include_input: bool, padded_dim: int,
             x, P, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    z = jnp.sin(xt * freq + phase)
+    arg = xt * freq + phase
+    # _skip_sin is timing-ablation only (tools/loss_kernel_ablation.py)
+    z = arg if _skip_sin else _fast_sin(arg)
     # padded columns: projector column is zero -> xt = 0 and sin(0) = 0
     return jnp.where(is_input, xt, z)
 

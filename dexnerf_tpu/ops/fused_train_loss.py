@@ -156,12 +156,18 @@ def _make_loss_kernel(
             return ref[p * Rp:(p + 1) * Rp, :]
 
         # Sample positions are computed IN-KERNEL from per-ray origins/
-        # directions and the dense [Rp, S] z tiles: the XLA-side
+        # directions and a flat per-sample z column: the XLA-side
         # pts = o + d*z materialized [N, S, 3] arrays whose minor dim of 3
         # pads to 128 lanes — the profiler showed ~3 ms/step (16%) going to
         # those broadcasts + multiply-adds alone (docs/PERF_NOTES.md).
         # exact=True: coordinates must not ride bf16-truncating dots (see
         # _rs_ops); these selection matmuls are <5% of block FLOPs.
+        # Round-3 negative results (measured, don't retry): streaming z as
+        # a pre-flattened [B, 1] column (+0.9 ms/step vs the from_rs dot)
+        # and a combined [R, 6] o|d input with in-kernel lane slices
+        # (+1.5 ms) — the structural dots ride the MXU and overlap the VPU
+        # chain, so they are cheaper than padded-column DMAs or lane-slice
+        # relayouts.
         exact = ablate not in ("cheap_coords",)
         if ablate == "mlp_only":
             fake = (
@@ -181,6 +187,7 @@ def _make_loss_kernel(
                 _pe_in_kernel(
                     pts, model.num_encoding_fn_xyz, model.include_input_xyz,
                     d.pad_xyz, exact=exact,
+                    _skip_sin=ablate == "no_sin",
                 )
                 for pts in pts_p
             )
@@ -215,7 +222,7 @@ def _make_loss_kernel(
         colR = jax.lax.broadcasted_iota(jnp.int32, (Rp, 4), 1)
         mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
 
-        if ablate in ("no_comp", "no_save", "mlp_only"):
+        if ablate in ("no_comp", "no_save", "mlp_only", "no_sin"):
             # timing only: loss = sum of raw field values, no compositing
             loss_total = None
             for p in range(P):
