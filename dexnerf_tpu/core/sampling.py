@@ -91,10 +91,17 @@ def sample_pdf(
     ``weights``: [..., M] unnormalized bin masses. ``det=True`` uses an evenly
     spaced grid in [0, 1] instead of uniform draws (then ``key`` may be None).
 
-    Semantics match the reference's ``sample_pdf_2``
-    (``nerf_helpers.py:262-304``): right-searchsorted into the CDF, clamped
-    below/above lookup of both CDF and bin edges, guarded linear
-    interpolation.
+    Semantics match BOTH reference variants: ``sample_pdf_2``
+    (``nerf_helpers.py:262-304``, the working path's choice) and the
+    original ``sample_pdf`` (``nerf_helpers.py:224-259``). The two are
+    numerically identical — same +1e-5 pdf guard, same right-searchsorted
+    rank, same below/above clamps (``max(0, inds-1)`` / ``min(M, inds)``;
+    v1 writes the zero operand as ``zeros_like(inds)`` vs v2's
+    ``zeros_like(inds - 1)``, same result), same guarded lerp — v1 merely
+    routes the gathers through its ``gather_cdf_util`` helper. One
+    function therefore covers both (``sample_pdf_v1`` aliases it for API
+    parity); the equivalence is pinned by
+    ``tests/test_ops.py::test_sample_pdf_matches_v1_gather_semantics``.
 
     Implementation is **gather-free** (TPU gathers are slow): since the CDF
     is ascending, ``cdf[inds-1]``/``bins[inds-1]`` are the maxima over the
@@ -133,6 +140,12 @@ def sample_pdf(
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
+
+
+# The reference's first sample_pdf implementation (nerf_helpers.py:224-259)
+# is numerically identical to sample_pdf_2 (see the docstring above); expose
+# the name so both reference spellings resolve.
+sample_pdf_v1 = sample_pdf
 
 
 def hierarchical_z_vals(

@@ -70,6 +70,42 @@ def test_sample_pdf_pallas_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_sample_pdf_matches_v1_gather_semantics():
+    """The reference ships TWO sample_pdf variants; the original
+    (``nerf_helpers.py:224-259``) differs from ``sample_pdf_2`` only in
+    spelling (``gather_cdf_util`` + ``zeros_like(inds)`` clamp operand).
+    Pin our single implementation against a from-scratch numpy build of
+    the v1 construction so the claimed equivalence stays checked."""
+    from dexnerf_tpu.core.sampling import sample_pdf_v1
+
+    bins, weights, _ = _random_pdf_inputs(B=8, M=30, N=16, seed=3)
+    got = np.asarray(sample_pdf_v1(bins, weights, 16, det=True))
+
+    # v1 semantics, gather-based, in numpy
+    w = np.asarray(weights) + 1e-5
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.concatenate(
+        [np.zeros_like(pdf[..., :1]), np.cumsum(pdf, axis=-1)], axis=-1
+    )
+    u = np.broadcast_to(
+        np.linspace(0.0, 1.0, 16, dtype=np.float32), (8, 16)
+    )
+    inds = np.stack(
+        [np.searchsorted(cdf[b], u[b], side="right") for b in range(8)]
+    )
+    below = np.maximum(np.zeros_like(inds), inds - 1)
+    above = np.minimum(cdf.shape[-1] - 1, inds)
+    bn = np.asarray(bins)
+    cdf_g0 = np.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = np.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = np.take_along_axis(bn, below, axis=-1)
+    bins_g1 = np.take_along_axis(bn, above, axis=-1)
+    denom = cdf_g1 - cdf_g0
+    denom = np.where(denom < 1e-5, np.ones_like(denom), denom)
+    ref = bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_sample_pdf_branchless_det_matches_core():
     bins, weights, _ = _random_pdf_inputs(B=8, M=30, N=16)
     core = sample_pdf(bins, weights, 16, det=True)
