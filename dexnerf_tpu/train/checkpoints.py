@@ -28,32 +28,83 @@ except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
 
+def _payload(state: Any) -> Dict:
+    return {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+
+
+def _write_meta(ckpt_dir: str, step: int, extra: Optional[Dict]):
+    import json
+
+    if extra:
+        name = f"checkpoint_{step:07d}.meta.json"
+        with open(os.path.join(ckpt_dir, name), "w") as f:
+            json.dump({k: float(v) for k, v in extra.items()}, f)
+
+
+class AsyncCheckpointManager:
+    """Async Orbax checkpointing: the array write overlaps training.
+
+    SURVEY §5 specifies async checkpointing (the reference's ``torch.save``
+    stalls its loop every ``save_every`` iters, ``train_nerf_rgb.py:427-441``).
+    ``ocp.CheckpointManager(enable_async_checkpointing=True)`` commits each
+    step atomically (tmp dir + rename), so a kill mid-save leaves only a
+    ``*.orbax-checkpoint-tmp-*`` turd that :func:`latest_checkpoint` never
+    matches — auto-resume always lands on the last COMPLETE step. Step dirs
+    are named ``checkpoint_<step:07d>`` to match the legacy layout.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        self._dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                enable_async_checkpointing=True,
+                create=True,
+                step_prefix="checkpoint",
+                step_format_fixed_length=7,
+                max_to_keep=None,
+            ),
+        )
+
+    def save(self, step: int, state: Any, extra: Optional[Dict] = None):
+        # device_get up front: the donated train step consumes the state
+        # buffers on the next step, so the async writer must hold a host
+        # snapshot, not the live device arrays
+        self._mngr.save(int(step), args=ocp.args.StandardSave(_payload(state)))
+        _write_meta(self._dir, int(step), extra)
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.close()
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state: Any, extra: Optional[Dict] = None):
-    """Save {params, opt_state, step} at ``ckpt_dir/checkpoint_<step>``.
+    """One-shot synchronous save at ``ckpt_dir/checkpoint_<step>`` (tests,
+    tools; the train loop uses :class:`AsyncCheckpointManager`).
 
     Scalar ``extra`` metadata (loss, psnr — the reference stores these in its
     ckpt dict, ``train_nerf_rgb.py:427-441``) goes to a sidecar JSON so the
     orbax tree schema stays fixed regardless of what extras are logged.
     """
-    import json
-
     os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {
-        "step": np.asarray(state.step),
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
-    }
     name = f"checkpoint_{step:07d}"
     if _HAS_ORBAX:
         path = os.path.join(os.path.abspath(ckpt_dir), name)
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, payload, force=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, _payload(state), force=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
     else:  # pragma: no cover
-        np.save(os.path.join(ckpt_dir, name + ".npy"), payload,
+        np.save(os.path.join(ckpt_dir, name + ".npy"), _payload(state),
                 allow_pickle=True)
-    if extra:
-        with open(os.path.join(ckpt_dir, name + ".meta.json"), "w") as f:
-            json.dump({k: float(v) for k, v in extra.items()}, f)
+    _write_meta(ckpt_dir, step, extra)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
@@ -68,19 +119,21 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, template: Any = None) -> Dict:
-    """Restore a checkpoint payload saved by :func:`save_checkpoint`."""
+    """Restore a checkpoint payload saved by :func:`save_checkpoint` or
+    :class:`AsyncCheckpointManager` (whose CheckpointManager layout nests
+    the tree under a ``default/`` item dir), including legacy round-1/2
+    ``PyTreeCheckpointer`` dirs (same underlying PyTree format)."""
     if path.endswith(".npy"):  # pragma: no cover
         return np.load(path, allow_pickle=True).item()
-    ckptr = ocp.PyTreeCheckpointer()
-    if template is not None:
-        payload = {
-            "step": np.asarray(template.step),
-            "params": jax.device_get(template.params),
-            "opt_state": jax.device_get(template.opt_state),
-        }
-        restored = ckptr.restore(os.path.abspath(path), item=payload)
-    else:
-        restored = ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        target = _payload(template) if template is not None else None
+        restored = ckptr.restore(path, target)
+    finally:
+        ckptr.close()
     return restored
 
 

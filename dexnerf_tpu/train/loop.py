@@ -39,6 +39,7 @@ from dexnerf_tpu.data.messytable import load_messytable_data
 from dexnerf_tpu.data.pipeline import build_ray_store
 from dexnerf_tpu.render.renderer import render_image
 from dexnerf_tpu.train.checkpoints import (
+    AsyncCheckpointManager,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -714,6 +715,7 @@ def run_training(
     rays_done = 0
     last_val: Dict[str, Any] = {}
     last_metrics: Dict[str, float] = {}
+    ckpt_mngr: Optional[AsyncCheckpointManager] = None
 
     def _crosses(lo: int, hi: int, every: int) -> bool:
         """True when [lo, hi] contains a multiple of ``every`` (handles
@@ -765,8 +767,13 @@ def run_training(
         if save_every and is_primary and last > 0 and (
             _crosses(i, last, save_every) or last == train_iters - 1
         ):
-            save_checkpoint(
-                os.path.join(logdir, "checkpoints"),
+            # async manager: the array write overlaps the next train steps
+            # (SURVEY §5; the reference's torch.save stalls its loop)
+            if ckpt_mngr is None:
+                ckpt_mngr = AsyncCheckpointManager(
+                    os.path.join(logdir, "checkpoints")
+                )
+            ckpt_mngr.save(
                 last,
                 state,
                 extra={"loss": metrics.get("loss", 0.0)} if isinstance(metrics, dict) else None,
@@ -774,6 +781,9 @@ def run_training(
         i = last + 1
 
     elapsed = time.time() - t0
+    if ckpt_mngr is not None:
+        ckpt_mngr.wait()
+        ckpt_mngr.close()
     logger.close()
     return {
         "state": state,

@@ -204,6 +204,74 @@ def test_auto_resume(tmp_path):
     assert int(out["state"].step) == 5
 
 
+def test_kill_mid_save_auto_resume(tmp_path):
+    """Crash-consistency: a save killed mid-write leaves only an orbax tmp
+    dir (atomic rename commit); auto-resume must land on the last COMPLETE
+    step, ignoring the turd (VERDICT r2 item 4 — kill-and-restore test)."""
+    cfg = _base_cfg(tmp_path)
+    cfg.experiment["train_iters"] = 4
+    cfg.experiment["save_every"] = 2
+    cfg.experiment["validate_every"] = 0
+    scene = _scene()
+    out1 = run_training(cfg, scene=scene, use_tensorboard=False)
+    ckpt_dir = os.path.join(out1["logdir"], "checkpoints")
+    complete = sorted(
+        d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint_")
+        and "tmp" not in d and os.path.isdir(os.path.join(ckpt_dir, d))
+    )
+    assert complete, os.listdir(ckpt_dir)
+    # simulate a kill mid-save of step 9: orbax stages into a tmp-suffixed
+    # dir and renames on commit, so a killed save leaves exactly this
+    turd = os.path.join(
+        ckpt_dir, "checkpoint_0000009.orbax-checkpoint-tmp-1234567"
+    )
+    os.makedirs(os.path.join(turd, "default"))
+    with open(os.path.join(turd, "default", "garbage"), "w") as f:
+        f.write("partial write")
+
+    from dexnerf_tpu.train.checkpoints import latest_checkpoint
+
+    latest = latest_checkpoint(ckpt_dir)
+    assert latest is not None and os.path.basename(latest) == complete[-1]
+
+    cfg2 = _base_cfg(tmp_path)
+    cfg2.experiment["train_iters"] = 6
+    cfg2.experiment["save_every"] = 0
+    cfg2.experiment["validate_every"] = 0
+    out = run_training(
+        cfg2, scene=scene, use_tensorboard=False, auto_resume=True
+    )
+    assert int(out["state"].step) == 6
+
+
+def test_async_save_overlaps_and_is_restorable(tmp_path):
+    """The loop's AsyncCheckpointManager path writes manager-layout steps
+    that restore_checkpoint reads back (params roundtrip exactly)."""
+    from dexnerf_tpu.train.checkpoints import (
+        latest_checkpoint,
+        restore_checkpoint,
+    )
+
+    cfg = _base_cfg(tmp_path)
+    cfg.experiment["train_iters"] = 3
+    cfg.experiment["save_every"] = 1
+    cfg.experiment["validate_every"] = 0
+    out = run_training(cfg, scene=_scene(), use_tensorboard=False)
+    ckpt_dir = os.path.join(out["logdir"], "checkpoints")
+    latest = latest_checkpoint(ckpt_dir)
+    assert latest is not None
+    payload = restore_checkpoint(latest, template=out["state"])
+    assert int(payload["step"]) == 3
+    np.testing.assert_array_equal(
+        np.asarray(
+            payload["params"]["coarse"]["params"]["Dense_0"]["kernel"]
+        ),
+        np.asarray(
+            out["state"].params["coarse"]["params"]["Dense_0"]["kernel"]
+        ),
+    )
+
+
 def test_use_pallas_training_interpret(tmp_path):
     """cfg.nerf.use_pallas now reaches the TRAIN step (custom-VJP fused
     field in interpret mode on CPU), not just validation."""
