@@ -1,0 +1,345 @@
+"""Op-level TRAIN-STEP parity vs the reference's own torch code.
+
+Round-2 proved render parity beyond argument (92-120 dB on all 7 shipped
+checkpoints, tools/reference_parity.py). This harness closes the TRAINING
+side the same way: ONE identical ray batch (identical rays, targets,
+deterministic z — perturb off, sigma-noise off) runs
+
+* (a) one training step of the reference (``train_nerf_rgb.py:244-286``:
+  ``run_one_iter_of_nerf`` mode="train" -> coarse+fine MSE -> backward ->
+  ``torch.optim.Adam.step()``), imported read-only from ``/root/reference``;
+* (b) our XLA path (``render_rays`` + ``nerf_loss`` under
+  ``jax.value_and_grad`` + ``optax.adam``);
+* (c) our combined fused loss+gradients Pallas kernel
+  (``ops/fused_train_loss``, interpret mode on CPU),
+
+and compares the loss, EVERY per-parameter gradient, and the post-Adam
+parameters to f32 tolerance. This is the reference's own quality strategy
+("matching op for op", ``nerf-pytorch/README.md:139-141``) applied to the
+training dynamics: lr plumbing, MSE normalization, stratified z layout,
+hierarchical sample_pdf_2, compositing backward, Adam bias correction.
+
+Usage:
+    python tools/train_step_parity.py [--rays 256] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from tools.reference_parity import load_reference_modules  # noqa: E402
+
+NUM_LAYERS = 4  # the reference entry scripts build FlexibleNeRFModel
+HIDDEN = 128    # defaults regardless of config (train_nerf_rgb.py:122-140)
+SKIP = 4
+ENC_XYZ, ENC_DIR = 10, 4
+NUM_COARSE, NUM_FINE = 32, 32
+NEAR, FAR = 2.0, 6.0
+LR = 5.0e-3
+
+
+def _ref_cfg():
+    from nerf.cfgnode import CfgNode as RefCfgNode
+
+    mode_cfg = {
+        "num_random_rays": 0,
+        "chunksize": 1 << 20,
+        "perturb": False,
+        "num_coarse": NUM_COARSE,
+        "num_fine": NUM_FINE,
+        "white_background": False,
+        "radiance_field_noise_std": 0.0,
+        "lindisp": False,
+    }
+    return RefCfgNode(
+        {
+            "dataset": {"near": NEAR, "far": FAR, "no_ndc": True},
+            "nerf": {
+                "use_viewdirs": True,
+                "encode_position_fn": "positional_encoding",
+                "encode_direction_fn": "positional_encoding",
+                "train": dict(mode_cfg),
+                "validation": dict(mode_cfg),
+            },
+        }
+    )
+
+
+def reference_train_step(sd_coarse, sd_fine, ro, rd, target):
+    """One reference train step; returns (loss, grads_sd, post_sd) with
+    grads/post params keyed by (model, state_dict name)."""
+    import torch
+
+    load_reference_modules()
+    from nerf import models as ref_models
+    from nerf.nerf_helpers import get_embedding_function
+    from nerf.train_utils import run_one_iter_of_nerf
+
+    cfg = _ref_cfg()
+    kwargs = dict(
+        num_layers=NUM_LAYERS, hidden_size=HIDDEN, skip_connect_every=SKIP,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+        use_viewdirs=True,
+    )
+    mc = ref_models.FlexibleNeRFModel(**kwargs)
+    mc.load_state_dict({k: torch.from_numpy(v) for k, v in sd_coarse.items()})
+    mf = ref_models.FlexibleNeRFModel(**kwargs)
+    mf.load_state_dict({k: torch.from_numpy(v) for k, v in sd_fine.items()})
+    mc.train()
+    mf.train()
+
+    enc_pos = get_embedding_function(
+        num_encoding_functions=ENC_XYZ, include_input=True, log_sampling=True
+    )
+    enc_dir = get_embedding_function(
+        num_encoding_functions=ENC_DIR, include_input=True, log_sampling=True
+    )
+    optimizer = torch.optim.Adam(
+        list(mc.parameters()) + list(mf.parameters()), lr=LR
+    )
+    out = run_one_iter_of_nerf(
+        100, 100, 138.0,
+        mc, mf,
+        torch.from_numpy(ro), torch.from_numpy(rd),
+        cfg,
+        mode="train",
+        encode_position_fn=enc_pos,
+        encode_direction_fn=enc_dir,
+        m_thres_cand=np.arange(5, 15, 5),
+    )
+    rgb_coarse, rgb_fine = out[0], out[3]
+    tgt = torch.from_numpy(target)
+    loss = torch.nn.functional.mse_loss(
+        rgb_coarse[..., :3], tgt
+    ) + torch.nn.functional.mse_loss(rgb_fine[..., :3], tgt)
+    optimizer.zero_grad()
+    loss.backward()
+    grads = {}
+    for sel, m in (("coarse", mc), ("fine", mf)):
+        for name, p in m.named_parameters():
+            grads[(sel, name)] = p.grad.detach().numpy().copy()
+    optimizer.step()
+    post = {}
+    for sel, m in (("coarse", mc), ("fine", mf)):
+        for name, p in m.named_parameters():
+            post[(sel, name)] = p.detach().numpy().copy()
+    return float(loss.item()), grads, post
+
+
+def _our_settings():
+    from dexnerf_tpu.render import RenderSettings
+
+    return RenderSettings(
+        num_coarse=NUM_COARSE,
+        num_fine=NUM_FINE,
+        perturb=False,
+        radiance_field_noise_std=0.0,
+        white_background=False,
+        lindisp=False,
+        m_thres_cand=(),
+        use_viewdirs=True,
+        num_encoding_fn_xyz=ENC_XYZ,
+        num_encoding_fn_dir=ENC_DIR,
+    )
+
+
+def our_train_step(sd_coarse, sd_fine, ro, rd, target, path="xla"):
+    """One step of ours from the same weights/batch. ``path``: "xla" or
+    "fused" (the combined loss+grads Pallas kernel, interpret off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render.renderer import RayBatch, render_rays
+    from dexnerf_tpu.train.checkpoints import _torch_state_dict_to_flax
+    from dexnerf_tpu.train.step import nerf_loss
+
+    settings = _our_settings()
+    model = FlexibleNeRFModel(
+        num_layers=NUM_LAYERS, hidden_size=HIDDEN, skip_connect_every=SKIP,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+    )
+    params = {
+        "coarse": _torch_state_dict_to_flax(sd_coarse),
+        "fine": _torch_state_dict_to_flax(sd_fine),
+    }
+    n = ro.shape[0]
+    viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = RayBatch(
+        origins=jnp.asarray(ro),
+        directions=jnp.asarray(rd),
+        viewdirs=jnp.asarray(viewdirs),
+        near=jnp.full((n,), NEAR, jnp.float32),
+        far=jnp.full((n,), FAR, jnp.float32),
+    )
+    tgt = jnp.asarray(target)
+
+    if path == "fused":
+        from dexnerf_tpu.ops import make_fused_train_loss
+
+        fused = make_fused_train_loss(
+            model, model, settings,
+            block_samples=max(64, NUM_COARSE * 8),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def loss_fn(p):
+            loss, _ = fused(p, rays, tgt, None)
+            return loss
+    else:
+
+        def loss_fn(p):
+            result = render_rays(
+                model.apply, model.apply, p, rays,
+                jax.random.PRNGKey(0), settings,
+            )
+            return nerf_loss(result, tgt)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    tx = optax.adam(learning_rate=LR, eps=1e-8)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    post = optax.apply_updates(params, updates)
+    return float(loss), grads, post
+
+
+def _flax_tree_to_sd(tree, sel):
+    """Our flax (grad or param) tree -> {(sel, torch name): array}."""
+    from dexnerf_tpu.train.checkpoints import _flax_to_torch_state_dict
+
+    sd = _flax_to_torch_state_dict(tree)
+    return {(sel, k): v.numpy() for k, v in sd.items()}
+
+
+def compare(ref, ours, label, mask=None, mask_thresh=0.0):
+    """``mask``: optional {key: bool array} — entries to include. Post-Adam
+    params use the reference-gradient magnitude as the mask: at step 1
+    Adam's update is ~lr*sign(g) (mu_hat/sqrt(nu_hat) = g/|g| at count 1),
+    so an entry whose true gradient is f32 noise (~1e-7) legitimately
+    flips sign between bit-different-but-correct implementations and moves
+    by 2*lr. Masking to |g_ref| >= mask_thresh compares the determined
+    entries — the ones where a real math bug would show."""
+    recs = []
+    for key in sorted(ref):
+        a, b = ref[key], ours[key]
+        m = None if mask is None else np.abs(mask[key]) >= mask_thresh
+        if m is not None and not m.any():
+            continue
+        d = np.abs(a - b) if m is None else np.abs(a - b)[m]
+        aa = np.abs(a) if m is None else np.abs(a)[m]
+        rel = float(np.max(d / np.maximum(aa, 1e-8)))
+        mabs = float(np.max(d))
+        recs.append({"param": f"{key[0]}.{key[1]}", "max_abs": mabs,
+                     "max_rel": rel})
+    worst = max(recs, key=lambda r: r["max_abs"])
+    print(f"  {label}: worst max_abs={worst['max_abs']:.3g} "
+          f"({worst['param']}; max_rel there {worst['max_rel']:.3g})")
+    return recs, worst
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rays", type=int, default=256)
+    p.add_argument("--json", type=str, default=None)
+    p.add_argument("--paths", type=str, default="xla,fused")
+    args = p.parse_args()
+
+    import jax
+
+    # must run before ANY backend query: jax.default_backend() would
+    # materialize the axon TPU backend and the update below would no
+    # longer take effect — this harness compares f32 CPU math vs torch
+    jax.config.update("jax_platforms", "cpu")
+
+    # identical weights both sides: torch-init one pair of models
+    import torch
+
+    load_reference_modules()
+    from nerf import models as ref_models
+
+    torch.manual_seed(7)
+    kwargs = dict(
+        num_layers=NUM_LAYERS, hidden_size=HIDDEN, skip_connect_every=SKIP,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+        use_viewdirs=True,
+    )
+    sd_coarse = {
+        k: v.detach().numpy().copy()
+        for k, v in ref_models.FlexibleNeRFModel(**kwargs)
+        .state_dict().items()
+    }
+    sd_fine = {
+        k: v.detach().numpy().copy()
+        for k, v in ref_models.FlexibleNeRFModel(**kwargs)
+        .state_dict().items()
+    }
+
+    # identical batch: camera-like rays toward the origin + random targets
+    rng = np.random.RandomState(3)
+    n = args.rays
+    ro = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (n, 1))
+    rd = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    rd[:, 2] = -1.0
+    target = rng.rand(n, 3).astype(np.float32)
+
+    print("reference torch train step...")
+    ref_loss, ref_grads, ref_post = reference_train_step(
+        sd_coarse, sd_fine, ro, rd, target
+    )
+    print(f"  loss = {ref_loss:.8f}")
+
+    report = {"rays": n, "reference_loss": ref_loss, "paths": {}}
+    ok = True
+    for path in args.paths.split(","):
+        path = path.strip()
+        print(f"our {path} train step...")
+        loss, grads, post = our_train_step(
+            sd_coarse, sd_fine, ro, rd, target, path=path
+        )
+        dl = abs(loss - ref_loss)
+        print(f"  loss = {loss:.8f} (|diff| = {dl:.3g})")
+        g_ours = {
+            **_flax_tree_to_sd(grads["coarse"], "coarse"),
+            **_flax_tree_to_sd(grads["fine"], "fine"),
+        }
+        p_ours = {
+            **_flax_tree_to_sd(post["coarse"], "coarse"),
+            **_flax_tree_to_sd(post["fine"], "fine"),
+        }
+        g_recs, g_worst = compare(ref_grads, g_ours, "grads")
+        p_recs, p_worst = compare(
+            ref_post, p_ours, "post-Adam params (|g|>=1e-5 entries)",
+            mask=ref_grads, mask_thresh=1e-5,
+        )
+        report["paths"][path] = {
+            "loss": loss,
+            "loss_abs_diff": dl,
+            "grad_worst": g_worst,
+            "post_param_worst_determined": p_worst,
+        }
+        # f32 bars: loss to ~1e-6; grads to 2e-4 abs (sum-order effects);
+        # post-Adam params on determined entries to 1e-3 (near the |g| ~
+        # 1e-5 mask edge Adam still amplifies f32 grad noise toward lr,
+        # so the bound is a fraction of lr, not of the f32 eps)
+        ok &= dl < 1e-5 and g_worst["max_abs"] < 2e-4
+        ok &= p_worst["max_abs"] < 1e-3
+    report["ok"] = bool(ok)
+    print("OK" if ok else "MISMATCH")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
