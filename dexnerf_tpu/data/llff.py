@@ -12,13 +12,17 @@ instead of shelling out to ImageMagick ``mogrify`` (reference
 ``images_{factor}/`` directory layout.
 
 Provenance note: the pose math in ``poses_avg`` / ``recenter_poses`` /
-``spherify_poses`` / ``render_path_spiral`` is the canonical bmild/LLFF
-algorithm that every NeRF implementation carries (reference
+``spherify_poses`` / ``render_path_spiral`` implements the canonical
+bmild/LLFF algorithm that every NeRF implementation carries (reference
 ``load_llff.py:157-233``); its magic constants (the ``[0.1, 0.2, 0.3]``
 tie-break vector, 120 spiral poses, ``dt=0.75``, 90th-percentile radii)
-MUST match for output parity and are therefore identical by necessity,
-not by copying. The geometry invariants are independently verified in
-``tests/test_data.py``.
+MUST match for output parity. The function bodies here are this repo's
+own vectorized formulations (batched ``_se3`` homogeneous transforms, a
+closed-form ring instead of per-angle loops); equivalence with the
+reference implementation is pinned numerically by
+``tests/test_data.py::test_pose_math_matches_reference`` (runs the
+reference's own functions side by side) plus independent geometry
+invariants.
 """
 
 from __future__ import annotations
@@ -131,112 +135,131 @@ def _load_data(
     return poses, bds, imgs
 
 
-def normalize(x: np.ndarray) -> np.ndarray:
-    return x / np.linalg.norm(x)
+def normalize(x: np.ndarray, axis: Optional[int] = None) -> np.ndarray:
+    """Unit vector(s); ``axis`` for batched rows."""
+    return x / np.linalg.norm(x, axis=axis, keepdims=axis is not None)
+
+
+def _se3(p34: np.ndarray) -> np.ndarray:
+    """[..., 3, 4] camera-to-world -> [..., 4, 4] homogeneous transform."""
+    bottom = np.broadcast_to(
+        np.array([0.0, 0.0, 0.0, 1.0]), p34.shape[:-2] + (1, 4)
+    )
+    return np.concatenate([p34, bottom], axis=-2)
 
 
 def viewmatrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    vec2 = normalize(z)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+    """[3, 4] camera frame at ``pos``: +z along ``z`` (view direction),
+    +x right-handed against the ``up`` hint, +y re-orthogonalized."""
+    forward = normalize(z)
+    right = normalize(np.cross(up, forward))
+    true_up = normalize(np.cross(forward, right))
+    return np.stack([right, true_up, forward, pos], 1)
 
 
 def poses_avg(poses: np.ndarray) -> np.ndarray:
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
+    """The "average" camera [3, 5]: centroid position, summed view
+    directions and up hints, plus the first pose's hwf column."""
+    cam = viewmatrix(
+        z=poses[:, :3, 2].sum(0),
+        up=poses[:, :3, 1].sum(0),
+        pos=poses[:, :3, 3].mean(0),
+    )
+    return np.concatenate([cam, poses[0, :3, -1:]], 1)
 
 
 def render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, N):
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
+    """``N`` poses on a spiral around the average camera ``c2w``: centers
+    trace cos/sin ellipses (radii ``rads``) in its x/y plane with a z
+    oscillation at ``zrate``, every pose looking at the point ``focal``
+    units in front of the average camera. ``zdelta`` is unused (kept for
+    the reference call signature, ``load_llff.py:183``)."""
+    thetas = np.linspace(0.0, 2.0 * np.pi * rots, int(N) + 1)[:-1]
+    # homogeneous offsets in the average-camera frame, scaled per-axis
+    offsets = np.stack(
+        [
+            np.cos(thetas) * rads[0],
+            -np.sin(thetas) * rads[1],
+            -np.sin(thetas * zrate) * rads[2],
+            np.ones_like(thetas),
+        ],
+        1,
+    )
+    centers = offsets @ c2w[:3, :4].T  # [N, 3] world-frame
+    look_at = c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
     hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, int(N) + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array(
-                [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
-            )
-            * rads,
-        )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-    return render_poses
+    return [
+        np.concatenate([viewmatrix(c - look_at, up, c), hwf], 1)
+        for c in centers
+    ]
 
 
 def recenter_poses(poses: np.ndarray) -> np.ndarray:
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses4 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    poses4 = np.linalg.inv(c2w) @ poses4
-    poses_[:, :3, :4] = poses4[:, :3, :4]
-    return poses_
+    """Re-express every camera in the average camera's frame (the average
+    pose becomes the identity)."""
+    world_from_avg = _se3(poses_avg(poses)[:3, :4])
+    out = poses.copy()
+    out[:, :3, :4] = (
+        np.linalg.inv(world_from_avg) @ _se3(poses[:, :3, :4])
+    )[:, :3, :4]
+    return out
+
+
+def _axes_focus_point(poses: np.ndarray) -> np.ndarray:
+    """Least-squares point closest to all camera optical axes: minimize
+    sum_i |P_i (x - o_i)|^2 where P_i projects off axis i."""
+    fwd = poses[:, :3, 2:3]  # [N, 3, 1]
+    origins = poses[:, :3, 3:4]
+    proj = np.eye(3) - fwd @ np.transpose(fwd, (0, 2, 1))
+    # normal equations: (mean_i P_i^T P_i) x = mean_i P_i^T P_i o_i
+    lhs = (np.transpose(proj, (0, 2, 1)) @ proj).mean(0)
+    rhs = (proj @ origins).mean(0)
+    return np.squeeze(np.linalg.inv(lhs) @ rhs)
 
 
 def spherify_poses(poses: np.ndarray, bds: np.ndarray):
-    def p34_to_44(p):
-        return np.concatenate(
-            [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])],
-            1,
-        )
+    """Recenter on the cameras' mutual focus point, scale to unit mean
+    radius, and build a 120-pose horizontal render ring at the cameras'
+    mean height. Constants (the [0.1, 0.2, 0.3] tie-break vector, 120
+    poses, -z world up) are the canonical LLFF values (see module
+    docstring)."""
+    focus = _axes_focus_point(poses)
 
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    # world frame whose z points from the focus toward the camera cloud;
+    # column order here is [x, y, z] stacked as [vec1, vec2, vec0] in the
+    # reference's naming — an arbitrary-but-fixed frame, NOT viewmatrix()
+    z_axis = normalize((poses[:, :3, 3] - focus).mean(0))
+    x_axis = normalize(np.cross([0.1, 0.2, 0.3], z_axis))
+    y_axis = normalize(np.cross(z_axis, x_axis))
+    world_from_new = np.stack([x_axis, y_axis, z_axis, focus], 1)
 
-    # closest point to all camera optical axes (least-squares)
-    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-    b_i = -A_i @ rays_o
-    pt_mindist = np.squeeze(
-        -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ b_i.mean(0)
+    recentred = np.linalg.inv(_se3(world_from_new[None])) @ _se3(
+        poses[:, :3, :4]
     )
+    mean_radius = np.sqrt(np.mean(np.sum(recentred[:, :3, 3] ** 2, -1)))
+    scale = 1.0 / mean_radius
+    recentred[:, :3, 3] *= scale
+    bds = bds * scale
 
-    center = pt_mindist
-    up = (poses[:, :3, 3] - center).mean(0)
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad ** 2 - zh ** 2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array(
-            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
-        )
-        up = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)],
-        -1,
+    # render ring: radius on the unit sphere at the cameras' mean height
+    ring_h = np.mean(recentred[:, :3, 3], 0)[2]
+    ring_r = np.sqrt(1.0 - ring_h ** 2)
+    th = np.linspace(0.0, 2.0 * np.pi, 120)
+    centers = np.stack(
+        [ring_r * np.cos(th), ring_r * np.sin(th), np.full_like(th, ring_h)],
+        1,
     )
-    poses_reset = np.concatenate(
-        [
-            poses_reset[:, :3, :4],
-            np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape),
-        ],
-        -1,
-    )
-    return poses_reset, new_poses, bds
+    # per-pose frame, reference op order (cross(fwd, up), not viewmatrix)
+    fwd = normalize(centers, axis=1)
+    right = normalize(np.cross(fwd, np.array([0.0, 0.0, -1.0])), axis=1)
+    ring_up = normalize(np.cross(fwd, right), axis=1)
+    ring = np.stack([right, ring_up, fwd, centers], -1)  # [120, 3, 4]
+
+    def with_hwf(p34):
+        hwf = np.broadcast_to(poses[0, :3, -1:], p34.shape[:-1] + (1,))
+        return np.concatenate([p34, hwf], -1)
+
+    return with_hwf(recentred[:, :3, :4]), with_hwf(ring), bds
 
 
 def load_llff_data(

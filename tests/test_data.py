@@ -164,6 +164,58 @@ def test_llff_spherify(tmp_path):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
 
 
+def test_pose_math_matches_reference():
+    """Golden equivalence: our vectorized LLFF pose math vs the reference's
+    own functions (imported read-only from /root/reference), on a random
+    camera cloud. Pins the house reformulation (llff.py provenance note)
+    to the canonical algorithm to f64 rounding."""
+    import importlib.util
+
+    ref_path = "/root/reference/nerf-pytorch/nerf/load_llff.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_load_llff", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from dexnerf_tpu.data import llff as ours
+
+    rng = np.random.RandomState(7)
+    n = 9
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        c2w = pose_spherical(i * 37.0 + rng.rand() * 10, -35.0 + i, 3.5)
+        poses[i, :3, :4] = c2w[:3, :4]
+        poses[i, :3, 3] += rng.randn(3) * 0.2
+        poses[i, :, 4] = [32, 40, 50.0]
+    bds = np.tile([2.0, 6.0], (n, 1)) * (1 + rng.rand(n, 1))
+
+    np.testing.assert_allclose(
+        ours.poses_avg(poses), ref.poses_avg(poses), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        ours.recenter_poses(poses.copy()),
+        ref.recenter_poses(poses.copy()),
+        atol=1e-12,
+    )
+    c2w = ref.poses_avg(poses)
+    up = ref.normalize(poses[:, :3, 1].sum(0))
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+    ours_sp = ours.render_path_spiral(
+        c2w, up, rads, focal=3.1, zdelta=0.4, zrate=0.5, rots=2, N=24
+    )
+    ref_sp = ref.render_path_spiral(
+        c2w, up, list(rads), focal=3.1, zdelta=0.4, zrate=0.5, rots=2, N=24
+    )
+    np.testing.assert_allclose(np.stack(ours_sp), np.stack(ref_sp), atol=1e-12)
+
+    ours_r, ours_ring, ours_bds = ours.spherify_poses(poses.copy(), bds.copy())
+    ref_r, ref_ring, ref_bds = ref.spherify_poses(poses.copy(), bds.copy())
+    np.testing.assert_allclose(ours_r, ref_r, atol=1e-9)
+    np.testing.assert_allclose(ours_ring, ref_ring, atol=1e-9)
+    np.testing.assert_allclose(ours_bds, ref_bds, atol=1e-9)
+
+
 def test_per_image_sampling():
     from dexnerf_tpu.data import sample_ray_batch_per_image
 
