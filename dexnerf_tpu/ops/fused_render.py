@@ -91,7 +91,15 @@ def _rs_ops(B: int, S: int):
             G, x, dims, preferred_element_type=jnp.float32
         )
 
-    def to_rs(v):  # [B, 1] -> [R, S]
+    def to_rs(v, exact=False):  # [B, 1] -> [R, S]
+        # exact=True routes the VALUE operand through the 2-pass hi/lo
+        # split: the default Mosaic dot truncates it to bf16 (~2^-9
+        # relative), which can flip near-threshold Dex-depth compares
+        # (sigma > m) vs the XLA compositor. G/lane_sel are 0/1 (exact).
+        if exact:
+            return _coord_dot(
+                v * lane_sel, G, (((1,), (0,)), ((), ())), x_operand=1
+            )
         return _f32dot(G, v * lane_sel)
 
     def from_rs(x, exact=False):  # [R, S] -> [B, 1]
@@ -181,7 +189,7 @@ def _make_render_kernel(
             raw = raws[p]
             sl = slice(p * Rp, (p + 1) * Rp)
             rgb = jax.nn.sigmoid(raw) * jnp.where(col4 < 3, 1.0, 0.0)
-            sigma = jnp.maximum(to_rs(raw[:, 3:4]), 0.0)  # [Rp, S]
+            sigma = jnp.maximum(to_rs(raw[:, 3:4], exact=True), 0.0)  # [Rp, S]
             z = rows(z_ref, p)  # [Rp, S]
             alpha = 1.0 - jnp.exp(-sigma * rows(dists_ref, p))
             # exclusive cumsum along samples as an [S, S] lane matmul.
@@ -189,6 +197,11 @@ def _make_render_kernel(
             # against the compiler reassociating (1.0 + 1e-10) - alpha (the
             # eps rounds away and alpha == 1 would give log(0))
             log_t = jnp.log(jnp.maximum((1.0 - alpha) + 1e-10, 1e-10))
+            # tolerance note: this dot truncates log_t to bf16 (~2^-9
+            # relative in the LOG), so transmittance carries up to
+            # ~|log_t|*2^-9 relative error vs the XLA cumprod — measured
+            # end-to-end well under the 1e-3 image tolerance (chip parity,
+            # docs/KERNELS.md); sigma/coordinates stay exact (above)
             trans = jnp.exp(_f32dot(log_t, jnp.where(rr < cc, 1.0, 0.0)))
             w_rs = alpha * trans  # [Rp, S]
             out_w[sl, :] = w_rs

@@ -263,14 +263,19 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
 
 
 def maybe_fused_render_impl(cfg: CfgNode, settings):
-    """A fully fused PE→MLP→compositing ``rays_impl`` for render_image when
-    ``cfg.nerf.use_fused_render`` is set (deterministic validation/eval
-    path); None otherwise. Opt-in separately from ``use_pallas``: the fused
-    TRAIN kernels win (14.0 vs 33.1 ms/step) but plain XLA renders full
-    frames fastest (569 vs 527 krays/s — frame rendering is
-    elementwise-bound in both paths, docs/PERF_NOTES.md), so inference
-    defaults to XLA."""
-    if not bool(_get(cfg.nerf, "use_fused_render", False)):
+    """A fully fused PE→MLP→compositing ``rays_impl`` for render_image
+    (deterministic validation/eval path); None selects the plain XLA
+    renderer.
+
+    Default is AUTO: on TPU the fused kernel is the shipping path — with
+    the fast PE sine it renders 400x400 frames in 202.6 ms vs XLA's
+    283.8 ms (790 vs 564 krays/s, block 8192; round-3 chip sweep,
+    docs/PERF_NOTES.md) — while CPU/interpret stays XLA. Set
+    ``cfg.nerf.use_fused_render`` to force either way."""
+    flag = _get(cfg.nerf, "use_fused_render", None)
+    if flag is None:
+        flag = jax.default_backend() not in ("cpu",)
+    if not bool(flag):
         return None
     from dexnerf_tpu.models import FlexibleNeRFModel
     from dexnerf_tpu.ops import make_fused_render_rays
@@ -285,7 +290,15 @@ def maybe_fused_render_impl(cfg: CfgNode, settings):
         coarse,
         fine,
         settings,
-        block_samples=int(_get(cfg.nerf, "pallas_block_samples", 1024)),
+        # render block default 8192: the round-3 chip sweep measured
+        # 215.7 / 204.1 / 202.6 ms/frame at blocks 1024 / 4096 / 8192
+        block_samples=int(
+            _get(
+                cfg.nerf,
+                "pallas_render_block_samples",
+                _get(cfg.nerf, "pallas_block_samples", 8192),
+            )
+        ),
         compute_dtype=jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,
         interpret=jax.default_backend() == "cpu",
     )

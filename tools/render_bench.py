@@ -12,6 +12,7 @@ Iterations are chained through a data dependency and timed best-of-N
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -34,8 +35,13 @@ def main():
     p.add_argument("--fused-render", action="store_true",
                    help="render through the FULLY fused "
                    "PE->MLP->compositing kernel (rays_impl)")
-    p.add_argument("--kernel-block", type=int, default=1024,
-                   help="Pallas block_samples for the fused paths")
+    p.add_argument("--kernel-block", type=int, default=8192,
+                   help="Pallas block_samples for the fused paths "
+                   "(8192 measured fastest: 202.6 ms vs 215.7 at 1024)")
+    p.add_argument("--compare", action="store_true",
+                   help="render the SAME frame through XLA and the fused "
+                   "render kernel (with dex thresholds) and report value "
+                   "agreement instead of throughput")
     args = p.parse_args()
 
     from dexnerf_tpu.core.encoding import encoding_dim
@@ -79,6 +85,46 @@ def main():
 
     H = W = args.hw
     pose = jnp.eye(4).at[2, 3].set(4.0)
+
+    if args.compare:
+        # chip value-parity: XLA compositor vs the fused render kernel on
+        # one identical frame, including the dex-depth threshold outputs
+        import dataclasses
+
+        import numpy as np
+
+        from dexnerf_tpu.ops import make_fused_render_rays
+
+        s_cmp = dataclasses.replace(
+            settings, m_thres_cand=(5.0, 15.0, 40.0)
+        )
+        impl = make_fused_render_rays(
+            model, model, s_cmp, block_samples=args.kernel_block,
+            compute_dtype=jnp.bfloat16,
+        )
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def frame(rays_kind):
+            ro, rd = get_ray_bundle_c2w(H, W, 555.0, pose)
+            out = render_image(
+                model.apply, model.apply, params, ro, rd, 2.0, 6.0,
+                s_cmp, block_size=args.block,
+                rays_impl=impl if rays_kind else None,
+            )
+            return out.fine.rgb, out.fine.depth, out.fine.depth_dex
+
+        ref = [np.asarray(x) for x in frame(False)]
+        fus = [np.asarray(x) for x in frame(True)]
+        for name, a, b in zip(("rgb", "depth", "depth_dex"), ref, fus):
+            d = np.abs(a - b)
+            mse = float(np.mean((a - b) ** 2))
+            psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+            print(
+                f"COMPARE {name}: max|diff|={d.max():.3e} "
+                f"mean|diff|={d.mean():.3e} psnr={psnr:.1f} dB",
+                flush=True,
+            )
+        return
 
     @jax.jit
     def render_frame(pose):
