@@ -4,7 +4,7 @@
 NATIVE_SRC := dexnerf_tpu/ops/native/dexnerf_host.cc
 NATIVE_SO  := dexnerf_tpu/ops/native/libdexnerf_host.so
 
-.PHONY: all native test bench entry clean
+.PHONY: all native test bench entry quality-guard clean
 
 all: native
 
@@ -21,6 +21,10 @@ bench:
 
 entry:
 	python __graft_entry__.py
+
+# TPU: fixed-seed convergence bands per train path (docs/QUALITY_BANDS.json)
+quality-guard:
+	python tools/quality_guard.py
 
 clean:
 	rm -f $(NATIVE_SO)

@@ -5,7 +5,8 @@ and report holdout PSNR every 500 steps. Expect >25 dB by 3k iterations.
 
 Used to validate quality parity of the bfloat16 compute path against the
 float32 reference path (reference train quality is argued statistically —
-SURVEY.md §7 "PRNG semantics").
+SURVEY.md §7 "PRNG semantics"). ``tools/quality_guard.py`` wraps
+:func:`run_convergence` with fixed-seed recorded bands per path.
 """
 import argparse
 import os
@@ -15,7 +16,108 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 
-import numpy as np
+
+def run_convergence(
+    *,
+    path: str = "xla",
+    dtype: str = "float32",
+    iters: int = 3000,
+    seed: int = 0,
+    batch: int = 1024,
+    quiet: bool = False,
+) -> float:
+    """Train the synthetic scene through one compute path and return the
+    final holdout PSNR (dB). ``path``: "xla" | "fused" (Pallas field
+    kernels) | "fused_loss" (combined loss+gradients kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.core.metrics import mse2psnr
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render import RenderSettings, render_image
+    from dexnerf_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    H = W = 64
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=12, height=H, width=W
+    )
+    test_img, test_pose = images[-1], poses[-1]
+    enc_xyz, enc_dir = 6, 4
+    settings = RenderSettings(
+        num_coarse=32, num_fine=32, perturb=True,
+        radiance_field_noise_std=0.0,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=6, hidden_size=128, skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+        dtype=dtype,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(seed)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
+    tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
+    state = init_train_state(params, tx)
+    cf = ff = None
+    if path == "fused":
+        from dexnerf_tpu.ops import make_fused_flexible_field_train
+
+        def fused_field():
+            return make_fused_flexible_field_train(
+                model,
+                block_samples=1024,
+                block_samples_bwd=1024,
+                compute_dtype=jnp.bfloat16,
+                dw_dtype=jnp.bfloat16,
+            )
+
+        cf, ff = fused_field(), fused_field()
+    fused_loss = None
+    if path == "fused_loss":
+        from dexnerf_tpu.ops import make_fused_train_loss
+
+        fused_loss = make_fused_train_loss(
+            model, model, settings,
+            block_samples=8192,
+            compute_dtype=jnp.bfloat16,
+            dw_dtype=jnp.bfloat16,
+        )
+    step = make_train_step(
+        model.apply, model.apply, tx, settings, batch,
+        coarse_field=cf, fine_field=ff, fused_loss=fused_loss,
+    )
+    t0 = time.time()
+    final_psnr = 0.0
+    for i in range(iters + 1):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+        if i % 500 == 0 or i == iters:
+            ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
+            out = render_image(
+                model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
+                settings.eval_variant(), block_size=4096,
+            )
+            mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
+            final_psnr = mse2psnr(mse)
+            if not quiet or i == iters:
+                print(
+                    f"iter {i}: train_psnr {float(metrics['psnr']):.2f} "
+                    f"holdout_psnr {final_psnr:.2f} "
+                    f"({time.time()-t0:.0f}s, path={path}, dtype={dtype})",
+                    flush=True,
+                )
+    return final_psnr
 
 
 def main() -> int:
@@ -41,90 +143,14 @@ def main() -> int:
     )
     args = p.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
-    from dexnerf_tpu.core.encoding import encoding_dim
-    from dexnerf_tpu.core.metrics import mse2psnr
-    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
-    from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
-    from dexnerf_tpu.models import FlexibleNeRFModel
-    from dexnerf_tpu.render import RenderSettings, render_image
-    from dexnerf_tpu.train import init_train_state, make_optimizer, make_train_step
-
-    H = W = 64
-    images, depths, poses, hwf = make_synthetic_scene(
-        num_views=12, height=H, width=W
+    path = (
+        "fused_loss" if args.fused_loss else ("fused" if args.fused else "xla")
     )
-    test_img, test_pose = images[-1], poses[-1]
-    enc_xyz, enc_dir = 6, 4
-    settings = RenderSettings(
-        num_coarse=32, num_fine=32, perturb=True,
-        radiance_field_noise_std=0.0,
-        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    psnr = run_convergence(
+        path=path, dtype=args.dtype, iters=args.iters, seed=args.seed,
+        batch=args.batch,
     )
-    model = FlexibleNeRFModel(
-        num_layers=6, hidden_size=128, skip_connect_every=3,
-        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
-        dtype=args.dtype,
-    )
-    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
-    key = jax.random.PRNGKey(args.seed)
-    params = {
-        "coarse": model.init(key, jnp.ones((1, in_dim))),
-        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
-    }
-    store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
-    tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
-    state = init_train_state(params, tx)
-    cf = ff = None
-    if args.fused:
-        from dexnerf_tpu.ops import make_fused_flexible_field_train
-
-        def fused_field():
-            return make_fused_flexible_field_train(
-                model,
-                block_samples=1024,
-                block_samples_bwd=1024,
-                compute_dtype=jnp.bfloat16,
-                dw_dtype=jnp.bfloat16,
-            )
-
-        cf, ff = fused_field(), fused_field()
-    fused_loss = None
-    if args.fused_loss:
-        from dexnerf_tpu.ops import make_fused_train_loss
-
-        fused_loss = make_fused_train_loss(
-            model, model, settings,
-            block_samples=8192,
-            compute_dtype=jnp.bfloat16,
-            dw_dtype=jnp.bfloat16,
-        )
-    step = make_train_step(
-        model.apply, model.apply, tx, settings, args.batch,
-        coarse_field=cf, fine_field=ff, fused_loss=fused_loss,
-    )
-    t0 = time.time()
-    final_psnr = 0.0
-    for i in range(args.iters + 1):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, store, sub)
-        if i % 500 == 0 or i == args.iters:
-            ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
-            out = render_image(
-                model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
-                settings.eval_variant(), block_size=4096,
-            )
-            mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
-            final_psnr = mse2psnr(mse)
-            print(
-                f"iter {i}: train_psnr {float(metrics['psnr']):.2f} "
-                f"holdout_psnr {final_psnr:.2f} "
-                f"({time.time()-t0:.0f}s, dtype={args.dtype})",
-                flush=True,
-            )
-    print(f"DONE holdout_psnr={final_psnr:.2f}")
+    print(f"DONE holdout_psnr={psnr:.2f}")
     return 0
 
 
