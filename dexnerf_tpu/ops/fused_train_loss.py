@@ -577,16 +577,22 @@ def make_fused_train_loss(
     dw_dtype=None,
     interpret: bool = False,
     parts: Optional[int] = None,
+    resample: str = "auto",
 ):
     """The full hierarchical training loss on the combined kernels.
 
     Returns ``loss_fn(params, rays: RayBatch, target [N,3], key) ->
     (loss, metrics)`` — a drop-in for the ``render_rays`` + ``nerf_loss``
     body of the train step (``train.step.make_train_step(fused_loss=...)``).
-    Stratified/hierarchical z-sampling and σ-noise generation stay XLA
-    (cheap, [N, S]-sized) with the SAME key-split structure as
-    ``render_rays``, so training trajectories are draw-for-draw comparable;
-    everything sample-major runs inside the fused kernels.
+    Stratified z-sampling and σ-noise generation stay XLA (cheap,
+    [N, S]-sized) with the SAME key-split structure as ``render_rays``, so
+    training trajectories are draw-for-draw comparable; everything
+    sample-major runs inside the fused kernels. ``resample``: "pallas"
+    runs the hierarchical inverse-CDF + merge-sort + dists between the two
+    passes in the fused resample kernel (``ops.resample_pallas``, the
+    same uniform draws as the XLA path, values within ~1 ulp); "xla" keeps
+    it in XLA; "auto" (default) picks pallas exactly when the main kernels
+    run compiled (i.e. not ``interpret``).
     """
     from dexnerf_tpu.core.sampling import (
         hierarchical_z_vals,
@@ -594,6 +600,7 @@ def make_fused_train_loss(
         stratified_z_vals,
     )
     from dexnerf_tpu.core.volrend import ray_dists
+    from dexnerf_tpu.ops.resample_pallas import make_fused_resample
 
     s = settings
     if not s.use_viewdirs:
@@ -616,6 +623,14 @@ def make_fused_train_loss(
         else None
     )
     std = float(s.radiance_field_noise_std)
+
+    if resample == "auto":
+        resample = "xla" if interpret else "pallas"
+    resample_fn = (
+        make_fused_resample(s.num_coarse, s.num_fine, interpret=interpret)
+        if resample == "pallas" and fine_pass is not None
+        else None
+    )
 
     def loss_fn(params, rays, target, key):
         # same split structure as renderer.render_rays
@@ -647,12 +662,32 @@ def make_fused_train_loss(
 
         fine_loss = jnp.zeros((), jnp.float32)
         if fine_pass is not None:
-            z_merged, _ = hierarchical_z_vals(
-                k_fine, z_vals, w_c, s.num_fine, det=not s.perturb
-            )
+            sg = jax.lax.stop_gradient
+            if resample_fn is not None:
+                # the same uniform draws sample_pdf would make from k_fine
+                if s.perturb and k_fine is not None:
+                    u = jax.random.uniform(
+                        k_fine, (n, s.num_fine), dtype=jnp.float32
+                    )
+                else:
+                    u = jnp.broadcast_to(
+                        jnp.linspace(0.0, 1.0, s.num_fine), (n, s.num_fine)
+                    )
+                dn = jnp.linalg.norm(
+                    rays.directions, axis=-1, keepdims=True
+                )
+                z_merged, dists_f = resample_fn(
+                    sg(z_vals), sg(w_c), u, sg(dn)
+                )
+                z_merged, dists_f = sg(z_merged), sg(dists_f)
+            else:
+                z_merged, _ = hierarchical_z_vals(
+                    k_fine, z_vals, w_c, s.num_fine, det=not s.perturb
+                )
+                dists_f = ray_dists(z_merged, rays.directions)
             loss_f_sum, _, _ = fine_pass(
                 params["fine"], rays.origins, rays.directions, z_merged,
-                rays.viewdirs, ray_dists(z_merged, rays.directions),
+                rays.viewdirs, dists_f,
                 noise_for(k_noise_f, z_merged.shape), target,
             )
             fine_loss = loss_f_sum / norm

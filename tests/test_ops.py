@@ -476,3 +476,101 @@ def test_fused_train_field_interleaved_parts():
     np.testing.assert_allclose(float(v4), float(v1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_resample_matches_xla():
+    """ops.resample_pallas: the fused CDF + inverse-transform + stable
+    merge-sort + dists kernel equals hierarchical_z_vals + ray_dists
+    (same uniform draws) in interpret mode, including det mode,
+    zero-weight rays, and ray counts that need padding."""
+    from dexnerf_tpu.core.sampling import hierarchical_z_vals
+    from dexnerf_tpu.core.volrend import ray_dists
+    from dexnerf_tpu.ops.resample_pallas import make_fused_resample
+
+    Sc, Sf, N = 16, 8, 21  # N not a multiple of block_rays
+    rng = np.random.RandomState(0)
+    z = np.sort(rng.uniform(2, 6, (N, Sc)).astype(np.float32), axis=1)
+    w = np.abs(rng.randn(N, Sc)).astype(np.float32)
+    w[3] = 0.0  # zero-mass ray (the +1e-5 guard path)
+    w[5] = 0.0
+    w[5, 2] = 100.0  # near-delta pdf (u beyond cdf tail -> none_above)
+    dirs = rng.randn(N, 3).astype(np.float32)
+    dn = jnp.linalg.norm(jnp.asarray(dirs), axis=-1, keepdims=True)
+    rs = make_fused_resample(Sc, Sf, block_rays=16, interpret=True)
+
+    key = jax.random.PRNGKey(5)
+    u = jax.random.uniform(key, (N, Sf), dtype=jnp.float32)
+    zm_ref, _ = hierarchical_z_vals(
+        key, jnp.asarray(z), jnp.asarray(w), Sf, det=False
+    )
+    d_ref = ray_dists(zm_ref, jnp.asarray(dirs))
+    zm, dd = rs(jnp.asarray(z), jnp.asarray(w), u, dn)
+    np.testing.assert_allclose(np.asarray(zm), np.asarray(zm_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(d_ref), atol=1e-4)
+    # merged depths must be sorted
+    assert np.all(np.diff(np.asarray(zm), axis=1) >= 0)
+
+    zm_ref2, _ = hierarchical_z_vals(
+        None, jnp.asarray(z), jnp.asarray(w), Sf, det=True
+    )
+    u_det = jnp.broadcast_to(jnp.linspace(0.0, 1.0, Sf), (N, Sf))
+    zm2, _ = rs(jnp.asarray(z), jnp.asarray(w), u_det, dn)
+    # the near-delta ray (5) hits the u == 1.0 == cdf[-1] tie, where a
+    # 1-ulp difference in cdf-tail rounding (dot-accumulation order vs
+    # XLA's sequential cumsum) legitimately resolves to the adjacent bin;
+    # all smooth rays must match tightly
+    smooth = np.ones(N, bool)
+    smooth[5] = False
+    np.testing.assert_allclose(
+        np.asarray(zm2)[smooth], np.asarray(zm_ref2)[smooth], atol=1e-5
+    )
+    z5, r5 = np.asarray(zm2)[5], np.asarray(zm_ref2)[5]
+    assert np.all(np.diff(z5) >= 0)
+    assert np.mean(np.abs(z5 - r5) < 1e-5) > 0.9
+
+
+def test_fused_loss_pallas_resample_matches_xla_resample():
+    """make_fused_train_loss(resample="pallas") equals resample="xla" in
+    loss AND gradients (interpret mode) — the in-kernel hierarchical
+    resampling consumes the same uniform draws as the XLA path."""
+    from dexnerf_tpu.data import build_ray_store
+    from dexnerf_tpu.data.pipeline import sample_ray_batch
+    from dexnerf_tpu.ops import make_fused_train_loss
+
+    enc_xyz, enc_dir = 2, 1
+    settings = RenderSettings(
+        num_coarse=16, num_fine=8, perturb=True,
+        radiance_field_noise_std=0.1,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16, skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 16, 16, 3).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    poses[:, 2, 3] = 4.0
+    store = build_ray_store(images, poses, [16, 16, 20.0], 2.0, 6.0)
+    rays, target = sample_ray_batch(store, jax.random.PRNGKey(3), 32)
+    kw = dict(block_samples=128, interpret=True)
+    lf_x = make_fused_train_loss(model, model, settings, resample="xla", **kw)
+    lf_p = make_fused_train_loss(
+        model, model, settings, resample="pallas", **kw
+    )
+    k = jax.random.PRNGKey(7)
+    (lx, _), gx = jax.value_and_grad(
+        lambda p: lf_x(p, rays, target, k), has_aux=True
+    )(params)
+    (lp, _), gp = jax.value_and_grad(
+        lambda p: lf_p(p, rays, target, k), has_aux=True
+    )(params)
+    np.testing.assert_allclose(float(lx), float(lp), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
