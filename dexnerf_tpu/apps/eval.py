@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--num-poses", type=int, default=None, help="limit render path length"
     )
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (e.g. cpu when the TPU tunnel is "
+        "unavailable); overrides the environment's pinned default",
+    )
     return p
 
 
@@ -47,6 +55,9 @@ def main(argv=None) -> int:
     import imageio.v2 as imageio
     import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from dexnerf_tpu.config import load_config, render_settings_from_cfg
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w

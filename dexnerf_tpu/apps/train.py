@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="IR supervision: Rec.601-luminance MSE instead of RGB MSE",
     )
     p.add_argument(
+        "--sg-ir",
+        action="store_true",
+        help="active-IR supervision through the spherical-Gaussian shader "
+        "(render/sg_ir.py): learnable co-located projector + environment "
+        "lobes + PBR material, supervised on IR luminance — the capability "
+        "behind the reference's dead SgRenderer (nerf/render.py:5)",
+    )
+    p.add_argument(
         "--max-iters", type=int, default=None, help="override train_iters"
     )
     p.add_argument(
@@ -79,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="run eagerly for step-through debugging",
     )
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (e.g. cpu when the TPU tunnel is "
+        "unavailable); overrides the environment's pinned default",
+    )
     return p
 
 
@@ -86,6 +102,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.disable_jit:
@@ -95,10 +113,15 @@ def main(argv=None) -> int:
     from dexnerf_tpu.train import run_training
 
     cfg = load_config(args.config)
+    if args.sg_ir and args.ir:
+        raise SystemExit("--sg-ir and --ir are mutually exclusive")
+    supervision = (
+        "sg_ir" if args.sg_ir else ("luminance" if args.ir else "rgb")
+    )
     out = run_training(
         cfg,
         dex=args.dex,
-        supervision="luminance" if args.ir else "rgb",
+        supervision=supervision,
         load_ckpt=args.load_checkpoint or None,
         auto_resume=args.auto_resume,
         max_iters=args.max_iters,

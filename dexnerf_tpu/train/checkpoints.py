@@ -292,6 +292,12 @@ def build_opt_state_from_torch(
     if "fine" in params:
         mu["fine"] = mu_f
         nu["fine"] = nu_f
+    for k in params:
+        # param groups the torch checkpoint cannot carry (e.g. the sg_ir
+        # shading subtree) start with fresh zero moments
+        if k not in mu:
+            mu[k] = jax.tree.map(jnp.zeros_like, params[k])
+            nu[k] = jax.tree.map(jnp.zeros_like, params[k])
     mu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, mu)
     nu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, nu)
 

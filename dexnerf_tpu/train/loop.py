@@ -259,6 +259,7 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         dw_dtype=dtype,
         interpret=jax.default_backend() == "cpu",
         parts=None if parts_cfg is None else int(parts_cfg),
+        resample=str(_get(cfg.nerf, "pallas_loss_resample", "auto")),
     )
 
 
@@ -406,7 +407,10 @@ def validate(
 
     # coarse/fine loss split, logged like the reference
     # (train_dexnerf_rgb.py:366-385)
-    if supervision == "luminance":
+    if supervision in ("luminance", "sg_ir"):
+        # sg_ir trains a shaded-IR loss (render/sg_ir.py); validation
+        # compares plain luminance (the shaded full-frame render is an
+        # analysis tool, not a per-iteration metric)
         from dexnerf_tpu.train.step import luminance
 
         def _mse(render_rgb):
@@ -595,6 +599,15 @@ def run_training(
     )
 
     coarse_fn, fine_fn, params = setup_models(cfg, seed)
+    if supervision == "sg_ir":
+        # active-IR SG shading (render/sg_ir.py): learnable illumination +
+        # material parameters train alongside the fields
+        from dexnerf_tpu.render.sg_ir import init_sg_ir_params
+
+        params["sg"] = init_sg_ir_params(
+            jax.random.fold_in(jax.random.PRNGKey(seed), 7),
+            num_env_lobes=int(_get(cfg.nerf.train, "sg_env_lobes", 2)),
+        )
     tx = make_optimizer(
         float(cfg.optimizer.lr),
         float(cfg.scheduler.lr_decay),
@@ -622,6 +635,10 @@ def run_training(
             new_params = {"coarse": imported["coarse"]}
             if imported["fine"] is not None and "fine" in state.params:
                 new_params["fine"] = imported["fine"]
+            if "sg" in params:
+                # reference checkpoints carry no shading params; keep the
+                # fresh init (sg_ir fine-tunes shading on top of them)
+                new_params["sg"] = params["sg"]
             opt_state = (
                 build_opt_state_from_torch(
                     imported, new_params, tx, use_viewdirs=use_vd
@@ -677,7 +694,18 @@ def run_training(
         if steps_per_call is not None
         else _get(cfg.nerf.train, "steps_per_call", 1)
     )
-    fused_loss = maybe_fused_loss(cfg, s_train, supervision)
+    if supervision == "sg_ir":
+        from dexnerf_tpu.render.sg_ir import make_sg_ir_loss
+
+        coarse_m, fine_m = models_from_cfg(cfg)
+        fused_loss = make_sg_ir_loss(
+            coarse_m, fine_m, s_train,
+            distance_falloff=bool(
+                _get(cfg.nerf.train, "sg_distance_falloff", True)
+            ),
+        )
+    else:
+        fused_loss = maybe_fused_loss(cfg, s_train, supervision)
     # the combined loss kernel supersedes the separate field kernels
     coarse_field, fine_field = (
         (None, None) if fused_loss is not None

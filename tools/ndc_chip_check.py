@@ -1,0 +1,293 @@
+"""Chip-drive the LLFF/NDC path (fern): render + train smoke on TPU.
+
+Round-2 verdict: fern parity was proven on CPU only
+(``tools/reference_parity.py``); the NDC ray math (reference
+``nerf_helpers.py:172-199``) had never executed on the chip, where f32
+vs default-bf16 matmul subtleties live. This tool closes that:
+
+* ``render``  — loads the reference's shipped ``pretrained/fern-lowres``
+  checkpoint, builds the SAME NDC ray bundle as ``reference_parity.py``
+  (forward-facing camera, 0.05 lateral offset), renders it through the
+  plain XLA renderer AND (when not ``--cpu``) the fused Pallas render
+  kernel, and writes the rgb/depth arrays to ``--out``.
+* ``compare`` — prints max|diff| and PSNR between two such files; run
+  ``render`` once on the chip and once with ``--cpu``, then compare.
+* ``train-smoke`` — a short NDC train run on the current platform: a
+  synthetic forward-facing scene (no fern images ship with the
+  reference), rays NDC-projected exactly as the reference train loop
+  does (``train_utils.py:238-245`` / our ``data/pipeline.py``), loss
+  must be finite and decreasing.
+
+Usage (results recorded in docs/PARITY.md):
+    python tools/ndc_chip_check.py render --out /tmp/fern_tpu.npz
+    python tools/ndc_chip_check.py render --cpu --out /tmp/fern_cpu.npz
+    python tools/ndc_chip_check.py compare /tmp/fern_tpu.npz /tmp/fern_cpu.npz
+    python tools/ndc_chip_check.py train-smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+FERN = "/root/reference/nerf-pytorch/pretrained/fern-lowres"
+
+
+def _fern_setup(size: int):
+    """(params, model, settings, cfg, ro, rd, hwf) for the fern ckpt —
+    same camera construction as reference_parity.compare_scene(ndc=True)."""
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.render import RenderSettings
+    from dexnerf_tpu.train import import_torch_checkpoint
+
+    with open(os.path.join(FERN, "config.yml")) as f:
+        cfg = CfgNode.load_cfg(f)
+
+    ckpts = sorted(
+        f for f in os.listdir(FERN) if f.endswith(".ckpt")
+    )
+    imported = import_torch_checkpoint(os.path.join(FERN, ckpts[-1]))
+    params = {"coarse": imported["coarse"]}
+    if imported["fine"] is not None:
+        params["fine"] = imported["fine"]
+
+    mc = cfg.models.coarse
+    # shipped-checkpoint architecture (see reference_parity.ours_render)
+    model = FlexibleNeRFModel(
+        num_layers=4,
+        hidden_size=128,
+        skip_connect_every=4,
+        num_encoding_fn_xyz=mc.num_encoding_fn_xyz,
+        num_encoding_fn_dir=mc.num_encoding_fn_dir,
+        include_input_xyz=mc.include_input_xyz,
+        include_input_dir=mc.include_input_dir,
+        use_viewdirs=mc.use_viewdirs,
+    )
+    v = cfg.nerf.validation
+    settings = RenderSettings(
+        num_coarse=int(v.num_coarse),
+        num_fine=int(v.num_fine),
+        perturb=False,
+        lindisp=bool(getattr(v, "lindisp", False)),
+        radiance_field_noise_std=0.0,
+        white_background=bool(getattr(v, "white_background", False)),
+        m_thres_cand=(),
+        use_viewdirs=bool(cfg.nerf.use_viewdirs),
+        num_encoding_fn_xyz=int(mc.num_encoding_fn_xyz),
+        num_encoding_fn_dir=int(mc.num_encoding_fn_dir),
+        include_input_xyz=bool(mc.include_input_xyz),
+        include_input_dir=bool(mc.include_input_dir),
+        log_sampling_xyz=bool(mc.log_sampling_xyz),
+        log_sampling_dir=bool(mc.log_sampling_dir),
+    )
+
+    H = W = size
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3] = 0.05  # slight lateral offset, forward-facing (-z)
+    ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose))
+    return params, model, settings, cfg, ro, rd, (H, W, focal)
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+
+    from dexnerf_tpu.ops import make_fused_render_rays
+    from dexnerf_tpu.render import render_image
+
+    params, model, settings, cfg, ro, rd, hwf = _fern_setup(args.size)
+    H, W, focal = hwf
+    fine_fn = model.apply if "fine" in params else None
+    near = float(cfg.dataset.near)
+    far = float(cfg.dataset.far)
+
+    out = {}
+    kw = dict(
+        block_size=4096, use_ndc=True, height=H, width=W,
+        focal_length=focal,
+    )
+    r = render_image(
+        model.apply, fine_fn, params, ro, rd, near, far, settings, **kw
+    )
+    pick = r.fine if r.fine is not None else r.coarse
+    out["xla_rgb"] = np.asarray(pick.rgb)
+    out["xla_depth"] = np.asarray(pick.depth)
+    print(f"[{jax.default_backend()}] xla render done", flush=True)
+
+    if not args.cpu:
+        impl = make_fused_render_rays(
+            model, model if fine_fn else None, settings,
+            block_samples=8192,
+        )
+        r = render_image(
+            model.apply, fine_fn, params, ro, rd, near, far, settings,
+            rays_impl=impl, **kw
+        )
+        pick = r.fine if r.fine is not None else r.coarse
+        out["fused_rgb"] = np.asarray(pick.rgb)
+        out["fused_depth"] = np.asarray(pick.depth)
+        print(f"[{jax.default_backend()}] fused render done", flush=True)
+
+    np.savez(args.out, **out)
+    print(f"wrote {args.out}: {sorted(out)}")
+    return 0
+
+
+def _report(tag, a, b, tol):
+    d = float(np.max(np.abs(a - b)))
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    ok = d <= tol
+    print(
+        f"{tag}: max|diff| {d:.3e}  psnr {psnr:.1f} dB  "
+        f"({'OK' if ok else 'FAIL'} @ {tol:g})"
+    )
+    return ok
+
+
+def cmd_compare(args) -> int:
+    a = np.load(args.files[0])
+    b = np.load(args.files[1])
+    ok = _report("xla(tpu) vs xla(cpu) rgb", a["xla_rgb"], b["xla_rgb"], 2e-3)
+    ok &= _report(
+        "xla(tpu) vs xla(cpu) depth", a["xla_depth"], b["xla_depth"], 5e-3
+    )
+    if "fused_rgb" in a.files:
+        # the fused kernel's bf16 dot tolerance class (docs/PERF_NOTES.md)
+        ok &= _report(
+            "fused(tpu) vs xla(cpu) rgb", a["fused_rgb"], b["xla_rgb"], 5e-3
+        )
+        ok &= _report(
+            "fused(tpu) vs xla(cpu) depth",
+            a["fused_depth"], b["xla_depth"], 2e-2,
+        )
+    return 0 if ok else 1
+
+
+def cmd_train_smoke(args) -> int:
+    """Short NDC train run: synthetic forward-facing scene, NDC-projected
+    ray store, real train step on the current platform."""
+    import jax
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.encoding import encoding_dim
+    from dexnerf_tpu.data import build_ray_store
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_train_loss
+    from dexnerf_tpu.render import RenderSettings
+    from dexnerf_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    enc_xyz, enc_dir = 6, 4
+    settings = RenderSettings(
+        num_coarse=32, num_fine=32, perturb=True,
+        radiance_field_noise_std=0.2,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=4, hidden_size=64, skip_connect_every=3,
+        num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+    )
+    in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+
+    # forward-facing views, small lateral offsets — the LLFF camera family
+    rng = np.random.RandomState(0)
+    n_views, H, W = 4, 64, 64
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    images = np.stack(
+        [
+            np.stack(
+                [
+                    0.5 + 0.4 * np.sin(xx / 9 + i),
+                    0.5 + 0.4 * np.cos(yy / 7 - i),
+                    0.5 + 0.4 * np.sin((xx + yy) / 11),
+                ],
+                axis=-1,
+            )
+            for i in range(n_views)
+        ]
+    ).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+    poses[:, 0, 3] = np.linspace(-0.1, 0.1, n_views)
+    # LLFF/NDC convention: near=1, far=inf handled by the projection;
+    # ray store bounds 0..1 in NDC depth
+    store = build_ray_store(
+        images, poses, [H, W, focal], 0.0, 1.0, use_ndc=True
+    )
+
+    tx = make_optimizer(5e-3)
+    state = init_train_state(params, tx)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fl = make_fused_train_loss(
+        model, model, settings,
+        block_samples=4096,
+        compute_dtype=jnp.bfloat16, dw_dtype=jnp.bfloat16,
+        interpret=not on_tpu,
+    ) if args.fused else None
+    step = make_train_step(
+        model.apply, model.apply, tx, settings, args.batch, fused_loss=fl
+    )
+    losses = []
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, store, sub)
+        if i % 10 == 0 or i == args.steps - 1:
+            losses.append(float(m["loss"]))
+            print(f"step {i}: loss {losses[-1]:.5f}", flush=True)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    print(
+        f"NDC train smoke OK on [{jax.default_backend()}] "
+        f"(fused={bool(fl)}): {losses[0]:.4f} -> {losses[-1]:.4f}"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("render")
+    pr.add_argument("--size", type=int, default=64)
+    pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--out", type=str, required=True)
+    pc = sub.add_parser("compare")
+    pc.add_argument("files", nargs=2)
+    pt = sub.add_parser("train-smoke")
+    pt.add_argument("--steps", type=int, default=60)
+    pt.add_argument("--batch", type=int, default=1024)
+    pt.add_argument("--fused", action="store_true", default=True)
+    pt.add_argument("--no-fused", dest="fused", action="store_false")
+    args = p.parse_args(argv)
+    return {
+        "render": cmd_render,
+        "compare": cmd_compare,
+        "train-smoke": cmd_train_smoke,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
