@@ -19,6 +19,7 @@ import numpy as np
 from dexnerf_tpu.utils import (
     apply_jet_colormap,
     cast_to_disparity_image,
+    cast_to_gray_image,
     cast_to_image,
 )
 
@@ -45,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("cpu", "tpu", "axon"),
         help="force a JAX platform (e.g. cpu when the TPU tunnel is "
         "unavailable); overrides the environment's pinned default",
+    )
+    p.add_argument(
+        "--sg-ir",
+        action="store_true",
+        help="also render the shaded active-IR view (render/sg_ir.py) "
+        "into <savedir>/ir; requires a checkpoint trained with --sg-ir "
+        "(params carry the 'sg' shading subtree)",
     )
     return p
 
@@ -114,6 +122,17 @@ def main(argv=None) -> int:
         os.makedirs(os.path.join(args.savedir, "disparity"), exist_ok=True)
     if args.save_jet_disparity:
         os.makedirs(os.path.join(args.savedir, "disparity_jet"), exist_ok=True)
+    if args.sg_ir:
+        if "sg" not in params:
+            raise SystemExit(
+                "--sg-ir: checkpoint has no 'sg' shading subtree "
+                "(train with apps.train --sg-ir first)"
+            )
+        os.makedirs(os.path.join(args.savedir, "ir"), exist_ok=True)
+        from dexnerf_tpu.render.sg_ir import render_sg_ir_image
+        from dexnerf_tpu.train.loop import models_from_cfg
+
+        sg_coarse_m, sg_fine_m = models_from_cfg(cfg)
 
     times = []
     for i, pose in enumerate(poses):
@@ -153,6 +172,25 @@ def main(argv=None) -> int:
                     os.path.join(args.savedir, "disparity_jet", f"{i:04d}.png"),
                     apply_jet_colormap(np.clip(disp, 0.0, 2.0) / 2.0),
                 )
+        if args.sg_ir:
+            ir = render_sg_ir_image(
+                sg_coarse_m,
+                sg_fine_m,
+                params,
+                ro,
+                rd,
+                float(cfg.dataset.near),
+                float(cfg.dataset.far),
+                s_val,
+                use_ndc=scene.use_ndc,
+                height=H,
+                width=W,
+                focal_length=focal,
+            )
+            imageio.imwrite(
+                os.path.join(args.savedir, "ir", f"{i:04d}.png"),
+                cast_to_gray_image(np.asarray(ir)),
+            )
         print(f"frame {i}: {times[-1]:.3f}s")
 
     print(f"Avg time per image: {np.mean(times):.3f}s")

@@ -183,6 +183,73 @@ def render_sg_ir_rays(
     return _luma(ir), outs
 
 
+def render_sg_ir_image(
+    coarse_model,
+    fine_model,
+    params: Dict[str, Any],
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    near: float,
+    far: float,
+    settings: RenderSettings,
+    *,
+    distance_falloff: bool = True,
+    block_size: int = 4096,
+    use_ndc: bool = False,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    focal_length: Optional[float] = None,
+) -> jnp.ndarray:
+    """Deterministic full-frame shaded-IR render ``[H, W]`` (luminance in
+    [0, 1]) — the analysis/eval view of the :func:`make_sg_ir_loss` model,
+    blocked with ``lax.map`` like ``renderer.render_image``."""
+    from dexnerf_tpu.render.renderer import make_ray_batch
+
+    s = settings.eval_variant() if hasattr(settings, "eval_variant") else settings
+    coarse_field = make_mlp_field(coarse_model.apply, s)
+    fine_field = (
+        make_mlp_field(fine_model.apply, s) if fine_model is not None else None
+    )
+    img_shape = ray_directions.shape[:-1]
+    rays = make_ray_batch(
+        ray_origins, ray_directions, near, far,
+        use_ndc=use_ndc, height=height, width=width,
+        focal_length=focal_length,
+    )
+    n = rays.origins.shape[0]
+    num_blocks = -(-n // block_size)
+    pad = num_blocks * block_size - n
+
+    def pad_block(x):
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return x.reshape(num_blocks, block_size, *x.shape[1:])
+
+    blocked = type(rays)(*[pad_block(x) for x in rays])
+    sg = params["sg"]
+
+    def block_fn(block):
+        z_vals = stratified_z_vals(
+            block.near, block.far, s.num_coarse, lindisp=s.lindisp
+        )
+        ir_c, outs_c = render_sg_ir_rays(
+            coarse_field, sg, params["coarse"], block, z_vals, None, s,
+            distance_falloff=distance_falloff,
+        )
+        if fine_field is None or s.num_fine <= 0:
+            return ir_c
+        z_merged, _ = hierarchical_z_vals(
+            None, z_vals, outs_c.weights, s.num_fine, det=True
+        )
+        ir_f, _ = render_sg_ir_rays(
+            fine_field, sg, params["fine"], block, z_merged, None, s,
+            distance_falloff=distance_falloff,
+        )
+        return ir_f
+
+    out = jax.lax.map(block_fn, blocked)
+    return out.reshape(num_blocks * block_size)[:n].reshape(img_shape)
+
+
 def make_sg_ir_loss(
     coarse_model,
     fine_model,

@@ -751,6 +751,14 @@ def run_training(
     save_every = int(_get(cfg.experiment, "save_every", 0) or 0)
     print_every = int(_get(cfg.experiment, "print_every", 100) or 100)
 
+    # PRNG implementation for the step keys (cfg.nerf.rng_impl): "rbg"
+    # uses the hardware RngBitGenerator — far cheaper random bits on TPU
+    # than the default threefry (a different but statistically equivalent
+    # draw stream; threefry stays the default for reference-comparable
+    # trajectories)
+    rng_impl = str(_get(cfg.nerf, "rng_impl", "threefry2x32"))
+    if rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", rng_impl)
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     rays_done = 0

@@ -219,6 +219,45 @@ def test_optimizer_moments_import(tmp_path):
     )
 
 
+def test_optimizer_moments_import_extra_param_group(tmp_path):
+    """Param groups the torch checkpoint cannot carry (e.g. the sg_ir
+    shading subtree) get fresh zero moments, while coarse/fine moments
+    still transfer (resuming --sg-ir from a reference checkpoint)."""
+    import jax
+    import optax
+
+    from dexnerf_tpu.render.sg_ir import init_sg_ir_params
+    from dexnerf_tpu.train.checkpoints import (
+        build_opt_state_from_torch,
+        import_torch_checkpoint,
+    )
+
+    rng = np.random.RandomState(9)
+    path, _, _, opt_sd = _full_ckpt(tmp_path, rng, step=12)
+    imported = import_torch_checkpoint(path)
+    params = {
+        "coarse": imported["coarse"],
+        "fine": imported["fine"],
+        "sg": init_sg_ir_params(jax.random.PRNGKey(0)),
+    }
+    tx = optax.adam(learning_rate=optax.constant_schedule(5e-3))
+    opt_state = build_opt_state_from_torch(imported, params, tx)
+    st = [
+        s for s in jax.tree.leaves(
+            opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ][0]
+    for leaf in jax.tree.leaves(st.mu["sg"]) + jax.tree.leaves(st.nu["sg"]):
+        assert not np.any(np.asarray(leaf))
+    np.testing.assert_allclose(
+        np.asarray(st.mu["coarse"]["params"]["Dense_0"]["kernel"]),
+        opt_sd["state"][0]["exp_avg"].numpy().T,
+        rtol=1e-6,
+    )
+
+
 def test_run_training_resumes_from_reference_ckpt(tmp_path):
     """--load-checkpoint foo.ckpt through run_training: params + optimizer
     moments + start_iter all restored (reference train_nerf_rgb.py:168-174)."""

@@ -213,3 +213,29 @@ def test_sg_ir_run_training_end_to_end(tmp_path):
     assert np.isfinite(out["final_train_metrics"]["loss"])
     assert "sg" in out["state"].params
     assert np.isfinite(out["final_validation"]["psnr"])
+
+
+def test_sg_ir_full_frame_render():
+    """render_sg_ir_image: deterministic [H, W] luminance in [0, ~],
+    finite, block padding exercised (H*W not a multiple of block_size)."""
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.render.sg_ir import render_sg_ir_image
+
+    model, settings, params, _ = _setup(perturb=False, noise=0.0)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    H, W = 9, 7
+    ro, rd = get_ray_bundle_c2w(H, W, 10.0, jnp.asarray(pose))
+    ir = render_sg_ir_image(
+        model, model, params, ro, rd, 2.0, 6.0, settings, block_size=32
+    )
+    ir = np.asarray(ir)
+    assert ir.shape == (H, W)
+    assert np.all(np.isfinite(ir))
+    assert np.all(ir >= 0.0)
+    ir2 = np.asarray(
+        render_sg_ir_image(
+            model, model, params, ro, rd, 2.0, 6.0, settings, block_size=16
+        )
+    )
+    np.testing.assert_allclose(ir2, ir, atol=1e-5)

@@ -27,6 +27,13 @@ def main():
         choices=("auto", "pallas", "xla"),
         help="hierarchical resample path inside the fused loss",
     )
+    p.add_argument(
+        "--rng", type=str, default="threefry2x32",
+        choices=("threefry2x32", "rbg"),
+        help="PRNG impl for the step keys: rbg uses the hardware "
+        "RngBitGenerator (far cheaper bits on TPU than threefry; "
+        "different draw stream, statistically equivalent)",
+    )
     args = p.parse_args()
 
     from dexnerf_tpu.core.encoding import encoding_dim
@@ -40,6 +47,7 @@ def main():
         make_train_step,
     )
 
+    jax.config.update("jax_default_prng_impl", args.rng)
     enc_xyz, enc_dir = 10, 4
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=True,
