@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
         "behind the reference's dead SgRenderer (nerf/render.py:5)",
     )
     p.add_argument(
+        "--pose-opt",
+        action="store_true",
+        help="SE(3) camera-pose refinement: per-train-image correction "
+        "twists train alongside the fields (train/pose_opt.py — the "
+        "capability behind the reference's dead lieutils.py); pose lr via "
+        "cfg.optimizer.pose_lr (default 1e-3)",
+    )
+    p.add_argument(
         "--max-iters", type=int, default=None, help="override train_iters"
     )
     p.add_argument(
@@ -128,6 +136,7 @@ def main(argv=None) -> int:
         num_devices=args.num_devices,
         sampling=args.sampling,
         steps_per_call=args.steps_per_call,
+        pose_opt=args.pose_opt or None,
     )
     print(
         f"done: {out['rays_per_sec']:.0f} rays/s, "

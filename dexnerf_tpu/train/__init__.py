@@ -13,6 +13,15 @@ from dexnerf_tpu.train.logging import (
     save_depth_png_mm,
 )
 from dexnerf_tpu.train.loop import SceneData, load_scene, run_training, validate
+from dexnerf_tpu.train.pose_opt import (
+    PoseRayStore,
+    build_pose_ray_store,
+    init_pose_params,
+    make_pose_optimizer,
+    make_pose_train_step,
+    pose_rays,
+    refined_c2w,
+)
 from dexnerf_tpu.train.step import (
     TrainState,
     exponential_decay_schedule,
@@ -36,6 +45,13 @@ __all__ = [
     "load_scene",
     "run_training",
     "validate",
+    "PoseRayStore",
+    "build_pose_ray_store",
+    "init_pose_params",
+    "make_pose_optimizer",
+    "make_pose_train_step",
+    "pose_rays",
+    "refined_c2w",
     "TrainState",
     "exponential_decay_schedule",
     "init_train_state",

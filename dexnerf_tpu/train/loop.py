@@ -559,6 +559,7 @@ def run_training(
     num_devices: Optional[int] = None,
     sampling: Optional[str] = None,
     steps_per_call: Optional[int] = None,
+    pose_opt: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
 
@@ -575,6 +576,14 @@ def run_training(
 
     ``sampling`` ("uniform" | "per_image") and ``steps_per_call`` override
     ``cfg.nerf.train.{sampling,steps_per_call}``.
+
+    ``pose_opt`` (or ``cfg.nerf.train.pose_opt``) enables SE(3) camera-pose
+    refinement: per-train-image correction twists train alongside the
+    fields (``train/pose_opt.py`` — the reference's dead ``lieutils.py``
+    capability made live). Pose twists use their own learning rate
+    (``cfg.optimizer.pose_lr``, default 1e-3) and always take the XLA
+    render path (the fused kernels' zero-ray-cotangent contract excludes
+    them).
     """
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
@@ -598,7 +607,23 @@ def run_training(
         enabled=is_primary,
     )
 
+    pose_opt = bool(
+        _get(cfg.nerf.train, "pose_opt", False)
+        if pose_opt is None
+        else pose_opt
+    )
     coarse_fn, fine_fn, params = setup_models(cfg, seed)
+    if pose_opt:
+        if supervision == "sg_ir":
+            raise NotImplementedError("pose_opt + sg_ir is not supported")
+        if num_devices is not None and num_devices > 1:
+            raise NotImplementedError(
+                "pose_opt is single-device for now (the parallel step "
+                "samples from the world-ray store)"
+            )
+        from dexnerf_tpu.train.pose_opt import init_pose_params
+
+        params["pose"] = init_pose_params(len(scene.i_train))
     if supervision == "sg_ir":
         # active-IR SG shading (render/sg_ir.py): learnable illumination +
         # material parameters train alongside the fields
@@ -614,6 +639,20 @@ def run_training(
         float(cfg.scheduler.lr_decay_factor),
         opt_type=str(_get(cfg.optimizer, "type", "Adam")),
     )
+    if pose_opt:
+        from dexnerf_tpu.train.pose_opt import make_pose_optimizer
+        from dexnerf_tpu.train.step import exponential_decay_schedule
+
+        import optax
+
+        pose_tx = optax.adam(
+            exponential_decay_schedule(
+                float(_get(cfg.optimizer, "pose_lr", 1e-3)),
+                float(cfg.scheduler.lr_decay),
+                float(cfg.scheduler.lr_decay_factor),
+            )
+        )
+        tx = make_pose_optimizer(tx, pose_tx)
     state = init_train_state(params, tx)
 
     # resume
@@ -639,6 +678,10 @@ def run_training(
                 # reference checkpoints carry no shading params; keep the
                 # fresh init (sg_ir fine-tunes shading on top of them)
                 new_params["sg"] = params["sg"]
+            if "pose" in params:
+                # reference checkpoints carry no pose twists; start at the
+                # dataset poses
+                new_params["pose"] = params["pose"]
             opt_state = (
                 build_opt_state_from_torch(
                     imported, new_params, tx, use_viewdirs=use_vd
@@ -664,7 +707,26 @@ def run_training(
     s_train = render_settings_from_cfg(cfg, "train", dex=False)
     batch_size = int(cfg.nerf.train.num_random_rays)
     cachedir = str(_get(cfg.dataset, "cachedir", "") or "")
-    if cachedir and os.path.isdir(os.path.join(cachedir, "train")):
+    if pose_opt:
+        # camera-frame store: world rays are re-generated from the refined
+        # poses inside the step (cache shards bake world rays and carry no
+        # image structure, so the cache path does not apply here)
+        from dexnerf_tpu.train.pose_opt import build_pose_ray_store
+
+        store = build_pose_ray_store(
+            scene.images[scene.i_train],
+            scene.poses[scene.i_train],
+            scene.hwf,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            intrinsics=(
+                scene.intrinsics[scene.i_train]
+                if scene.intrinsics is not None
+                else None
+            ),
+            use_ndc=scene.use_ndc,
+        )
+    elif cachedir and os.path.isdir(os.path.join(cachedir, "train")):
         # Train from the offline ray cache when present (the reference's
         # USE_CACHED_DATASET preference, train_nerf_rgb.py:51-56).
         from dexnerf_tpu.data import build_ray_store_from_cache
@@ -694,7 +756,9 @@ def run_training(
         if steps_per_call is not None
         else _get(cfg.nerf.train, "steps_per_call", 1)
     )
-    if supervision == "sg_ir":
+    if pose_opt:
+        fused_loss = None
+    elif supervision == "sg_ir":
         from dexnerf_tpu.render.sg_ir import make_sg_ir_loss
 
         coarse_m, fine_m = models_from_cfg(cfg)
@@ -713,7 +777,24 @@ def run_training(
     )
 
     mesh = None
-    if num_devices is not None and num_devices > 1:
+    if pose_opt:
+        from dexnerf_tpu.train.pose_opt import make_pose_train_step
+
+        if bool(_get(cfg.nerf, "use_pallas", False)):
+            import warnings
+
+            warnings.warn(
+                "pose_opt needs ray-input gradients; the fused Pallas "
+                "train kernels are bypassed (XLA path)",
+                stacklevel=2,
+            )
+        train_step = make_pose_train_step(
+            coarse_fn, fine_fn, tx, s_train, batch_size,
+            supervision=supervision,
+            sampling=sampling,
+            steps_per_call=steps_per_call,
+        )
+    elif num_devices is not None and num_devices > 1:
         from dexnerf_tpu.parallel import make_mesh, make_parallel_train_step
 
         mesh = make_mesh(num_devices)
@@ -834,7 +915,15 @@ def run_training(
         ckpt_mngr.wait()
         ckpt_mngr.close()
     logger.close()
+    extra: Dict[str, Any] = {}
+    if pose_opt:
+        from dexnerf_tpu.train.pose_opt import refined_c2w
+
+        extra["refined_poses"] = np.asarray(
+            refined_c2w(store.base_c2w, state.params["pose"])
+        )
     return {
+        **extra,
         "state": state,
         "final_train_metrics": last_metrics,
         "final_validation": last_val,

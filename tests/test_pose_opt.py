@@ -1,0 +1,314 @@
+"""SE(3) pose-refinement training mode (train/pose_opt.py).
+
+The capability behind the reference's dead ``lieutils.py`` (SURVEY.md §1:
+SO3/SE3 with hand-written autograd, imported by nothing, kept "for planned
+pose-optimization work"), made live: zero-twist ray parity against the
+world-ray store in both camera conventions, gradient flow into the twists,
+and actual pose recovery from perturbed cameras.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dexnerf_tpu.core.encoding import encoding_dim
+from dexnerf_tpu.core.lie import se3_exp, se3_inverse, se3_log
+from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
+from dexnerf_tpu.models import FlexibleNeRFModel
+from dexnerf_tpu.render import RenderSettings
+from dexnerf_tpu.train import (
+    build_pose_ray_store,
+    init_pose_params,
+    init_train_state,
+    make_optimizer,
+    make_pose_optimizer,
+    make_pose_train_step,
+    make_train_step,
+    pose_rays,
+)
+from dexnerf_tpu.train.step import exponential_decay_schedule
+
+ENC_XYZ, ENC_DIR = 4, 2
+SETTINGS = RenderSettings(
+    num_coarse=8,
+    num_fine=8,
+    perturb=True,
+    radiance_field_noise_std=0.0,
+    num_encoding_fn_xyz=ENC_XYZ,
+    num_encoding_fn_dir=ENC_DIR,
+)
+
+
+def _models_and_params(seed=0, hidden=32, layers=3):
+    model = FlexibleNeRFModel(
+        num_layers=layers,
+        hidden_size=hidden,
+        num_encoding_fn_xyz=ENC_XYZ,
+        num_encoding_fn_dir=ENC_DIR,
+    )
+    in_dim = encoding_dim(3, ENC_XYZ) + encoding_dim(3, ENC_DIR)
+    key = jax.random.PRNGKey(seed)
+    params = {
+        "coarse": model.init(key, jnp.ones((1, in_dim))),
+        "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
+    }
+    return model.apply, params
+
+
+def test_zero_twist_matches_world_ray_store_c2w():
+    """At xi = 0 the pose store reproduces the baked world-ray store
+    exactly (blender/llff c2w + focal convention)."""
+    images, _, poses, hwf = make_synthetic_scene(num_views=3, height=6, width=5)
+    world = build_ray_store(images, poses, hwf, 2.0, 6.0)
+    pose_store = build_pose_ray_store(images, poses, hwf, 2.0, 6.0)
+
+    idx = jnp.arange(pose_store.num_rays)
+    rays, target = pose_rays(
+        pose_store, init_pose_params(pose_store.num_images), idx
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays.origins), np.asarray(world.data[:, 0:3]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays.directions), np.asarray(world.data[:, 3:6]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays.viewdirs), np.asarray(world.data[:, 6:9]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(target), np.asarray(world.data[:, 9:12]), atol=1e-6
+    )
+
+
+def test_zero_twist_matches_world_ray_store_w2c_and_ndc():
+    """w2c + K (messytable, fx-for-both-axes quirk) and the NDC path."""
+    rng = np.random.default_rng(3)
+    n, H, W = 2, 5, 4
+    # random rigid w2c extrinsics
+    w2c = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    for i in range(n):
+        axis = rng.normal(size=3)
+        R = np.asarray(se3_exp(jnp.asarray(np.r_[axis * 0.3, 0, 0, 0], dtype=np.float32)))[:3, :3]
+        w2c[i, :3, :3] = R
+        w2c[i, :3, 3] = rng.normal(size=3).astype(np.float32)
+    K = np.tile(
+        np.array([[20.0, 0, 2.0], [0, 23.0, 1.5], [0, 0, 1]], np.float32),
+        (n, 1, 1),
+    )
+    images = rng.random((n, H, W, 3)).astype(np.float32)
+    hwf = [H, W, 20.0]
+
+    world = build_ray_store(images, w2c, hwf, 0.5, 4.0, intrinsics=K)
+    pstore = build_pose_ray_store(images, w2c, hwf, 0.5, 4.0, intrinsics=K)
+    idx = jnp.arange(pstore.num_rays)
+    rays, _ = pose_rays(pstore, init_pose_params(n), idx)
+    np.testing.assert_allclose(
+        np.asarray(rays.origins), np.asarray(world.data[:, 0:3]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays.directions), np.asarray(world.data[:, 3:6]),
+        atol=1e-5,
+    )
+
+    # NDC (llff): conversion must happen after ray generation, matching
+    # the baked store's build-time conversion
+    images2, _, poses, hwf2 = make_synthetic_scene(
+        num_views=2, height=6, width=6
+    )
+    world_ndc = build_ray_store(images2, poses, hwf2, 0.0, 1.0, use_ndc=True)
+    pstore_ndc = build_pose_ray_store(
+        images2, poses, hwf2, 0.0, 1.0, use_ndc=True
+    )
+    idx2 = jnp.arange(pstore_ndc.num_rays)
+    rays2, _ = pose_rays(pstore_ndc, init_pose_params(2), idx2)
+    np.testing.assert_allclose(
+        np.asarray(rays2.origins), np.asarray(world_ndc.data[:, 0:3]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays2.directions), np.asarray(world_ndc.data[:, 3:6]),
+        atol=1e-5,
+    )
+    # viewdirs are pre-NDC (reference train_utils.py:222-226)
+    np.testing.assert_allclose(
+        np.asarray(rays2.viewdirs), np.asarray(world_ndc.data[:, 6:9]),
+        atol=1e-5,
+    )
+
+
+def test_pose_gradients_flow():
+    """d(loss)/d(twists) is nonzero — the gradient reaches the poses
+    through ray generation."""
+    apply_fn, params = _models_and_params()
+    images, _, poses, hwf = make_synthetic_scene(num_views=2, height=8, width=8)
+    store = build_pose_ray_store(images, poses, hwf, 2.0, 6.0)
+    params["pose"] = init_pose_params(store.num_images)
+
+    from dexnerf_tpu.render.renderer import render_rays
+    from dexnerf_tpu.train import nerf_loss
+    from dexnerf_tpu.train.pose_opt import sample_pose_indices
+
+    def loss_fn(p):
+        idx = sample_pose_indices(store, jax.random.PRNGKey(1), 64, "uniform")
+        rays, target = pose_rays(store, p["pose"], idx)
+        mp = {k: v for k, v in p.items() if k != "pose"}
+        result = render_rays(
+            apply_fn, apply_fn, mp, rays, jax.random.PRNGKey(2), SETTINGS
+        )
+        return nerf_loss(result, target)[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["pose"]).max()) > 0.0
+    assert np.isfinite(np.asarray(g["pose"])).all()
+
+
+def test_pose_recovery_from_perturbed_cameras():
+    """End-to-end: with the scene's analytic ground-truth field as the
+    model, pose-only optimization from perturbed cameras must move the
+    twists toward the ideal correction
+    ``se3_log(T_true @ inv(T_perturbed))`` (= -eps exactly)."""
+    from dexnerf_tpu.data.synthetic import analytic_field
+
+    # the encoded features start with the RAW xyz (include_input_xyz), so
+    # an exact analytic "model" needs no training at all
+    def analytic_model(params, encoded):
+        enc_xyz = encoded[0] if isinstance(encoded, tuple) else encoded
+        return analytic_field(enc_xyz[..., :3])
+
+    _, _, poses, hwf = make_synthetic_scene(num_views=4, height=16, width=16)
+    rng = np.random.default_rng(7)
+    n = poses.shape[0]
+
+    # render the TARGETS with the framework's own renderer at the SAME
+    # settings the pose steps will use — the true poses are then the exact
+    # global minimum of the photometric loss (targets rendered with a
+    # different discretization displace the minimum by more than the
+    # perturbation itself)
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.render.renderer import render_image
+
+    det = SETTINGS.eval_variant()
+    H, W, focal = hwf
+    imgs = []
+    for i in range(n):
+        ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(poses[i]))
+        out = render_image(
+            analytic_model, analytic_model, {"coarse": {}, "fine": {}},
+            ro, rd, 2.0, 6.0, det, block_size=256,
+        )
+        imgs.append(np.asarray(out.fine.rgb))
+    images = np.stack(imgs)
+
+    eps = jnp.asarray(
+        np.concatenate(
+            [rng.normal(scale=0.04, size=(n, 3)),
+             rng.normal(scale=0.08, size=(n, 3))],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    true_c2w = jnp.asarray(poses[:, :4, :4], jnp.float32)
+    pert_c2w = se3_exp(eps) @ true_c2w
+    ideal = se3_log(true_c2w @ se3_inverse(pert_c2w))  # [n, 6] == -eps
+
+    pstore = build_pose_ray_store(
+        images, np.asarray(pert_c2w), hwf, 2.0, 6.0
+    )
+    pose_params = {"coarse": {}, "fine": {}, "pose": init_pose_params(n)}
+    ptx = make_pose_optimizer(
+        optax.set_to_zero(),  # nothing to train in the analytic field
+        optax.adam(exponential_decay_schedule(1e-2, 250, 0.1)),
+    )
+    pstate = init_train_state(pose_params, ptx)
+    pstep = make_pose_train_step(
+        analytic_model, analytic_model, ptx, det, 256,
+        sampling="uniform",
+    )
+    key = jax.random.PRNGKey(42)
+    for _ in range(250):
+        key, sub = jax.random.split(key)
+        pstate, metrics = pstep(pstate, pstore, sub)
+
+    err0 = float(jnp.mean(jnp.linalg.norm(ideal, axis=-1)))
+    err1 = float(
+        jnp.mean(jnp.linalg.norm(pstate.params["pose"] - ideal, axis=-1))
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["pose_twist_norm"]) > 0.0
+    # the twists must have recovered a substantial part of the correction
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_run_training_pose_opt(tmp_path):
+    """The loop-level integration: cfg-driven pose_opt trains and returns
+    refined poses; a steps_per_call scan also works."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import SceneData, run_training
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images,
+        poses=poses,
+        hwf=hwf,
+        i_train=np.arange(2),
+        i_val=np.arange(2, 3),
+        depths=depths,
+    )
+    cfg = CfgNode(
+        {
+            "experiment": {
+                "id": "poseopt",
+                "logdir": str(tmp_path),
+                "randomseed": 5,
+                "train_iters": 4,
+                "validate_every": 4,
+                "save_every": 0,
+                "print_every": 2,
+            },
+            "dataset": {
+                "type": "blender", "basedir": "",
+                "near": 2.0, "far": 6.0, "no_ndc": True,
+            },
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+                "fine": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3, "pose_lr": 1.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 16, "chunksize": 64, "perturb": True,
+                    "num_coarse": 4, "num_fine": 4,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                    "pose_opt": True, "steps_per_call": 2,
+                },
+                "validation": {
+                    "chunksize": 64, "perturb": False,
+                    "num_coarse": 4, "num_fine": 4,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        }
+    )
+    out = run_training(cfg, scene=scene, use_tensorboard=False)
+    assert np.isfinite(out["final_validation"]["psnr"])
+    assert "pose_twist_norm" in out["final_train_metrics"]
+    assert out["refined_poses"].shape == (2, 4, 4)
+    # twists moved off zero -> refined poses differ from the originals
+    assert not np.allclose(
+        out["refined_poses"], poses[:2, :4, :4], atol=1e-7
+    )
