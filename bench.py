@@ -42,7 +42,44 @@ REPEATS = 4  # timing blocks; best block wins (the remote TPU tunnel can
              # stall transiently — min filters those out)
 
 
+def _probe_backend(timeout_sec: float = 300.0) -> None:
+    """Bounded backend probe. The axon tunnel can be down or wedged; a
+    bench that hangs forever would stall the round driver. If the first
+    trivial device op doesn't complete in ``timeout_sec``, emit a
+    diagnosable JSON line and exit nonzero instead of hanging."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        jax.devices()
+        jnp.ones((8,)).sum().block_until_ready()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_sec):
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"device backend unresponsive after {timeout_sec:.0f}s "
+                        "(TPU tunnel down or chip claimed by another process)"
+                    ),
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(3)
+
+
 def main():
+    _probe_backend()
     from dexnerf_tpu.core.encoding import encoding_dim
     from dexnerf_tpu.data import build_ray_store
     from dexnerf_tpu.models import FlexibleNeRFModel

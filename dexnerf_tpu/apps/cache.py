@@ -32,11 +32,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--torch-format", action="store_true",
                    help="write reference-format torch.save .data shards "
                         "(cache_dataset.py:104-132) instead of .npz")
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (e.g. cpu when the TPU tunnel is "
+        "unavailable); overrides the environment's pinned default",
+    )
     return p
 
 
 def cache_nerf_dataset(args) -> None:
+    import jax
     import jax.numpy as jnp
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
 
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w, get_ray_bundle_w2c
 

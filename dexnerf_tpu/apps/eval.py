@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
         "into <savedir>/ir; requires a checkpoint trained with --sg-ir "
         "(params carry the 'sg' shading subtree)",
     )
+    p.add_argument(
+        "--refined-poses",
+        action="store_true",
+        help="render the TRAIN views at their pose-refined cameras "
+        "instead of the generated path; requires a checkpoint trained "
+        "with --pose-opt (params carry the 'pose' twists subtree)",
+    )
     return p
 
 
@@ -113,7 +120,26 @@ def main(argv=None) -> int:
     from dexnerf_tpu.train.loop import maybe_fused_render_impl
 
     rays_impl = maybe_fused_render_impl(cfg, s_val)
-    poses = scene.render_poses
+    intrinsics = None
+    if args.refined_poses:
+        if "pose" not in params:
+            raise SystemExit(
+                "--refined-poses: checkpoint has no 'pose' twists subtree "
+                "(train with apps.train --pose-opt first)"
+            )
+        from dexnerf_tpu.train.pose_opt import refined_c2w
+
+        base = scene.poses[scene.i_train][:, :4, :4].astype(np.float32)
+        if scene.intrinsics is not None:
+            # messytable convention: dataset poses are w2c; the pose store
+            # (and its twists) act on c2w = inv(w2c)
+            base = np.linalg.inv(base)
+            intrinsics = scene.intrinsics[scene.i_train]
+        poses = np.asarray(
+            refined_c2w(jnp.asarray(base), jnp.asarray(params["pose"]))
+        )
+    else:
+        poses = scene.render_poses
     if args.num_poses:
         poses = poses[: args.num_poses]
 
@@ -137,7 +163,19 @@ def main(argv=None) -> int:
     times = []
     for i, pose in enumerate(poses):
         t0 = time.time()
-        ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
+        if intrinsics is not None:
+            # refined messytable views: full-K ray generation from the
+            # refined pose, converted back to the loader's w2c convention
+            from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+
+            ro, rd = get_ray_bundle_w2c(
+                H,
+                W,
+                jnp.asarray(np.linalg.inv(pose[:4, :4])),
+                jnp.asarray(intrinsics[i]),
+            )
+        else:
+            ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
         out = render_image(
             coarse_fn,
             fine_fn,

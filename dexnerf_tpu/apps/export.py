@@ -25,7 +25,20 @@ def main(argv=None) -> int:
     )
     p.add_argument("--out", type=str, required=True,
                    help="output .ckpt path (torch pickle)")
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (e.g. cpu when the TPU tunnel is "
+        "unavailable); overrides the environment's pinned default",
+    )
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from dexnerf_tpu.config import load_config
     from dexnerf_tpu.train import (

@@ -25,6 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=32)
     p.add_argument("--batch-rays", type=int, default=1024)
     p.add_argument("--display-every", type=int, default=100)
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (e.g. cpu when the TPU tunnel is "
+        "unavailable); overrides the environment's pinned default",
+    )
     return p
 
 
@@ -33,6 +41,9 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from dexnerf_tpu.core.encoding import encoding_dim
     from dexnerf_tpu.data import build_ray_store, make_synthetic_scene
@@ -104,8 +115,37 @@ def main(argv=None) -> int:
                 os.path.join(args.outdir, f"render_{i:05d}.png"),
                 (np.clip(np.asarray(out.coarse.rgb), 0, 1) * 255).astype(np.uint8),
             )
+            _save_snapshot(
+                os.path.join(args.outdir, f"snapshot_{i:05d}.png"),
+                np.asarray(out.coarse.rgb),
+                psnrs,
+            )
     np.savetxt(os.path.join(args.outdir, "psnr.txt"), np.asarray(psnrs))
     return 0
+
+
+def _save_snapshot(path: str, rgb: np.ndarray, psnrs) -> None:
+    """The reference's matplotlib snapshot: held-out render next to the
+    PSNR curve (``tiny_nerf.py:302-332``). Soft dependency — skipped
+    silently when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover - matplotlib is in the image
+        return
+    arr = np.asarray(psnrs, dtype=np.float64).reshape(-1, 2)
+    fig, (ax_img, ax_psnr) = plt.subplots(1, 2, figsize=(9, 4))
+    ax_img.imshow(np.clip(rgb, 0, 1))
+    ax_img.set_title(f"iter {int(arr[-1, 0])}")
+    ax_img.axis("off")
+    ax_psnr.plot(arr[:, 0], arr[:, 1])
+    ax_psnr.set_title("holdout PSNR")
+    ax_psnr.set_xlabel("iteration")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
 
 
 if __name__ == "__main__":

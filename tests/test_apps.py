@@ -143,6 +143,8 @@ def test_tiny_app_smoke(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "psnr.txt"))
     assert any(f.startswith("render_") for f in os.listdir(out))
+    # matplotlib snapshot grid (reference tiny_nerf.py:302-332)
+    assert any(f.startswith("snapshot_") for f in os.listdir(out))
 
 
 def test_train_app_parser_modes():

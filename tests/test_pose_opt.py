@@ -312,3 +312,88 @@ def test_run_training_pose_opt(tmp_path):
     assert not np.allclose(
         out["refined_poses"], poses[:2, :4, :4], atol=1e-7
     )
+
+
+def test_eval_refined_poses_cli(tmp_path):
+    """apps.eval --refined-poses renders the train views at their
+    pose-refined cameras from a --pose-opt checkpoint."""
+    import os
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.apps.train import main as train_main
+    from dexnerf_tpu.data import write_blender_dataset
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=12, width=12, views_per_split=(2, 1, 1))
+    cfgpath = str(tmp_path / "cfg.yml")
+    with open(cfgpath, "w") as f:
+        f.write(
+            f"""
+experiment:
+  id: poseval
+  logdir: {tmp_path}/logs
+  randomseed: 3
+  train_iters: 2
+  validate_every: 0
+  save_every: 2
+  print_every: 1
+dataset:
+  type: blender
+  basedir: {base}
+  near: 2.0
+  far: 6.0
+  no_ndc: True
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 16
+    num_encoding_fn_xyz: 2
+    num_encoding_fn_dir: 1
+  fine:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 16
+    num_encoding_fn_xyz: 2
+    num_encoding_fn_dir: 1
+optimizer:
+  type: Adam
+  lr: 5.0e-3
+  pose_lr: 1.0e-2
+scheduler:
+  lr_decay: 250
+  lr_decay_factor: 0.1
+nerf:
+  use_viewdirs: True
+  train:
+    num_random_rays: 16
+    chunksize: 64
+    perturb: True
+    num_coarse: 4
+    num_fine: 4
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+  validation:
+    chunksize: 64
+    perturb: False
+    num_coarse: 4
+    num_fine: 4
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+        )
+    assert train_main(["--config", cfgpath, "--pose-opt"]) == 0
+    savedir = str(tmp_path / "renders")
+    rc = eval_main(
+        [
+            "--config", cfgpath,
+            "--checkpoint", f"{tmp_path}/logs/poseval/checkpoints",
+            "--savedir", savedir,
+            "--refined-poses",
+        ]
+    )
+    assert rc == 0
+    # one frame per TRAIN view (2), at the refined cameras
+    assert sorted(os.listdir(savedir)) == ["0000.png", "0001.png"]
