@@ -9,6 +9,7 @@ from dexnerf_tpu.parallel.mesh import (
 )
 from dexnerf_tpu.parallel.sharding import (
     make_parallel_render,
+    make_parallel_pose_train_step,
     make_parallel_train_step,
     render_image_parallel,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "ray_sharding",
     "replicated",
     "make_parallel_render",
+    "make_parallel_pose_train_step",
     "make_parallel_train_step",
     "render_image_parallel",
 ]

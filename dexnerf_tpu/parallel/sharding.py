@@ -139,6 +139,99 @@ def make_parallel_train_step(
     return jax.jit(shard_mapped)
 
 
+def make_parallel_pose_train_step(
+    mesh: Mesh,
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    tx: optax.GradientTransformation,
+    settings: RenderSettings,
+    global_batch_size: int,
+    *,
+    supervision: str = "rgb",
+    sampling: str = "uniform",
+    steps_per_call: int = 1,
+):
+    """Data-parallel SE(3) pose-refinement step (``train/pose_opt.py``).
+
+    Same sharding design as :func:`make_parallel_train_step` — replicated
+    params (the pose twists are parameters and replicate with the rest),
+    per-device ray-index sampling, gradient ``pmean`` over ICI — except
+    rays are re-generated per device from the refined poses, so the
+    photometric gradient reaches the twists. Always the XLA render path
+    (the fused kernels' zero-ray-cotangent contract excludes pose
+    optimization).
+    """
+    from dexnerf_tpu.train.pose_opt import PoseRayStore, pose_rays
+
+    n_dev = mesh.devices.size
+    if global_batch_size % n_dev:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {n_dev} devices"
+        )
+    local_batch = global_batch_size // n_dev
+
+    def local_grads(params, store: PoseRayStore, key):
+        if sampling == "per_image":
+            # same image on every device, distinct pixels per device
+            k_img, key = jax.random.split(key)
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            k_pix, k_render = jax.random.split(key)
+            img = jax.random.randint(k_img, (), 0, store.num_images)
+            pix = jax.random.randint(
+                k_pix, (local_batch,), 0, store.rays_per_image
+            )
+            idx = img * store.rays_per_image + pix
+        else:
+            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+            k_sample, k_render = jax.random.split(key)
+            idx = jax.random.randint(
+                k_sample, (local_batch,), 0, store.num_rays
+            )
+        rays, target = pose_rays(store, params["pose"], idx)
+        model_params = {k: v for k, v in params.items() if k != "pose"}
+        result = render_rays(
+            coarse_fn, fine_fn, model_params, rays, k_render, settings
+        )
+        return nerf_loss(result, target, supervision=supervision)
+
+    def one_step(state: TrainState, store: PoseRayStore, key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            local_grads, has_aux=True
+        )(state.params, store, key)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        metrics = jax.lax.pmean(metrics, RAY_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        metrics["pose_twist_norm"] = jnp.mean(
+            jnp.linalg.norm(params["pose"], axis=-1)
+        )
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    def sharded_step(state: TrainState, store: PoseRayStore, key: jax.Array):
+        if steps_per_call == 1:
+            return one_step(state, store, key)
+
+        def body(carry, k):
+            return one_step(carry, store, k)
+
+        keys = jax.random.split(key, steps_per_call)
+        state, metrics_seq = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda x: x[-1], metrics_seq)
+
+    shard_mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped)
+
+
 def make_parallel_render(
     mesh: Mesh,
     coarse_fn: ModelFn,

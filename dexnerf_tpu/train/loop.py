@@ -616,11 +616,6 @@ def run_training(
     if pose_opt:
         if supervision == "sg_ir":
             raise NotImplementedError("pose_opt + sg_ir is not supported")
-        if num_devices is not None and num_devices > 1:
-            raise NotImplementedError(
-                "pose_opt is single-device for now (the parallel step "
-                "samples from the world-ray store)"
-            )
         from dexnerf_tpu.train.pose_opt import init_pose_params
 
         params["pose"] = init_pose_params(len(scene.i_train))
@@ -778,8 +773,6 @@ def run_training(
 
     mesh = None
     if pose_opt:
-        from dexnerf_tpu.train.pose_opt import make_pose_train_step
-
         if bool(_get(cfg.nerf, "use_pallas", False)):
             import warnings
 
@@ -788,12 +781,28 @@ def run_training(
                 "train kernels are bypassed (XLA path)",
                 stacklevel=2,
             )
-        train_step = make_pose_train_step(
-            coarse_fn, fine_fn, tx, s_train, batch_size,
-            supervision=supervision,
-            sampling=sampling,
-            steps_per_call=steps_per_call,
-        )
+        if num_devices is not None and num_devices > 1:
+            from dexnerf_tpu.parallel import (
+                make_mesh,
+                make_parallel_pose_train_step,
+            )
+
+            mesh = make_mesh(num_devices)
+            train_step = make_parallel_pose_train_step(
+                mesh, coarse_fn, fine_fn, tx, s_train, batch_size,
+                supervision=supervision,
+                sampling=sampling,
+                steps_per_call=steps_per_call,
+            )
+        else:
+            from dexnerf_tpu.train.pose_opt import make_pose_train_step
+
+            train_step = make_pose_train_step(
+                coarse_fn, fine_fn, tx, s_train, batch_size,
+                supervision=supervision,
+                sampling=sampling,
+                steps_per_call=steps_per_call,
+            )
     elif num_devices is not None and num_devices > 1:
         from dexnerf_tpu.parallel import make_mesh, make_parallel_train_step
 

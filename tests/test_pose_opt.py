@@ -314,6 +314,70 @@ def test_run_training_pose_opt(tmp_path):
     )
 
 
+def test_run_training_pose_opt_multi_device(tmp_path):
+    """pose_opt over an 8-device mesh: per-device sampling, twist grads
+    pmean'd over ICI, twists move."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import SceneData, run_training
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.arange(2), i_val=np.arange(2, 3), depths=depths,
+    )
+    cfg = CfgNode(
+        {
+            "experiment": {
+                "id": "poseopt8", "logdir": str(tmp_path), "randomseed": 5,
+                "train_iters": 2, "validate_every": 2, "save_every": 0,
+                "print_every": 1,
+            },
+            "dataset": {
+                "type": "blender", "basedir": "",
+                "near": 2.0, "far": 6.0, "no_ndc": True,
+            },
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+                "fine": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3, "pose_lr": 1.0e-2},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 32, "chunksize": 64, "perturb": True,
+                    "num_coarse": 4, "num_fine": 4,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                    "pose_opt": True,
+                },
+                "validation": {
+                    "chunksize": 64, "perturb": False,
+                    "num_coarse": 4, "num_fine": 4,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        }
+    )
+    out = run_training(
+        cfg, scene=scene, use_tensorboard=False, num_devices=8
+    )
+    assert np.isfinite(out["final_validation"]["psnr"])
+    assert out["final_train_metrics"]["pose_twist_norm"] > 0.0
+    assert out["refined_poses"].shape == (2, 4, 4)
+
+
 def test_eval_refined_poses_cli(tmp_path):
     """apps.eval --refined-poses renders the train views at their
     pose-refined cameras from a --pose-opt checkpoint."""
