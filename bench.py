@@ -52,14 +52,19 @@ def _probe_backend(timeout_sec: float = 300.0) -> None:
     import threading
 
     done = threading.Event()
+    err: list = []
 
     def probe():
-        jax.devices()
-        jnp.ones((8,)).sum().block_until_ready()
-        done.set()
+        try:
+            jax.devices()
+            jnp.ones((8,)).sum().block_until_ready()
+        except Exception as e:  # fail FAST on a raising backend too
+            err.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_sec):
+    if not done.wait(timeout_sec) or err:
         print(
             json.dumps(
                 {
@@ -68,8 +73,13 @@ def _probe_backend(timeout_sec: float = 300.0) -> None:
                     "unit": "rays/s",
                     "vs_baseline": 0.0,
                     "error": (
-                        f"device backend unresponsive after {timeout_sec:.0f}s "
-                        "(TPU tunnel down or chip claimed by another process)"
+                        err[0]
+                        if err
+                        else (
+                            f"device backend unresponsive after "
+                            f"{timeout_sec:.0f}s (TPU tunnel down or chip "
+                            "claimed by another process)"
+                        )
                     ),
                 }
             )

@@ -164,16 +164,25 @@ def main(argv=None) -> int:
     for i, pose in enumerate(poses):
         t0 = time.time()
         if intrinsics is not None:
-            # refined messytable views: full-K ray generation from the
-            # refined pose, converted back to the loader's w2c convention
-            from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+            # refined messytable views: rays straight from the refined c2w
+            # + full K (the fx-for-both-axes quirk included) — the exact
+            # rays the twists were trained against (train/pose_opt.py),
+            # with no w2c round-trip inversions
+            from dexnerf_tpu.core.rays import _rotate, pixel_grid
 
-            ro, rd = get_ray_bundle_w2c(
-                H,
-                W,
-                jnp.asarray(np.linalg.inv(pose[:4, :4])),
-                jnp.asarray(intrinsics[i]),
+            K = np.asarray(intrinsics[i], np.float32)
+            ii, jj = pixel_grid(H, W)
+            cam_dirs = jnp.stack(
+                [
+                    (ii - K[0, 2]) / K[0, 0],
+                    (jj - K[1, 2]) / K[0, 0],
+                    jnp.ones_like(ii),
+                ],
+                axis=-1,
             )
+            T = jnp.asarray(pose[:4, :4])
+            rd = _rotate(cam_dirs, T[:3, :3])
+            ro = jnp.broadcast_to(T[:3, 3], rd.shape)
         else:
             ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
         out = render_image(

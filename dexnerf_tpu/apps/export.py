@@ -57,14 +57,44 @@ def main(argv=None) -> int:
             ckpt = resolved
 
     # restore against the config's state skeleton so opt_state
-    # (ScaleByAdamState etc.) comes back typed, not as raw dicts
+    # (ScaleByAdamState etc.) comes back typed, not as raw dicts. The
+    # skeleton must MATCH what the run saved: a raw (template-free) probe
+    # discovers optional param subtrees (pose twists from --pose-opt,
+    # sg_ir shading) and the partitioned optimizer that goes with them.
     _, _, params = setup_models(cfg, int(cfg.experiment.randomseed))
+    raw = restore_checkpoint(ckpt)
+    raw_params = raw.get("params", {})
     lr = float(cfg.optimizer.lr)
     tx = make_optimizer(
         lr,
         float(cfg.scheduler.lr_decay),
         float(cfg.scheduler.lr_decay_factor),
     )
+    if "sg" in raw_params:
+        import numpy as np
+
+        params["sg"] = {
+            k: np.zeros(np.shape(v), np.float32)
+            for k, v in raw_params["sg"].items()
+        }
+    if "pose" in raw_params:
+        import optax
+
+        from dexnerf_tpu.train import make_pose_optimizer
+        from dexnerf_tpu.train.pose_opt import init_pose_params
+        from dexnerf_tpu.train.step import exponential_decay_schedule
+
+        params["pose"] = init_pose_params(len(raw_params["pose"]))
+        tx = make_pose_optimizer(
+            tx,
+            optax.adam(
+                exponential_decay_schedule(
+                    float(cfg.optimizer.get("pose_lr", 1e-3)),
+                    float(cfg.scheduler.lr_decay),
+                    float(cfg.scheduler.lr_decay_factor),
+                )
+            ),
+        )
     from dexnerf_tpu.train import init_train_state
 
     template = init_train_state(params, tx)

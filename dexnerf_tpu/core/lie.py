@@ -13,9 +13,18 @@ API: ``hat``/``vee`` (both groups), ``so3_exp``/``so3_log``,
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+
+# TPU matmul default precision is bf16 (CLAUDE.md); these are tiny 3x3/4x4
+# contractions on POSE data — camera translations ~4.0 would see ~1e-2
+# absolute error under bf16 truncation, the same order as the corrections
+# pose optimization recovers. HIGHEST costs nothing at this size.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def so3_hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +65,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle [..., 3] -> rotation [..., 3, 3]."""
     theta2 = jnp.sum(w * w, axis=-1)
     W = so3_hat(w)
-    W2 = W @ W
+    W2 = _mm(W, W)
     a, b = _exp_coeffs(theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
@@ -95,7 +104,7 @@ def _so3_V(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V with V v = translation of exp of the twist."""
     theta2 = jnp.sum(w * w, axis=-1)
     W = so3_hat(w)
-    W2 = W @ W
+    W2 = _mm(W, W)
     small = theta2 < 1e-8
     safe_t2 = jnp.where(small, 1.0, theta2)
     t = jnp.sqrt(safe_t2)
@@ -113,7 +122,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Twist [..., 6] (w, v) -> rigid transform [..., 4, 4]."""
     w, v = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    t = (_so3_V(w) @ v[..., :, None])[..., 0]
+    t = _mm(_so3_V(w), v[..., :, None])[..., 0]
     top = jnp.concatenate([R, t[..., :, None]], axis=-1)
     bottom = jnp.concatenate(
         [
@@ -136,7 +145,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
 def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R_T = jnp.swapaxes(T[..., :3, :3], -1, -2)
     t = T[..., :3, 3]
-    t_inv = -(R_T @ t[..., :, None])[..., 0]
+    t_inv = -_mm(R_T, t[..., :, None])[..., 0]
     top = jnp.concatenate([R_T, t_inv[..., :, None]], axis=-1)
     bottom = T[..., 3:, :]
     return jnp.concatenate([top, bottom], axis=-2)
@@ -146,4 +155,4 @@ def se3_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply [..., 4, 4] to points [..., N, 3]."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return _mm(pts, jnp.swapaxes(R, -1, -2)) + t[..., None, :]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dexnerf_tpu.data.pipeline import RayStore, sample_ray_batch
+from dexnerf_tpu.data.pipeline import RayStore
 from dexnerf_tpu.parallel.mesh import RAY_AXIS
 from dexnerf_tpu.render.renderer import (
     ModelFn,
@@ -49,6 +49,7 @@ def make_parallel_train_step(
     coarse_field=None,
     fine_field=None,
     fused_loss=None,
+    index_to_batch: Optional[Callable] = None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Data-parallel train step: per-device ray sampling, gradient psum.
 
@@ -64,6 +65,11 @@ def make_parallel_train_step(
     ``fused_loss``: optional combined loss+gradients kernel path
     (``ops.fused_train_loss``) replacing the whole render+loss body per
     device; supersedes the field functions.
+    ``index_to_batch(params, store, idx) -> (rays, target)`` overrides the
+    default row gather — the pose-refinement variant re-generates rays
+    from the trainable twists this way (a ``"pose"`` leaf in params is
+    kept away from the model functions and reported as a
+    ``pose_twist_norm`` metric, mirroring ``train.step.make_train_step``).
     """
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
@@ -71,6 +77,12 @@ def make_parallel_train_step(
             f"global batch {global_batch_size} not divisible by {n_dev} devices"
         )
     local_batch = global_batch_size // n_dev
+
+    if index_to_batch is None:
+        def index_to_batch(params, store, idx):
+            from dexnerf_tpu.data.pipeline import _rows_to_batch
+
+            return _rows_to_batch(store, jnp.take(store.data, idx, axis=0))
 
     def local_grads(params, store, key):
         if sampling == "per_image":
@@ -83,21 +95,20 @@ def make_parallel_train_step(
             pix = jax.random.randint(
                 k_pix, (local_batch,), 0, store.rays_per_image
             )
-            rows = jnp.take(
-                store.data, img * store.rays_per_image + pix, axis=0
-            )
-            from dexnerf_tpu.data.pipeline import _rows_to_batch
-
-            rays, target = _rows_to_batch(store, rows)
+            idx = img * store.rays_per_image + pix
         else:
-            # distinct stream per device
+            # distinct stream per device (same draws sample_ray_batch makes)
             key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
             k_sample, k_render = jax.random.split(key)
-            rays, target = sample_ray_batch(store, k_sample, local_batch)
+            idx = jax.random.randint(
+                k_sample, (local_batch,), 0, store.num_rays
+            )
+        rays, target = index_to_batch(params, store, idx)
+        model_params = {k: v for k, v in params.items() if k != "pose"}
         if fused_loss is not None:
-            return fused_loss(params, rays, target, k_render)
+            return fused_loss(model_params, rays, target, k_render)
         result = render_rays(
-            coarse_fn, fine_fn, params, rays, k_render, settings,
+            coarse_fn, fine_fn, model_params, rays, k_render, settings,
             coarse_field=coarse_field, fine_field=fine_field,
         )
         loss, metrics = nerf_loss(result, target, supervision=supervision)
@@ -112,6 +123,10 @@ def make_parallel_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        if "pose" in params:
+            metrics["pose_twist_norm"] = jnp.mean(
+                jnp.linalg.norm(params["pose"], axis=-1)
+            )
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
@@ -156,80 +171,22 @@ def make_parallel_pose_train_step(
     Same sharding design as :func:`make_parallel_train_step` — replicated
     params (the pose twists are parameters and replicate with the rest),
     per-device ray-index sampling, gradient ``pmean`` over ICI — except
-    rays are re-generated per device from the refined poses, so the
-    photometric gradient reaches the twists. Always the XLA render path
-    (the fused kernels' zero-ray-cotangent contract excludes pose
-    optimization).
+    rays are re-generated per device from the refined poses (the
+    ``index_to_batch`` hook), so the photometric gradient reaches the
+    twists. Always the XLA render path (the fused kernels'
+    zero-ray-cotangent contract excludes pose optimization).
     """
-    from dexnerf_tpu.train.pose_opt import PoseRayStore, pose_rays
+    from dexnerf_tpu.train.pose_opt import pose_rays
 
-    n_dev = mesh.devices.size
-    if global_batch_size % n_dev:
-        raise ValueError(
-            f"global batch {global_batch_size} not divisible by {n_dev} devices"
-        )
-    local_batch = global_batch_size // n_dev
-
-    def local_grads(params, store: PoseRayStore, key):
-        if sampling == "per_image":
-            # same image on every device, distinct pixels per device
-            k_img, key = jax.random.split(key)
-            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
-            k_pix, k_render = jax.random.split(key)
-            img = jax.random.randint(k_img, (), 0, store.num_images)
-            pix = jax.random.randint(
-                k_pix, (local_batch,), 0, store.rays_per_image
-            )
-            idx = img * store.rays_per_image + pix
-        else:
-            key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
-            k_sample, k_render = jax.random.split(key)
-            idx = jax.random.randint(
-                k_sample, (local_batch,), 0, store.num_rays
-            )
-        rays, target = pose_rays(store, params["pose"], idx)
-        model_params = {k: v for k, v in params.items() if k != "pose"}
-        result = render_rays(
-            coarse_fn, fine_fn, model_params, rays, k_render, settings
-        )
-        return nerf_loss(result, target, supervision=supervision)
-
-    def one_step(state: TrainState, store: PoseRayStore, key: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(
-            local_grads, has_aux=True
-        )(state.params, store, key)
-        grads = jax.lax.pmean(grads, RAY_AXIS)
-        metrics = jax.lax.pmean(metrics, RAY_AXIS)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
-        metrics["pose_twist_norm"] = jnp.mean(
-            jnp.linalg.norm(params["pose"], axis=-1)
-        )
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
-
-    def sharded_step(state: TrainState, store: PoseRayStore, key: jax.Array):
-        if steps_per_call == 1:
-            return one_step(state, store, key)
-
-        def body(carry, k):
-            return one_step(carry, store, k)
-
-        keys = jax.random.split(key, steps_per_call)
-        state, metrics_seq = jax.lax.scan(body, state, keys)
-        return state, jax.tree.map(lambda x: x[-1], metrics_seq)
-
-    shard_mapped = jax.shard_map(
-        sharded_step,
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return make_parallel_train_step(
+        mesh, coarse_fn, fine_fn, tx, settings, global_batch_size,
+        supervision=supervision,
+        sampling=sampling,
+        steps_per_call=steps_per_call,
+        index_to_batch=lambda params, store, idx: pose_rays(
+            store, params["pose"], idx
+        ),
     )
-    return jax.jit(shard_mapped)
 
 
 def make_parallel_render(

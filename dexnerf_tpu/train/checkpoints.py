@@ -301,10 +301,29 @@ def build_opt_state_from_torch(
     mu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, mu)
     nu = jax.tree.map(lambda t, m: jnp.asarray(m, t.dtype), params, nu)
 
+    def graft(sk_tree, full_tree):
+        # copy the imported moments onto the SKELETON's structure: under a
+        # partitioned optimizer (optax.multi_transform — the pose_opt
+        # path), each inner Adam state carries MaskedNode placeholders for
+        # the other partition's params, which must be preserved (a dense
+        # replacement crashes the first masked update)
+        return jax.tree.map(
+            lambda s, m: (
+                s
+                if isinstance(s, optax.MaskedNode)
+                else jnp.asarray(m, s.dtype)
+            ),
+            sk_tree,
+            full_tree,
+            is_leaf=lambda n: isinstance(n, optax.MaskedNode),
+        )
+
     def fix(node):
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(
-                count=jnp.asarray(step), mu=mu, nu=nu
+                count=jnp.asarray(step),
+                mu=graft(node.mu, mu),
+                nu=graft(node.nu, nu),
             )
         if isinstance(node, optax.ScaleByScheduleState):
             return optax.ScaleByScheduleState(count=jnp.asarray(step))
@@ -400,6 +419,21 @@ def _find_adam_state(opt_state):
         opt_state,
         is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
     )
+
+    def has_model_moments(st):
+        # a partitioned optimizer (pose_opt's multi_transform) carries one
+        # Adam state per partition; the pose partition's mu has MaskedNode
+        # where the model subtrees live — pick the MODEL one
+        try:
+            return not isinstance(st.mu["coarse"], optax.MaskedNode) and (
+                len(jax.tree.leaves(st.mu["coarse"])) > 0
+            )
+        except (KeyError, TypeError):
+            return False
+
+    for st in found:
+        if has_model_moments(st):
+            return st
     return found[0] if found else None
 
 

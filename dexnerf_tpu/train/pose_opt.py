@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +46,8 @@ import optax
 
 from dexnerf_tpu.core.lie import se3_exp
 from dexnerf_tpu.core.rays import ndc_rays, pixel_grid
-from dexnerf_tpu.render.renderer import RayBatch, RenderSettings, render_rays
-from dexnerf_tpu.train.step import TrainState, nerf_loss
+from dexnerf_tpu.render.renderer import RayBatch, RenderSettings
+from dexnerf_tpu.train.step import TrainState
 
 
 @functools.partial(
@@ -94,8 +94,14 @@ def init_pose_params(num_images: int) -> jnp.ndarray:
 def refined_c2w(
     base_c2w: jnp.ndarray, twists: jnp.ndarray
 ) -> jnp.ndarray:
-    """``se3_exp(xi_i) @ T0_i`` for every image — [n_images, 4, 4]."""
-    return se3_exp(twists) @ base_c2w
+    """``se3_exp(xi_i) @ T0_i`` for every image — [n_images, 4, 4].
+
+    HIGHEST precision: the TPU default bf16 matmul would put ~1e-2
+    absolute error on camera origins ~4.0 — the same order as the
+    corrections being optimized (see ``core.lie._mm``)."""
+    return jnp.matmul(
+        se3_exp(twists), base_c2w, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def build_pose_ray_store(
@@ -243,50 +249,21 @@ def make_pose_train_step(
     sampling: str = "uniform",
     steps_per_call: int = 1,
 ) -> Callable[[TrainState, PoseRayStore, jax.Array], Tuple[TrainState, Dict]]:
-    """Pose-refining variant of ``train.step.make_train_step``.
+    """Pose-refining variant of ``train.step.make_train_step``: the same
+    step scaffolding with rays re-generated from the trainable twists
+    (``ray_source`` hook). ``state.params`` must carry a ``"pose"`` leaf
+    ([n_images, 6] twists, see :func:`init_pose_params`) alongside
+    ``"coarse"``/``"fine"``; the XLA render path is used unconditionally
+    (see module contract)."""
+    from dexnerf_tpu.train.step import make_train_step
 
-    ``state.params`` must carry a ``"pose"`` leaf ([n_images, 6] twists,
-    see :func:`init_pose_params`) alongside ``"coarse"``/``"fine"``; the
-    XLA render path is used unconditionally (see module contract).
-    """
-
-    def loss_fn(params, store: PoseRayStore, key):
-        k_sample, k_render = jax.random.split(key)
+    def ray_source(params, store: PoseRayStore, k_sample):
         idx = sample_pose_indices(store, k_sample, batch_size, sampling)
-        rays, target = pose_rays(store, params["pose"], idx)
-        model_params = {k: v for k, v in params.items() if k != "pose"}
-        result = render_rays(
-            coarse_fn, fine_fn, model_params, rays, k_render, settings
-        )
-        return nerf_loss(result, target, supervision=supervision)
+        return pose_rays(store, params["pose"], idx)
 
-    def one_step(state: TrainState, store: PoseRayStore, key: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, store, key
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state
-        )
-        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
-        # mean twist magnitude — cheap observability of how far the poses
-        # have moved from the dataset's
-        metrics["pose_twist_norm"] = jnp.mean(
-            jnp.linalg.norm(params["pose"], axis=-1)
-        )
-        return new_state, metrics
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, store: PoseRayStore, key: jax.Array):
-        if steps_per_call == 1:
-            return one_step(state, store, key)
-
-        def body(carry, k):
-            return one_step(carry, store, k)
-
-        keys = jax.random.split(key, steps_per_call)
-        state, metrics_seq = jax.lax.scan(body, state, keys)
-        return state, jax.tree.map(lambda x: x[-1], metrics_seq)
-
-    return train_step
+    return make_train_step(
+        coarse_fn, fine_fn, tx, settings, batch_size,
+        supervision=supervision,
+        steps_per_call=steps_per_call,
+        ray_source=ray_source,
+    )

@@ -130,6 +130,7 @@ def make_train_step(
     fused_loss=None,
     sampling: str = "uniform",
     steps_per_call: int = 1,
+    ray_source: Optional[Callable] = None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Build the single-device jitted train step.
 
@@ -147,6 +148,11 @@ def make_train_step(
     ``lax.scan`` (amortizes per-dispatch host/runtime overhead — ~16 ms on
     the remote-tunnel backend); the returned metrics are the LAST step's
     and ``state.step`` advances by ``steps_per_call``.
+    ``ray_source(params, store, k_sample) -> (rays, target)`` overrides
+    the default store gather — pose refinement re-generates rays from the
+    trainable twists this way (``train/pose_opt.py``); a ``"pose"`` leaf
+    in params is kept away from the model functions and reported as a
+    ``pose_twist_norm`` metric.
     The multi-chip (shard_map) variant wraps this via
     ``dexnerf_tpu.parallel.make_parallel_train_step``.
     """
@@ -159,13 +165,17 @@ def make_train_step(
 
     def loss_fn(params, store, key):
         k_sample, k_render = jax.random.split(key)
-        rays, target = sample_fn(store, k_sample, batch_size)
+        if ray_source is not None:
+            rays, target = ray_source(params, store, k_sample)
+        else:
+            rays, target = sample_fn(store, k_sample, batch_size)
+        model_params = {k: v for k, v in params.items() if k != "pose"}
         if fused_loss is not None:
-            return fused_loss(params, rays, target, k_render)
+            return fused_loss(model_params, rays, target, k_render)
         result = render_rays(
             coarse_fn,
             fine_fn,
-            params,
+            model_params,
             rays,
             k_render,
             settings,
@@ -185,6 +195,11 @@ def make_train_step(
             step=state.step + 1, params=params, opt_state=opt_state
         )
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        if "pose" in params:
+            # observability of how far the poses have moved from the dataset's
+            metrics["pose_twist_norm"] = jnp.mean(
+                jnp.linalg.norm(params["pose"], axis=-1)
+            )
         return new_state, metrics
 
     # Donate the state: params/opt_state buffers are reused in place,

@@ -468,3 +468,154 @@ def test_export_torch_checkpoint_roundtrip(tmp_path):
     assert len(flat0) == len(flat1)
     for x, y in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_run_training_pose_opt_resumes_from_reference_ckpt(tmp_path):
+    """Reference-.ckpt resume (with Adam moments) under --pose-opt: the
+    imported moments must graft into the PARTITIONED (multi_transform)
+    optimizer state without breaking the masked structure, and the first
+    updates must run (regression: a dense replacement crashed tx.update)."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.data import make_synthetic_scene
+    from dexnerf_tpu.train import SceneData, run_training
+
+    rng = np.random.RandomState(9)
+    path, sd_coarse, _, _ = _full_ckpt(tmp_path, rng, step=100)
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.arange(2), i_val=np.array([2]), depths=depths,
+    )
+    cfg = CfgNode(
+        {
+            "experiment": {
+                "id": "poseresume", "logdir": str(tmp_path), "randomseed": 1,
+                "train_iters": 102, "validate_every": 0, "save_every": 0,
+                "print_every": 1,
+            },
+            "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                        "far": 6.0, "no_ndc": True},
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                    "hidden_size": HID, "skip_connect_every": 4,
+                    "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+                },
+                "fine": {
+                    "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                    "hidden_size": HID, "skip_connect_every": 4,
+                    "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3, "pose_lr": 1.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 16, "chunksize": 64, "perturb": True,
+                    "num_coarse": 4, "num_fine": 4, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                    "pose_opt": True,
+                },
+                "validation": {
+                    "chunksize": 64, "perturb": False, "num_coarse": 4,
+                    "num_fine": 4, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        }
+    )
+    out = run_training(
+        cfg, scene=scene, use_tensorboard=False, load_ckpt=path
+    )
+    assert int(out["state"].step) == 102
+    assert np.isfinite(out["final_train_metrics"]["loss"])
+    # the imported weights survived and the pose twists trained from zero
+    got = np.asarray(
+        out["state"].params["coarse"]["params"]["Dense_0"]["kernel"]
+    )
+    want = sd_coarse["layer1.weight"].numpy().T
+    assert np.max(np.abs(got - want)) < 0.2
+    assert out["final_train_metrics"]["pose_twist_norm"] > 0.0
+
+
+def test_export_pose_opt_checkpoint(tmp_path):
+    """apps.export on a --pose-opt checkpoint: the raw-probe template
+    rebuild restores the partitioned state, and the torch .ckpt carries
+    the MODEL partition's Adam moments (not the pose twists)."""
+    from dexnerf_tpu.apps.export import main as export_main
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.data import make_synthetic_scene
+    from dexnerf_tpu.train import SceneData, run_training
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.arange(2), i_val=np.array([2]), depths=depths,
+    )
+    cfg_dict = {
+        "experiment": {
+            "id": "poseexp", "logdir": str(tmp_path), "randomseed": 1,
+            "train_iters": 2, "validate_every": 0, "save_every": 2,
+            "print_every": 1,
+        },
+        "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                    "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {
+                "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                "hidden_size": HID, "skip_connect_every": 4,
+                "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+            },
+            "fine": {
+                "type": "FlexibleNeRFModel", "num_layers": NUM_LAYERS,
+                "hidden_size": HID, "skip_connect_every": 4,
+                "num_encoding_fn_xyz": 4, "num_encoding_fn_dir": 2,
+            },
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3, "pose_lr": 1.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {
+                "num_random_rays": 16, "chunksize": 64, "perturb": True,
+                "num_coarse": 4, "num_fine": 4, "white_background": False,
+                "radiance_field_noise_std": 0.0, "lindisp": False,
+                "pose_opt": True,
+            },
+            "validation": {
+                "chunksize": 64, "perturb": False, "num_coarse": 4,
+                "num_fine": 4, "white_background": False,
+                "radiance_field_noise_std": 0.0, "lindisp": False,
+            },
+        },
+    }
+    out = run_training(
+        CfgNode(cfg_dict), scene=scene, use_tensorboard=False
+    )
+    assert "pose" in out["state"].params
+
+    import yaml
+
+    cfgpath = str(tmp_path / "cfg.yml")
+    with open(cfgpath, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    outpath = str(tmp_path / "export.ckpt")
+    rc = export_main(
+        [
+            "--config", cfgpath,
+            "--checkpoint", str(tmp_path / "poseexp" / "checkpoints"),
+            "--out", outpath,
+        ]
+    )
+    assert rc == 0
+    ck = torch.load(outpath, map_location="cpu", weights_only=False)
+    assert "model_coarse_state_dict" in ck
+    assert "optimizer_state_dict" in ck
+    # moments exported from the MODEL partition, torch index-keyed
+    assert len(ck["optimizer_state_dict"]["state"]) > 0
