@@ -229,6 +229,11 @@ def main(argv=None) -> int:
                 float(cfg.dataset.near),
                 float(cfg.dataset.far),
                 s_val,
+                # render with the same falloff the model was TRAINED with
+                # (train/loop.py passes the same knob to make_sg_ir_loss)
+                distance_falloff=bool(
+                    cfg.nerf.train.get("sg_distance_falloff", True)
+                ),
                 use_ndc=scene.use_ndc,
                 height=H,
                 width=W,

@@ -23,6 +23,17 @@ def img2mse(img_src: jnp.ndarray, img_tgt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((img_src - img_tgt) ** 2)
 
 
+# Rec.601 luma weights (reference train_nerf_ir.py:260-263).
+LUMA_WEIGHTS = (0.299, 0.587, 0.114)
+
+
+def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Rec.601 luminance — the IR-supervision target transform (single
+    source; ``train.step`` re-exports it and the SG-IR shader uses it)."""
+    w = jnp.asarray(LUMA_WEIGHTS, dtype=rgb.dtype)
+    return jnp.sum(rgb * w, axis=-1)
+
+
 def mse2psnr(mse: float) -> float:
     """PSNR from MSE; zero-MSE guarded like the reference (``nerf_helpers.py:13-17``)."""
     mse = float(mse)

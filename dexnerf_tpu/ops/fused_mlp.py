@@ -56,17 +56,29 @@ def _coord_dot(x, sel, dims, x_operand: int = 0):
     f32 residual ``lo`` makes two DEFAULT-precision passes exact to ~2^-18
     relative — Precision.HIGHEST costs 6 passes (measured +3.0 ms/step on
     the combined loss kernel) and Mosaic has no 3-pass Precision.HIGH.
-    ``x_operand`` says whether x is the lhs (0) or rhs (1) of the dot."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = x - hi
+    ``x_operand`` says whether x is the lhs (0) or rhs (1) of the dot.
 
-    def d(part):
-        operands = (part, sel) if x_operand == 0 else (sel, part)
+    The ``hi`` part is held as REAL bf16 (not an f32 tensor rounded to
+    bf16 values): with both operands f32 the compiler can algebraically
+    REFOLD ``dot(hi, S) + dot(lo, S)`` into ``dot(hi + lo, S)``, silently
+    restoring the truncation this split exists to avoid (round-3 chip
+    bisection in ``resample_pallas._split_hi_lo`` — exact in an isolated
+    probe, 2.5e-3 inside a large kernel). bf16 x bf16 -> f32 makes the
+    hi-dot exact by construction and the mixed dtypes make the refold
+    impossible; the lo-dot's own truncation is bounded by 2^-9 of the
+    residual, i.e. ~2^-18 of x — the same bound as before."""
+    hi = x.astype(jnp.bfloat16)
+    lo = x - hi.astype(jnp.float32)
+
+    def d(part, s):
+        operands = (part, s) if x_operand == 0 else (s, part)
         return jax.lax.dot_general(
             *operands, dims, preferred_element_type=jnp.float32
         )
 
-    return d(hi) + d(lo)
+    # sel is 0/1 (exactly bf16-representable), so casting it for the hi
+    # pass loses nothing
+    return d(hi, sel.astype(jnp.bfloat16)) + d(lo, sel)
 
 
 # 3-term Cody-Waite split of pi. hi/mid carry only 12 mantissa bits, so

@@ -71,9 +71,9 @@ from dexnerf_tpu.ops.fused_mlp_train import (
 )
 from dexnerf_tpu.ops.fused_render import _f32dot, _rs_ops
 
-# Rec.601 luma weights (reference train_nerf_ir.py:260-263); kept local —
-# importing from train.step would cycle through the package facades.
-_LUMA = (0.299, 0.587, 0.114)
+# Rec.601 luma weights (reference train_nerf_ir.py:260-263), single-sourced
+# from core.metrics (leaf module — no facade cycle).
+from dexnerf_tpu.core.metrics import LUMA_WEIGHTS as _LUMA
 
 
 def _loss_ray_blocking(block_samples: int, N: int, S: int):
@@ -665,7 +665,16 @@ def make_fused_train_loss(
             sg = jax.lax.stop_gradient
             if resample_fn is not None:
                 # the same uniform draws sample_pdf would make from k_fine
-                if s.perturb and k_fine is not None:
+                if s.perturb:
+                    if k_fine is None:
+                        # match the XLA path's contract (sample_pdf raises
+                        # for det=False with no key) instead of silently
+                        # substituting the deterministic grid
+                        raise ValueError(
+                            "perturbed hierarchical sampling requires a "
+                            "PRNG key (key=None was passed to the fused "
+                            "train loss)"
+                        )
                     u = jax.random.uniform(
                         k_fine, (n, s.num_fine), dtype=jnp.float32
                     )

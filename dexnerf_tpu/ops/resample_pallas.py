@@ -321,7 +321,11 @@ def make_fused_resample(
         def pad_rows(a, fill=0.0):
             return jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
 
-        # pad z with an ascending ramp so padded rays stay sorted/benign
+        # padded rays get constant z = 1.0: all-equal z is benign here —
+        # the tie-breaking rank arithmetic still forms a valid permutation,
+        # mass falls back to the +1e-5 floor (no 0/0), and the rows are
+        # sliced off below. (Strictly-ascending z is NOT required of
+        # padding, only of real rays.)
         zc_in = pad_rows(z_coarse, 1.0)
         w_in = pad_rows(weights)
         u_in = pad_rows(u)

@@ -74,21 +74,24 @@ def init_sg_ir_params(key: jax.Array, num_env_lobes: int = 2) -> Dict[str, Any]:
     }
 
 
-def _field_normals(field, params, pts, viewdirs):
-    """Density-gradient normals ``-∇σ/|∇σ|`` at ``pts`` [N, S, 3].
+def _field_with_normals(field, params, pts, viewdirs):
+    """One shared forward: ``(raw [N, S, 4], normals [N, S, 3])``.
 
-    σ at a point depends only on that point's coordinates, so the gradient
-    of ``sum(σ)`` w.r.t. ``pts`` IS the per-point gradient (block-diagonal
-    Jacobian). Stop-gradded: normals guide shading, the density head is
-    trained through the compositing weights (PhySG/Neural-PIL practice).
+    Normals are the density-gradient ``-∇σ/|∇σ|``: σ at a point depends
+    only on that point's coordinates, so pulling back a σ-only cotangent
+    through ``jax.vjp`` yields the per-point gradient (block-diagonal
+    Jacobian) — AND reuses the same forward pass that produces ``raw``
+    (a separate ``jax.grad`` re-ran the whole field, 3 evaluations per
+    pass instead of 2). Stop-gradded: normals guide shading, the density
+    head is trained through the compositing weights (PhySG/Neural-PIL
+    practice).
     """
-    def sigma_sum(p):
-        return jnp.sum(field(params, p, viewdirs)[..., 3])
-
-    g = jax.grad(sigma_sum)(pts)
+    raw, vjp_fn = jax.vjp(lambda p: field(params, p, viewdirs), pts)
+    ct = jnp.zeros_like(raw).at[..., 3].set(1.0)
+    (g,) = vjp_fn(ct)
     g = jax.lax.stop_gradient(g)
     n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), _EPS)
-    return n
+    return raw, n
 
 
 def _shade_samples(
@@ -140,9 +143,7 @@ def _shade_samples(
     return shaded.reshape(n, s, 3)
 
 
-def _luma(rgb: jnp.ndarray) -> jnp.ndarray:
-    w = jnp.asarray((0.299, 0.587, 0.114), dtype=rgb.dtype)
-    return jnp.sum(rgb * w, axis=-1)
+from dexnerf_tpu.core.metrics import luminance as _luma
 
 
 def render_sg_ir_rays(
@@ -164,8 +165,7 @@ def render_sg_ir_rays(
         rays.origins[..., None, :]
         + rays.directions[..., None, :] * z_vals[..., :, None]
     )
-    raw = field(field_params, pts, viewdirs)
-    normals = _field_normals(field, field_params, pts, viewdirs)
+    raw, normals = _field_with_normals(field, field_params, pts, viewdirs)
     outs = volume_render_radiance_field(
         raw,
         z_vals,

@@ -60,6 +60,11 @@ class AsyncCheckpointManager:
     def __init__(self, ckpt_dir: str):
         self._dir = os.path.abspath(ckpt_dir)
         os.makedirs(self._dir, exist_ok=True)
+        if not _HAS_ORBAX:  # pragma: no cover - orbax is in the image
+            # degrade like save_checkpoint's .npy fallback instead of
+            # crashing the run at the first save crossing
+            self._mngr = None
+            return
         self._mngr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
@@ -72,6 +77,9 @@ class AsyncCheckpointManager:
         )
 
     def save(self, step: int, state: Any, extra: Optional[Dict] = None):
+        if self._mngr is None:  # pragma: no cover
+            save_checkpoint(self._dir, int(step), state, extra)
+            return
         # device_get up front: the donated train step consumes the state
         # buffers on the next step, so the async writer must hold a host
         # snapshot, not the live device arrays
@@ -79,10 +87,12 @@ class AsyncCheckpointManager:
         _write_meta(self._dir, int(step), extra)
 
     def wait(self):
-        self._mngr.wait_until_finished()
+        if self._mngr is not None:
+            self._mngr.wait_until_finished()
 
     def close(self):
-        self._mngr.close()
+        if self._mngr is not None:
+            self._mngr.close()
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any, extra: Optional[Dict] = None):

@@ -21,13 +21,9 @@ import optax
 from dexnerf_tpu.data.pipeline import RayStore, sample_ray_batch
 from dexnerf_tpu.render.renderer import ModelFn, RenderSettings, render_rays
 
-# Rec.601 luma weights (reference train_nerf_ir.py:260-263).
-_LUMA = (0.299, 0.587, 0.114)
-
-
-def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
-    w = jnp.asarray(_LUMA, dtype=rgb.dtype)
-    return jnp.sum(rgb * w, axis=-1)
+# Rec.601 luminance (reference train_nerf_ir.py:260-263) — defined once in
+# core.metrics; re-exported here for the train-facing API.
+from dexnerf_tpu.core.metrics import luminance  # noqa: F401
 
 
 def exponential_decay_schedule(

@@ -116,7 +116,7 @@ def test_sg_ir_normals_unit_and_falloff_monotone():
     """Density-gradient normals are unit-length where defined, and the
     active lobe's inverse-square falloff dims far samples."""
     from dexnerf_tpu.render.renderer import make_mlp_field
-    from dexnerf_tpu.render.sg_ir import _field_normals, _shade_samples
+    from dexnerf_tpu.render.sg_ir import _field_with_normals, _shade_samples
 
     model, settings, params, store = _setup()
     field = make_mlp_field(model.apply, settings)
@@ -127,12 +127,16 @@ def test_sg_ir_normals_unit_and_falloff_monotone():
         rays.origins[..., None, :]
         + rays.directions[..., None, :] * z[..., :, None]
     )
-    n = _field_normals(field, params["coarse"], pts, rays.viewdirs)
+    raw, n = _field_with_normals(field, params["coarse"], pts, rays.viewdirs)
     norms = np.asarray(jnp.linalg.norm(n, axis=-1))
     assert np.all(np.isfinite(norms))
     assert np.all(norms <= 1.0 + 1e-5)
-
-    raw = field(params["coarse"], pts, rays.viewdirs)
+    # the shared-forward raw matches a plain field evaluation exactly
+    np.testing.assert_allclose(
+        np.asarray(raw),
+        np.asarray(field(params["coarse"], pts, rays.viewdirs)),
+        atol=1e-6,
+    )
     shaded_fall = _shade_samples(
         params["sg"], raw, n, z, rays.viewdirs, distance_falloff=True
     )

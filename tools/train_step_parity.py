@@ -241,6 +241,12 @@ def compare(ref, ours, label, mask=None, mask_thresh=0.0):
         mabs = float(np.max(d))
         recs.append({"param": f"{key[0]}.{key[1]}", "max_abs": mabs,
                      "max_rel": rel})
+    if not recs:
+        raise SystemExit(
+            f"{label}: every entry fell under the gradient-magnitude mask "
+            f"(|g_ref| < {mask_thresh}); nothing comparable — use a larger "
+            "--rays batch or lower the threshold"
+        )
     worst = max(recs, key=lambda r: r["max_abs"])
     print(f"  {label}: worst max_abs={worst['max_abs']:.3g} "
           f"({worst['param']}; max_rel there {worst['max_rel']:.3g})")
