@@ -62,7 +62,7 @@ def _coord_dot(x, sel, dims, x_operand: int = 0):
     bf16 values): with both operands f32 the compiler can algebraically
     REFOLD ``dot(hi, S) + dot(lo, S)`` into ``dot(hi + lo, S)``, silently
     restoring the truncation this split exists to avoid (round-3 chip
-    bisection in ``resample_pallas._split_hi_lo`` — exact in an isolated
+    bisection in ``resample_pallas`` — exact in an isolated
     probe, 2.5e-3 inside a large kernel). bf16 x bf16 -> f32 makes the
     hi-dot exact by construction and the mixed dtypes make the refold
     impossible; the lo-dot's own truncation is bounded by 2^-9 of the

@@ -23,11 +23,12 @@ Design notes (same Mosaic rules as the other kernel families):
 * All per-(ray, sample) pair logic runs in expanded row tiles
   ([Rp*Sf, Sc] etc.) built by 0/1 selector matmuls — never on [B, 1]
   column chains (the 128x lane-waste rule, docs/KERNELS.md).
-* Dots that carry DEPTH or CDF values use the 2-pass hi/lo split
-  (``fused_mlp._coord_dot``): Mosaic's default f32 dot truncates operands
-  to bf16 and z values feed the positional encoding downstream. Dots that
-  carry only small integers (merge positions < 256) are exact in bf16 and
-  use plain dots.
+* Dots that carry DEPTH or CDF values use the 3-pass all-bf16 split
+  (:func:`_split3`, BIT-exact on chip — the rank arithmetic compares
+  round-tripped values for equality, so the ~2^-17 residual of the 2-pass
+  hi/lo form corrupts the merge permutation; ``tools/exact_dot_probe.py``).
+  Dots that carry only small integers (merge positions < 256) are exact in
+  bf16 and use plain dots.
 * Rays are processed in independent parts per block (8-sublane floor) so
   the MXU selector dots interleave with the VPU compare chains.
 
@@ -60,45 +61,58 @@ def _plain_dot(a, b):
 _DIMS = (((1,), (0,)), ((), ()))
 
 
-def _split_hi_lo(vals):
-    """2-pass exactness split with the hi part held IN bf16.
+def _split3(vals):
+    """3-chunk bf16 split of an f32 tensor: ``vals == hi + mid + lo``
+    bit-exactly, with ALL THREE chunks held as real bf16 tensors.
 
-    Mosaic's default f32 dot truncates operands to bf16; the standard
-    defense is ``dot(hi, T) + dot(lo, T)`` with ``hi`` the bf16 rounding
-    of ``vals``. Keeping ``hi`` as an f32 tensor is fragile: in large
-    kernels the compiler algebraically refolds the two dots into
-    ``dot(hi + lo, T) == dot(vals, T)``, silently restoring the
-    truncation (round-3 chip bisection: the cdf prefix dot lost to
-    2.5e-3 in the full kernel while exact in an isolated probe;
-    ``lax.optimization_barrier`` is not lowerable in Pallas TPU).
-    Casting ``hi`` to REAL bf16 makes the hi-dot exact by construction
-    (bf16 x bf16 -> f32) and the mixed dtypes make the refold
-    impossible."""
+    Mosaic's default f32 dot truncates operands to bf16. The 2-pass
+    ``dot(hi, T) + dot(lo, T)`` defense is NOT enough for this kernel:
+    even with a bf16 hi the lo pass runs as a default f32 dot whose lo
+    operand is itself truncated to bf16, leaving ~2^-17 relative error
+    (round-3 chip probe, ``tools/exact_dot_probe.py``: 3.05e-5 at unit
+    scale, 7675/8192 entries non-bit-exact) — and the stable-merge rank
+    arithmetic below compares ROUND-TRIPPED values for equality, where
+    any nonzero round-trip error corrupts the output permutation
+    (observed on chip: duplicate merge positions, z_merged off by a full
+    z value, loss=inf).
+
+    Three bf16 chunks carry 24 mantissa bits = all of f32: ``hi`` takes
+    the top >=8, ``mid`` the next >=8, so the residual has <=8
+    significant bits and its bf16 cast is EXACT. Each pass is then a
+    bf16 x bf16 -> f32 dot (exact per product), so a one-hot selector
+    relocation reconstructs ``(hi + mid) + lo`` — bit-exactly ``vals``
+    (the partial sums need 17 and 24 mantissa bits respectively, both
+    within f32). Probe result: 0 non-bit-exact entries on chip. The
+    all-bf16 operands also make the algebraic refold into a single
+    truncated f32 dot (the round-3 failure mode of the f32-hi form)
+    impossible by construction."""
     hi = vals.astype(jnp.bfloat16)
-    lo = vals - hi.astype(jnp.float32)
-    return hi, lo
+    r1 = vals - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _exact_dot_lhs(vals, sel):
-    """vals [A, K] @ sel [K, L] with hi/lo split on vals (sel is 0/1)."""
-    hi, lo = _split_hi_lo(vals)
-    return jax.lax.dot_general(
-        hi, sel.astype(jnp.bfloat16), _DIMS,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        lo, sel, _DIMS, preferred_element_type=jnp.float32
+    """vals [A, K] @ sel [K, L], bit-exact for 0/1 one-hot-row ``sel``."""
+    hi, mid, lo = _split3(vals)
+    sb = sel.astype(jnp.bfloat16)
+    return (
+        jax.lax.dot_general(hi, sb, _DIMS, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(mid, sb, _DIMS, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo, sb, _DIMS, preferred_element_type=jnp.float32)
     )
 
 
 def _exact_dot_rhs(sel, vals):
-    """sel [A, K] @ vals [K, L] with hi/lo split on vals (see
-    :func:`_split_hi_lo` for the bf16-hi rationale)."""
-    hi, lo = _split_hi_lo(vals)
-    return jax.lax.dot_general(
-        sel.astype(jnp.bfloat16), hi, _DIMS,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        sel, lo, _DIMS, preferred_element_type=jnp.float32
+    """sel [A, K] @ vals [K, L], bit-exact for 0/1 one-hot-row ``sel``
+    (see :func:`_split3`)."""
+    hi, mid, lo = _split3(vals)
+    sb = sel.astype(jnp.bfloat16)
+    return (
+        jax.lax.dot_general(sb, hi, _DIMS, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(sb, mid, _DIMS, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(sb, lo, _DIMS, preferred_element_type=jnp.float32)
     )
 
 
