@@ -28,7 +28,9 @@ BASELINE_RAYS_PER_SEC = 12_500.0  # estimated reference on RTX 2080 Ti (see abov
 # at this batch, so the headline is recorded at the saturating batch.
 # Rounds 1-2 pinned 4096; per-step sync timings in docs use 4096 — scale by
 # the table when comparing.
-BATCH = 16384
+import os as _os
+
+BATCH = int(_os.environ.get("DEXNERF_BENCH_BATCH", "16384"))
 WARMUP = 3
 # The remote tunnel costs ~26 ms per host readback (round-3 probe:
 # tools/launch_overhead_probe.py) and ~3 ms/step of fixed dispatch-side

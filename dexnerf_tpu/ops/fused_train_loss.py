@@ -591,8 +591,12 @@ def make_fused_train_loss(
     runs the hierarchical inverse-CDF + merge-sort + dists between the two
     passes in the fused resample kernel (``ops.resample_pallas``, the
     same uniform draws as the XLA path, values within ~1 ulp); "xla" keeps
-    it in XLA; "auto" (default) picks pallas exactly when the main kernels
-    run compiled (i.e. not ``interpret``).
+    it in XLA; "auto" (default) resolves to XLA — measured on chip
+    (tools/scan_step_probe.py A/B, batch 16384): the pallas resample is
+    52.3 vs XLA's 43.7 ms/step, because the bit-exact 3-pass relocation
+    dots the stable merge requires cost ~9 ms while the XLA glue they
+    replace costs ~1.2 ms. The kernel stays available opt-in
+    ("pallas") as the launch-overhead hedge it was built to be.
     """
     from dexnerf_tpu.core.sampling import (
         hierarchical_z_vals,
@@ -625,7 +629,8 @@ def make_fused_train_loss(
     std = float(s.radiance_field_noise_std)
 
     if resample == "auto":
-        resample = "xla" if interpret else "pallas"
+        # chip-measured: XLA resample wins (see docstring); pallas is opt-in
+        resample = "xla"
     resample_fn = (
         make_fused_resample(s.num_coarse, s.num_fine, interpret=interpret)
         if resample == "pallas" and fine_pass is not None
