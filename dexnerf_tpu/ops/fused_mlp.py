@@ -334,7 +334,8 @@ def _forward_block(model, mats, biases, xyz, dir_enc, compute_dtype,
 
 
 def _forward_block_parts(model, mats, biases, xyz_parts, dir_parts,
-                         compute_dtype, keep_activations=False):
+                         compute_dtype, keep_activations=False,
+                         pack_rgb_head=False):
     """``_forward_block`` over P independent row-parts, ops interleaved.
 
     The layer chain is LATENCY-bound on the MXU: a microbenchmark of the
@@ -347,11 +348,25 @@ def _forward_block_parts(model, mats, biases, xyz_parts, dir_parts,
     Returns ``(outs, saveds)``: per-part raw [Bp, 4] outputs, and (with
     ``keep_activations``) per-part ``(trunk_inputs, a_in, feat_in, y)``
     tuples in ``compute_dtype``.
+
+    ``pack_rgb_head`` (viewdirs models only): instead of P separate
+    [Bp, 4] raws, ``outs`` is ``(raw_pk, alpha4s)`` where ``raw_pk`` is
+    ONE [Bp, 4*P] tile holding part p's rgb head output (NO bias, NO
+    alpha) in lanes ``4p..4p+2``, and ``alpha4s`` are the per-part [Bp, 4]
+    alpha-head outputs (column 3, no bias). Per-part [Bp, 4] tiles waste
+    124 of 128 lanes on every elementwise op that touches them, so the
+    combined loss kernel runs its whole sigmoid/loss/backward rgb chain
+    once on the packed tile instead of P times. The rgb-head weight is
+    shifted into each part's lane group with an exact 2-pass dot
+    (``_coord_dot``; the shift matrix is 0/1, so the per-part head dot is
+    value-identical to the unpacked form).
     """
     skip = set(_skip_indices(model))
     num_trunk = model.num_layers - 1
     cd = compute_dtype
     P = len(xyz_parts)
+    if pack_rgb_head and not model.use_viewdirs:
+        raise NotImplementedError("pack_rgb_head requires use_viewdirs")
     xyz_ops = tuple(x.astype(cd) for x in xyz_parts)
 
     mi = 0
@@ -403,12 +418,30 @@ def _forward_block_parts(model, mats, biases, xyz_parts, dir_parts,
         )
         mi += 2
         ys = tuple(jnp.maximum(y + biases[li + 2][:], 0.0) for y in ys)
-        # [B, 4] raw output as a sum of padded-head matmuls + combined
-        # bias (biases[-1] = [rgb_b, alpha_b]) — no lane concatenation
-        outs = tuple(
-            _dot(y, mats[mi][:], jnp.float32) + a4 + biases[-1][:]
-            for y, a4 in zip(ys, alpha4s)
-        )
+        if pack_rgb_head:
+            # packed rgb head: raw born as ONE [B, 4P] tile via per-part
+            # lane-shifted copies of the rgb weight (see docstring). The
+            # shift is applied to the WEIGHT (exact 0/1 dot), so each
+            # part's head matmul is the same dot as the unpacked form.
+            Q = 4 * P
+            r4 = jax.lax.broadcasted_iota(jnp.int32, (4, Q), 0)
+            cQ = jax.lax.broadcasted_iota(jnp.int32, (4, Q), 1)
+            raw_pk = None
+            for p, y in enumerate(ys):
+                shift = jnp.where(cQ - 4 * p == r4, 1.0, 0.0)
+                w_shift = _coord_dot(
+                    mats[mi][:], shift, (((1,), (0,)), ((), ()))
+                )
+                term = _dot(y, w_shift, jnp.float32)
+                raw_pk = term if raw_pk is None else raw_pk + term
+            outs = (raw_pk, alpha4s)
+        else:
+            # [B, 4] raw output as a sum of padded-head matmuls + combined
+            # bias (biases[-1] = [rgb_b, alpha_b]) — no lane concatenation
+            outs = tuple(
+                _dot(y, mats[mi][:], jnp.float32) + a4 + biases[-1][:]
+                for y, a4 in zip(ys, alpha4s)
+            )
     else:
         feat_ins = ys = (None,) * P
         outs = tuple(

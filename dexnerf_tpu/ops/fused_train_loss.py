@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dexnerf_tpu.models.mlp import FlexibleNeRFModel
 from dexnerf_tpu.ops.fused_mlp import (
+    _coord_dot,
     _dims,
     _expand_rows,
     _flex_param_layout,
@@ -120,8 +121,9 @@ def _make_loss_kernel(
     S = samples_per_ray
 
     def kernel(*refs):
-        # inputs: origins, raydirs, z, viewdirs, dists, [noise], target4,
-        #         valid, mats..., biases...
+        # inputs: origins, raydirs, z, viewdirs, dists, [noise],
+        #         target_pk [Rp, 4P], valid_pk [Rp, 4P], bias_pk [1, 4P],
+        #         mats..., biases...
         # outputs: loss(1,1) acc, w [R,S], rgb [R,4], dmats... acc, dbs... acc
         orig_ref, rdir_ref, z_ref = refs[0], refs[1], refs[2]
         dirs_ref, dists_ref = refs[3], refs[4]
@@ -130,8 +132,8 @@ def _make_loss_kernel(
         if has_noise:
             noise_ref = refs[i]
             i += 1
-        target_ref, valid_ref = refs[i], refs[i + 1]
-        i += 2
+        target_ref, valid_ref, bias_pk_ref = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
         mats = refs[i : i + n_mats]
         biases = refs[i + n_mats : i + n_mats + n_bp]
         i += n_mats + n_bp
@@ -204,30 +206,46 @@ def _make_loss_kernel(
         raws, saveds = _forward_block_parts(
             model, mats, biases, xyz_p, dir_p, compute_dtype,
             keep_activations=ablate not in ("no_save",),
+            pack_rgb_head=True,
         )
+        raw_pk, alpha4s = raws
+        Q = 4 * P
 
-        # ---- compositing, rays x samples layout, per part ----
-        # Per-sample scalars ([B, 1] columns) are maximally lane-wasteful on
-        # TPU: a [B, 1] f32 tile occupies B x 128 lanes with one useful
-        # lane, so every elementwise op pays 128x. The whole σ chain
-        # (noise, relu, alpha, log/exp scans, weights, and its backward)
-        # therefore runs in DENSE [Rp, S] tiles: dists/noise arrive [R, S]
-        # from the wrapper, σ converts once via a selector matmul (Mosaic
-        # cannot shape-cast [B, 1] <-> [R, S]), and the segmented scans are
-        # [S, S] lane matmuls. Only the rgb math stays [Bp, 4].
-        col4 = jax.lax.broadcasted_iota(jnp.int32, (Bp, 4), 1)
-        mask_rgb = jnp.where(col4 < 3, 1.0, 0.0)  # [Bp, 4]
+        # ---- compositing: σ chain per part in dense [Rp, S] tiles, the
+        # rgb chain ONCE on a lane-PACKED [Bp, 4P] tile ----
+        # Per-sample [B, 1] columns (and [B, 4] rgb tiles) are maximally
+        # lane-wasteful on TPU: a [B, 4] f32 tile occupies B x 128 lanes
+        # with 4 useful, so P per-part rgb chains pay the full-vreg cost P
+        # times. The forward therefore emits the rgb head PACKED — part
+        # p's rgb in lanes 4p..4p+2 of one [Bp, 4P] tile (fused_mlp
+        # pack_rgb_head) — and the whole sigmoid/loss/backward rgb chain
+        # runs once. The σ chain (noise, relu, alpha, log/exp scans,
+        # weights, and its backward) runs per part in DENSE [Rp, S] tiles
+        # as before (σ converts via selector matmuls — Mosaic cannot
+        # shape-cast [B, 1] <-> [R, S]); segmented scans are [S, S] lane
+        # matmuls. Per-part [Bp, 4] cotangents are unpacked with exact
+        # 2-pass dots only at the backward-chain boundary.
         rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        colR = jax.lax.broadcasted_iota(jnp.int32, (Rp, 4), 1)
-        mask_rgb_r = jnp.where(colR < 3, 1.0, 0.0)
+        lq = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)  # lane pattern
+        mask_rgb_pk = jnp.where(lq % 4 < 3, 1.0, 0.0)  # [1, Q] rgb lanes
+        # from_rs interior, shared by the w/gsigma lane-packing dots
+        b_i = jax.lax.broadcasted_iota(jnp.int32, (Bp, S), 0)
+        s_i = jax.lax.broadcasted_iota(jnp.int32, (Bp, S), 1)
+        lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [Bp, S]
+        cSQ = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
+        rQ4 = jax.lax.broadcasted_iota(jnp.int32, (Q, 4), 0)
+        cQ4 = jax.lax.broadcasted_iota(jnp.int32, (Q, 4), 1)
+        rQP = jax.lax.broadcasted_iota(jnp.int32, (Q, P), 0)
+        cQP = jax.lax.broadcasted_iota(jnp.int32, (Q, P), 1)
+        group4 = jnp.where(rQP // 4 == cQP, 1.0, 0.0)  # [Q, P] lane->part
+        rP1 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
 
         if ablate in ("no_comp", "no_save", "mlp_only", "no_sin"):
             # timing only: loss = sum of raw field values, no compositing
-            loss_total = None
-            for p in range(P):
-                lb = jnp.sum(raws[p])
-                loss_total = lb if loss_total is None else loss_total + lb
+            loss_total = jnp.sum(raw_pk)
+            for a4 in alpha4s:
+                loss_total = loss_total + jnp.sum(a4)
             out_w[:] = jnp.zeros_like(out_w)
             out_rgb[:] = jnp.zeros_like(out_rgb)
             val = loss_total.reshape(1, 1)
@@ -245,13 +263,19 @@ def _make_loss_kernel(
 
             return
 
-        loss_total = None
-        gs = []
-        for p in range(P):
-            raw = raws[p]
-            rgb4 = jax.nn.sigmoid(raw) * mask_rgb
+        # head bias rides in packed [1, 4P] form from the wrapper (rgb_b
+        # in lanes 4p..4p+2, alpha_b at 4p+3 — the alpha lanes of raw_pk
+        # are zero and get masked after the sigmoid)
+        bias_pk = bias_pk_ref[:]
+        rgb4 = jax.nn.sigmoid(raw_pk + bias_pk) * mask_rgb_pk  # [Bp, Q]
+        alpha_b = jnp.sum(bias_pk * jnp.where(lq == 3, 1.0, 0.0))
 
-            sigma_pre = to_rs(raw[:, 3:4])  # [Rp, S]
+        # ---- σ forward per part ([Rp, S]) ----
+        w_rs_l, one_m_l, trans_l, alpha_l, relu_l, dists_l = (
+            [], [], [], [], [], []
+        )
+        for p in range(P):
+            sigma_pre = to_rs(alpha4s[p][:, 3:4]) + alpha_b  # [Rp, S]
             if has_noise:
                 sigma_pre = sigma_pre + rows(noise_ref, p)
             relu_mask = jnp.where(sigma_pre > 0, 1.0, 0.0)
@@ -272,50 +296,99 @@ def _make_loss_kernel(
             trans = jnp.exp(cum)
             w_rs = alpha * trans  # [Rp, S]
             out_w[p * Rp:(p + 1) * Rp, :] = w_rs
-            w = from_rs(w_rs)  # [Bp, 1]
+            w_rs_l.append(w_rs)
+            one_m_l.append(one_m)
+            trans_l.append(trans)
+            alpha_l.append(alpha)
+            relu_l.append(relu_mask)
+            dists_l.append(dists)
 
-            ray_rgb = _f32dot(G, w * rgb4)  # [Rp, 4] (col 3 = 0)
-            if white_background:
-                acc_r = jnp.sum(w_rs, axis=1, keepdims=True)  # [Rp, 1]
-                ray_rgb = ray_rgb + (1.0 - acc_r) * mask_rgb_r
-            out_rgb[p * Rp:(p + 1) * Rp, :] = ray_rgb
-
-            # ---- per-ray squared error + its cotangent (UNNORMALIZED:
-            # the wrapper divides by N*3 / N, and the custom-VJP backward
-            # folds the same factor into its scale-by-cotangent multiply)
-            valid = rows(valid_ref, p)  # [Rp, 1] 1 = real, 0 = padding
-            diff = (ray_rgb - rows(target_ref, p)) * mask_rgb_r * valid
-            if supervision == "luminance":
-                luma = jnp.zeros((1, 4), jnp.float32)
-                for ci, lw in enumerate(_LUMA):
-                    luma = jnp.where(colR[:1] == ci, jnp.float32(lw), luma)
-                dy = jnp.sum(diff * luma, axis=1, keepdims=True)  # [Rp, 1]
-                loss_blk = jnp.sum(dy * dy)
-                g_ray = 2.0 * dy * luma  # [Rp, 4]
-            else:
-                loss_blk = jnp.sum(diff * diff)
-                g_ray = 2.0 * diff
-            loss_total = (
-                loss_blk if loss_total is None else loss_total + loss_blk
+        # ---- packed rgb forward ----
+        # w into the part's 4 lanes: route the from_rs interior through a
+        # [S, Q] ones-spread dot instead of a lane reduce (same value
+        # provenance: expand() already bf16-rounds w_rs, the 0/1 spread is
+        # exact on the rounded values)
+        w_pk = None
+        for p in range(P):
+            spread = jnp.where(cSQ // 4 == p, 1.0, 0.0)  # [S, Q]
+            term = _f32dot(expand(w_rs_l[p]) * lane_sel, spread)
+            w_pk = term if w_pk is None else w_pk + term
+        wrgb = w_pk * rgb4
+        ray_rgb = _f32dot(G, wrgb)  # [Rp, Q] (alpha lanes = 0)
+        if white_background:
+            lqr = jax.lax.broadcasted_iota(jnp.int32, (Rp, Q), 1)
+            for p in range(P):
+                acc_r = jnp.sum(w_rs_l[p], axis=1, keepdims=True)  # [Rp,1]
+                maskp = jnp.where(
+                    jnp.logical_and(lqr // 4 == p, lqr % 4 < 3), 1.0, 0.0
+                )
+                ray_rgb = ray_rgb + (1.0 - acc_r) * maskp
+        for p in range(P):
+            un = jnp.where(rQ4 - 4 * p == cQ4, 1.0, 0.0)  # [Q, 4]
+            out_rgb[p * Rp:(p + 1) * Rp, :] = _coord_dot(
+                ray_rgb, un, (((1,), (0,)), ((), ()))
             )
 
-            # ---- compositing backward (σ chain [Rp, S], rgb [Bp, 4]) ----
-            gr = expand(g_ray)  # [Bp, 4] per-sample ray cotangent
-            gw = to_rs(jnp.sum(gr * rgb4, axis=1, keepdims=True))  # [Rp,S]
+        # ---- loss + ray cotangent on [Rp, Q] (UNNORMALIZED: the wrapper
+        # divides by N*3 / N, and the custom-VJP backward folds the same
+        # factor into its scale-by-cotangent multiply). valid_pk is 1 on
+        # real rays' rgb lanes and 0 on padding AND on alpha lanes, so it
+        # doubles as the rgb mask.
+        diff = (ray_rgb - target_ref[:]) * valid_ref[:]  # [Rp, Q]
+        if supervision == "luminance":
+            luma_pk = jnp.zeros((1, Q), jnp.float32)
+            for ci, lw in enumerate(_LUMA):
+                luma_pk = jnp.where(lq % 4 == ci, jnp.float32(lw), luma_pk)
+            # per-part luma sums: exact group contraction (loss path)
+            dy = _coord_dot(
+                diff * luma_pk, group4, (((1,), (0,)), ((), ()))
+            )  # [Rp, P]
+            loss_total = jnp.sum(dy * dy)
+            g_ray = (
+                2.0
+                * _coord_dot(dy, group4, (((1,), (1,)), ((), ())))
+                * luma_pk
+            )  # [Rp, Q]
+        else:
+            loss_total = jnp.sum(diff * diff)
+            g_ray = 2.0 * diff
+
+        # ---- compositing backward: rgb packed, σ per part ----
+        gr = expand(g_ray)  # [Bp, Q] per-sample ray cotangent
+        # per-part sum over the ray's rgb channels (alpha lanes are 0)
+        sums = _f32dot(gr * rgb4, group4)  # [Bp, P]
+        if white_background:
+            gwb = _f32dot(g_ray, group4)  # [Rp, P] dL/dacc per part
+        gsig_pk = None
+        for p in range(P):
+            onehot = jnp.where(rP1 == p, 1.0, 0.0)  # [P, 1]
+            gw = to_rs(_f32dot(sums, onehot))  # [Rp, S]
             if white_background:
                 # dL/dacc broadcasts across the ray's samples
-                gw = gw - jnp.sum(g_ray * mask_rgb_r, axis=1, keepdims=True)
-            draw_rgb = (w * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; col3 = 0
+                gw = gw - _f32dot(gwb, onehot)
             # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
-            suffix = _f32dot(gw * w_rs, jnp.where(rr > cc, 1.0, 0.0))
+            suffix = _f32dot(gw * w_rs_l[p], jnp.where(rr > cc, 1.0, 0.0))
             # -suffix / (1 - alpha + eps): finite AND non-zero at
             # saturation (matches autodiff through the guarded cumprod)
-            galpha = trans * gw - suffix / one_m
-            gsigma = galpha * dists * (1.0 - alpha) * relu_mask  # [Rp, S]
-            gs.append(
-                draw_rgb
-                + from_rs(gsigma) * jnp.where(col4 == 3, 1.0, 0.0)
-            )
+            galpha = trans_l[p] * gw - suffix / one_m_l[p]
+            gsigma = (
+                galpha * dists_l[p] * (1.0 - alpha_l[p]) * relu_l[p]
+            )  # [Rp, S]
+            # σ cotangent into the part's alpha lane (4p+3)
+            sig_spread = jnp.where(
+                jnp.logical_and(cSQ // 4 == p, cSQ % 4 == 3), 1.0, 0.0
+            )  # [S, Q]
+            term = _f32dot(expand(gsigma) * lane_sel, sig_spread)
+            gsig_pk = term if gsig_pk is None else gsig_pk + term
+
+        draw_rgb = (w_pk * gr) * rgb4 * (1.0 - rgb4)  # sigmoid'; once
+        gs_pk = draw_rgb + gsig_pk  # [Bp, Q] raw cotangent, packed
+        # unpack per-part [Bp, 4] cotangents for the (unchanged) backward
+        # chain — exact 2-pass dots: gs feeds the bias-gradient sums
+        gs = []
+        for p in range(P):
+            un = jnp.where(rQ4 - 4 * p == cQ4, 1.0, 0.0)  # [Q, 4]
+            gs.append(_coord_dot(gs_pk, un, (((1,), (0,)), ((), ()))))
 
         first = pl.program_id(0) == 0
         val = loss_total.reshape(1, 1)
@@ -397,14 +470,20 @@ def make_fused_pass_loss(
         total = N * S
         has_noise = noise is not None
         block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
+        n_blocks = (total + pad) // block
         # ray-part interleave: the most parts whose [Rp, S] tiles keep
         # >= 8 sublane rows (measured monotone wins through p8 on v5e —
-        # PERF_NOTES "interleave"); explicit ``parts`` overrides
-        if (
-            parts is not None
-            and rays_per_block % parts == 0
-            and rays_per_block // parts >= 8
-        ):
+        # PERF_NOTES "interleave"); explicit ``parts`` overrides. When
+        # blocked (grid > 1) the packed [Rp, 4P] target/valid blocks also
+        # need a leading dim that is a multiple of 8 (Mosaic block-dim
+        # constraint).
+        def parts_ok(p):
+            rp = rays_per_block // p
+            return rays_per_block % p == 0 and rp >= 8 and (
+                n_blocks == 1 or rp % 8 == 0
+            )
+
+        if parts is not None and parts_ok(parts):
             n_parts = parts
         else:
             if parts is not None:
@@ -413,12 +492,13 @@ def make_fused_pass_loss(
                 warnings.warn(
                     f"fused loss: parts={parts} violates the Mosaic "
                     f"[Rp, S] tile floor (rays_per_block={rays_per_block} "
-                    f"needs Rp >= 8); using the auto rule instead",
+                    f"needs Rp >= 8, a multiple of 8 when blocked); using "
+                    f"the auto rule instead",
                     stacklevel=2,
                 )
             n_parts = 1
             for p in (8, 4, 2):
-                if rays_per_block % p == 0 and rays_per_block // p >= 8:
+                if parts_ok(p):
                     n_parts = p
                     break
         n_ray_pad = (total + pad) // S
@@ -436,21 +516,44 @@ def make_fused_pass_loss(
         # dists/noise stream in rays-x-samples layout — the kernel's σ
         # chain runs in dense [R, S] tiles (see kernel comment)
         dists_rows = pad_rays(dists)
+        R = rays_per_block
+        Rp = R // n_parts
+        Q = 4 * n_parts
+
+        def pack_rays4(a):
+            # [n_ray_pad, 4] -> [n_blocks * Rp, 4P]: part p's rays of each
+            # block land in lanes 4p..4p+3 (matches the kernel's packed
+            # rgb-lane layout; host-side, exact, fuses into the pads)
+            return (
+                a.reshape(n_blocks, n_parts, Rp, 4)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_blocks * Rp, Q)
+            )
+
         target4 = jnp.pad(
             target.astype(jnp.float32), ((0, n_ray_pad - N), (0, 1))
         )
-        valid = jnp.pad(jnp.ones((N, 1), jnp.float32),
-                        ((0, n_ray_pad - N), (0, 0)))
-        inputs = [orig_in, rdir_in, z_rows, dirs_in, dists_rows]
-        if has_noise:
-            inputs.append(pad_rays(noise))
-        inputs += [target4, valid]
+        # valid doubles as the rgb-lane mask: 1 on real rays' rgb lanes,
+        # 0 on padding rays AND on every alpha lane
+        valid4 = jnp.pad(
+            jnp.ones((N, 1), jnp.float32), ((0, n_ray_pad - N), (0, 0))
+        ) * jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+        target_pk = pack_rays4(target4)
+        valid_pk = pack_rays4(valid4)
 
         mats, bs = split_flex_params(model, params, compute_dtype)
         bs_real = bs[: len(names)]
+        # combined head bias ([rgb_b, alpha_b]) tiled to the packed lane
+        # layout (the packed rgb head emits raw WITHOUT bias)
+        bias_pk = jnp.tile(bs[-1].astype(jnp.float32), n_parts).reshape(
+            1, Q
+        )
+        inputs = [orig_in, rdir_in, z_rows, dirs_in, dists_rows]
+        if has_noise:
+            inputs.append(pad_rays(noise))
+        inputs += [target_pk, valid_pk, bias_pk]
         padded = total + pad
         grid = (padded // block,)
-        R = rays_per_block
 
         def blk(shape2):
             return pl.BlockSpec(
@@ -469,7 +572,11 @@ def make_fused_pass_loss(
                     blk((R, 3)), blk((R, S))]
         if has_noise:
             in_specs.append(blk((R, S)))
-        in_specs += [blk((R, 4)), blk((R, 1))]
+        in_specs += [
+            blk((Rp, Q)),
+            blk((Rp, Q)),
+            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
         in_specs += full2d(mats)
         in_specs += [
             pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM)
