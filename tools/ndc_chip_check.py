@@ -19,10 +19,17 @@ vs default-bf16 matmul subtleties live. This tool closes that:
   must be finite and decreasing.
 
 Usage (results recorded in docs/PARITY.md):
-    python tools/ndc_chip_check.py render --out /tmp/fern_tpu.npz
+    python tools/ndc_chip_check.py render --highest --out /tmp/fern_tpu.npz
     python tools/ndc_chip_check.py render --cpu --out /tmp/fern_cpu.npz
     python tools/ndc_chip_check.py compare /tmp/fern_tpu.npz /tmp/fern_cpu.npz
     python tools/ndc_chip_check.py train-smoke
+
+``--highest`` forces HIGHEST matmul precision for the TPU XLA render —
+that is the NDC-math parity claim (measured: rgb max|diff| 6.4e-5, depth
+2.1e-5 vs CPU, i.e. f32-rounding-identical). WITHOUT it the compare
+measures the TPU default-bf16 matmul class THROUGH THE MLP (measured:
+rgb ~5.9e-2 max / 53.6 dB) — expected, platform-wide, and not an NDC
+defect; use ``--default-tols`` on compare for that run.
 """
 
 from __future__ import annotations
@@ -121,9 +128,17 @@ def cmd_render(args) -> int:
         block_size=4096, use_ndc=True, height=H, width=W,
         focal_length=focal,
     )
-    r = render_image(
-        model.apply, fine_fn, params, ro, rd, near, far, settings, **kw
+    import contextlib
+
+    prec = (
+        jax.default_matmul_precision("highest")
+        if args.highest
+        else contextlib.nullcontext()
     )
+    with prec:
+        r = render_image(
+            model.apply, fine_fn, params, ro, rd, near, far, settings, **kw
+        )
     pick = r.fine if r.fine is not None else r.coarse
     out["xla_rgb"] = np.asarray(pick.rgb)
     out["xla_depth"] = np.asarray(pick.depth)
@@ -163,18 +178,25 @@ def _report(tag, a, b, tol):
 def cmd_compare(args) -> int:
     a = np.load(args.files[0])
     b = np.load(args.files[1])
-    ok = _report("xla(tpu) vs xla(cpu) rgb", a["xla_rgb"], b["xla_rgb"], 2e-3)
+    # strict tolerances assume the TPU file was rendered with --highest
+    # (the NDC-math parity claim); --default-tols checks a DEFAULT-
+    # precision TPU render against the measured bf16-matmul class instead
+    rgb_tol, depth_tol = (1e-1, 5e-2) if args.default_tols else (2e-3, 5e-3)
+    ok = _report(
+        "xla(tpu) vs xla(cpu) rgb", a["xla_rgb"], b["xla_rgb"], rgb_tol
+    )
     ok &= _report(
-        "xla(tpu) vs xla(cpu) depth", a["xla_depth"], b["xla_depth"], 5e-3
+        "xla(tpu) vs xla(cpu) depth", a["xla_depth"], b["xla_depth"],
+        depth_tol,
     )
     if "fused_rgb" in a.files:
-        # the fused kernel's bf16 dot tolerance class (docs/PERF_NOTES.md)
+        # the fused kernel is always the bf16 dot class (docs/PERF_NOTES.md)
         ok &= _report(
-            "fused(tpu) vs xla(cpu) rgb", a["fused_rgb"], b["xla_rgb"], 5e-3
+            "fused(tpu) vs xla(cpu) rgb", a["fused_rgb"], b["xla_rgb"], 1e-1
         )
         ok &= _report(
             "fused(tpu) vs xla(cpu) depth",
-            a["fused_depth"], b["xla_depth"], 2e-2,
+            a["fused_depth"], b["xla_depth"], 5e-2,
         )
     return 0 if ok else 1
 
@@ -273,9 +295,15 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render")
     pr.add_argument("--size", type=int, default=64)
     pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--highest", action="store_true",
+                    help="force HIGHEST matmul precision for the XLA "
+                         "render (the NDC-math parity configuration)")
     pr.add_argument("--out", type=str, required=True)
     pc = sub.add_parser("compare")
     pc.add_argument("files", nargs=2)
+    pc.add_argument("--default-tols", action="store_true",
+                    help="tolerances for a DEFAULT-precision TPU render "
+                         "(the bf16 matmul class) instead of --highest")
     pt = sub.add_parser("train-smoke")
     pt.add_argument("--steps", type=int, default=60)
     pt.add_argument("--batch", type=int, default=1024)
