@@ -23,12 +23,16 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 12_500.0  # estimated reference on RTX 2080 Ti (see above)
 
-# Production batch: throughput saturates with batch (PERF_NOTES
+# Headline batch: throughput saturates with batch (PERF_NOTES
 # batch-scaling tables: 390.3k rays/s @16384, 396.2k @32768, 403.4k
-# @65536 in round 3), and rays are i.i.d. so large per-chip batches are
-# the production regime; the headline is recorded at the saturating
-# batch. Rounds 1-2 pinned 4096; per-step sync timings in docs use
-# 4096/16384 — scale by the tables when comparing.
+# @65536 in round 3); the headline records the chip's saturated
+# training throughput. Note the shipped EXAMPLE configs train at 8192
+# rays/batch — sized for quality on the small demo scenes, not for
+# chip saturation; large scenes should raise num_random_rays toward
+# the saturating batch (rays are i.i.d., so batch size is a free
+# throughput knob modulo lr retuning). Rounds 1-2 pinned 4096;
+# per-step sync timings in docs use 4096/16384 — scale by the tables
+# when comparing.
 import os as _os
 
 BATCH = int(_os.environ.get("DEXNERF_BENCH_BATCH", "65536"))

@@ -65,10 +65,13 @@ def _rs_ops(B: int, S: int):
     f32 tile occupies B x 128 lanes with one useful lane), so compositing
     chains run in dense [R, S] tiles instead. Mosaic cannot shape-cast
     [B, 1] <-> [R, S], so the layout change is itself a selector matmul.
-    Returns ``(G, expand, to_rs, from_rs)``: the [R, B] ray-group
-    indicator (per-ray reductions via dim-1, row expansion via dim-0
-    contraction), and the three layout mappers. All masks are iota-built
-    (Pallas kernels cannot capture array constants).
+    Returns ``(G, expand, to_rs, from_rs, lane_sel)``: the [R, B]
+    ray-group indicator (per-ray reductions via dim-1, row expansion via
+    dim-0 contraction), the three layout mappers, and the [B, S]
+    sample-lane selector (row b's useful lane is b % S) — exposed so
+    callers building their own packing dots share ONE definition of the
+    rays-x-samples lane convention. All masks are iota-built (Pallas
+    kernels cannot capture array constants).
     """
     R = B // S
     g = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
@@ -105,7 +108,7 @@ def _rs_ops(B: int, S: int):
     def from_rs(x, exact=False):  # [R, S] -> [B, 1]
         return jnp.sum(expand(x, exact) * lane_sel, axis=1, keepdims=True)
 
-    return G, expand, to_rs, from_rs
+    return G, expand, to_rs, from_rs, lane_sel
 
 
 def _make_render_kernel(
@@ -138,7 +141,7 @@ def _make_render_kernel(
         # chain is latency-bound on the MXU (~65% MFU single-chain, ~99%
         # interleaved; docs/PERF_NOTES.md "interleave"). Masks are built
         # once for the part size and shared.
-        G, expand, to_rs, from_rs = _rs_ops(Bp, S)
+        G, expand, to_rs, from_rs, _ = _rs_ops(Bp, S)
 
         def rows(ref, p):
             return ref[p * Rp:(p + 1) * Rp, :]

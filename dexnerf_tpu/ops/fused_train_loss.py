@@ -152,7 +152,7 @@ def _make_loss_kernel(
         # INTERLEAVED across parts: the layer chain is latency-bound on
         # the MXU (~65% MFU single-chain, ~99% with two interleaved
         # chains — docs/PERF_NOTES.md "interleave experiment").
-        G, expand, to_rs, from_rs = _rs_ops(Bp, S)
+        G, expand, to_rs, from_rs, lane_sel = _rs_ops(Bp, S)
 
         def rows(ref, p):
             return ref[p * Rp:(p + 1) * Rp, :]
@@ -229,10 +229,8 @@ def _make_loss_kernel(
         cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
         lq = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)  # lane pattern
         mask_rgb_pk = jnp.where(lq % 4 < 3, 1.0, 0.0)  # [1, Q] rgb lanes
-        # from_rs interior, shared by the w/gsigma lane-packing dots
-        b_i = jax.lax.broadcasted_iota(jnp.int32, (Bp, S), 0)
-        s_i = jax.lax.broadcasted_iota(jnp.int32, (Bp, S), 1)
-        lane_sel = jnp.where(b_i % S == s_i, 1.0, 0.0)  # [Bp, S]
+        # lane_sel (the _rs_ops from_rs interior) is shared by the
+        # w/gsigma lane-packing dots below
         cSQ = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
         rQ4 = jax.lax.broadcasted_iota(jnp.int32, (Q, 4), 0)
         cQ4 = jax.lax.broadcasted_iota(jnp.int32, (Q, 4), 1)
@@ -240,6 +238,11 @@ def _make_loss_kernel(
         cQP = jax.lax.broadcasted_iota(jnp.int32, (Q, P), 1)
         group4 = jnp.where(rQP // 4 == cQP, 1.0, 0.0)  # [Q, P] lane->part
         rP1 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        # part p's [Q, 4] unpack selector (packed lanes 4p..4p+3 -> cols
+        # 0..3) — one definition for out_rgb and the gs cotangent unpack
+        un_mats = [
+            jnp.where(rQ4 - 4 * p == cQ4, 1.0, 0.0) for p in range(P)
+        ]
 
         if ablate in ("no_comp", "no_save", "mlp_only", "no_sin"):
             # timing only: loss = sum of raw field values, no compositing
@@ -324,9 +327,8 @@ def _make_loss_kernel(
                 )
                 ray_rgb = ray_rgb + (1.0 - acc_r) * maskp
         for p in range(P):
-            un = jnp.where(rQ4 - 4 * p == cQ4, 1.0, 0.0)  # [Q, 4]
             out_rgb[p * Rp:(p + 1) * Rp, :] = _coord_dot(
-                ray_rgb, un, (((1,), (0,)), ((), ()))
+                ray_rgb, un_mats[p], (((1,), (0,)), ((), ()))
             )
 
         # ---- loss + ray cotangent on [Rp, Q] (UNNORMALIZED: the wrapper
@@ -385,10 +387,10 @@ def _make_loss_kernel(
         gs_pk = draw_rgb + gsig_pk  # [Bp, Q] raw cotangent, packed
         # unpack per-part [Bp, 4] cotangents for the (unchanged) backward
         # chain — exact 2-pass dots: gs feeds the bias-gradient sums
-        gs = []
-        for p in range(P):
-            un = jnp.where(rQ4 - 4 * p == cQ4, 1.0, 0.0)  # [Q, 4]
-            gs.append(_coord_dot(gs_pk, un, (((1,), (0,)), ((), ()))))
+        gs = [
+            _coord_dot(gs_pk, un_mats[p], (((1,), (0,)), ((), ())))
+            for p in range(P)
+        ]
 
         first = pl.program_id(0) == 0
         val = loss_total.reshape(1, 1)

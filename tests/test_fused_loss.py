@@ -133,6 +133,21 @@ def test_fused_loss_interleaved_parts():
              block_samples=128)
 
 
+def test_fused_loss_interleaved_parts_white_luminance():
+    """The packed-lane rgb chain at parts > 1 with the luminance and
+    white-background branches BOTH active: the per-part lane-group
+    selectors (group-of-4 contractions, per-part valid masks, packed
+    head bias) must reproduce XLA exactly, like rgb at parts=1 does."""
+    model, params, s, rays, target = _setup(
+        n=32, num_coarse=4, num_fine=4,
+        perturb=True, radiance_field_noise_std=0.2,
+        white_background=True,
+    )
+    # block_samples 128 -> rays_per_block = 32 -> parts = 2 (Rp = 16)
+    _compare(model, params, s, rays, target, key=jax.random.PRNGKey(9),
+             block_samples=128, supervision="luminance")
+
+
 def test_fused_loss_ray_padding():
     """N not a multiple of rays-per-block: padded rays must contribute zero
     loss and zero gradient (the valid-mask path)."""
