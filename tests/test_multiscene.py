@@ -5,6 +5,8 @@ scale-out (``job-example.yaml``): scenes are vmapped over a leading axis
 and sharded across the mesh with zero collectives.
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -165,3 +167,117 @@ def test_shard_multi_scene_divisibility():
     ms = stack_ray_stores(stores)
     with pytest.raises(ValueError, match="not divisible"):
         shard_multi_scene(state, ms, make_scene_mesh())
+
+
+def _tiny_cfg(tmp_path, base, ident, seed):
+    cfgpath = str(tmp_path / f"{ident}.yml")
+    with open(cfgpath, "w") as f:
+        f.write(
+            f"""
+experiment:
+  id: {ident}
+  logdir: {tmp_path}/logs
+  randomseed: {seed}
+  train_iters: 4
+  print_every: 2
+dataset:
+  type: blender
+  basedir: {base}
+  near: 2.0
+  far: 6.0
+  no_ndc: True
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 16
+    num_encoding_fn_xyz: 2
+    num_encoding_fn_dir: 1
+  fine:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 16
+    num_encoding_fn_xyz: 2
+    num_encoding_fn_dir: 1
+optimizer:
+  type: Adam
+  lr: 5.0e-3
+scheduler:
+  lr_decay: 250
+  lr_decay_factor: 0.1
+nerf:
+  use_viewdirs: True
+  train:
+    num_random_rays: 16
+    chunksize: 64
+    perturb: True
+    num_coarse: 4
+    num_fine: 4
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+  validation:
+    chunksize: 64
+    perturb: False
+    num_coarse: 4
+    num_fine: 4
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+        )
+    return cfgpath
+
+
+def test_multiscene_cli_e2e(tmp_path):
+    """Two tiny scenes through the CLI: per-scene metrics.jsonl and
+    checkpoints land in each config's own logdir, consumable by apps.eval."""
+    import os
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.apps.multiscene import main as ms_main
+    from dexnerf_tpu.data import write_blender_dataset
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=12, width=12, views_per_split=(2, 1, 1))
+    cfg_a = _tiny_cfg(tmp_path, base, "scene_a", 1)
+    cfg_b = _tiny_cfg(tmp_path, base, "scene_b", 2)
+
+    assert ms_main(["--configs", cfg_a, cfg_b]) == 0
+    for ident in ("scene_a", "scene_b"):
+        logdir = f"{tmp_path}/logs/{ident}"
+        assert os.path.exists(f"{logdir}/config.yml")
+        with open(f"{logdir}/metrics.jsonl") as f:
+            lines = [json.loads(l) for l in f if l.strip()]
+        assert lines and lines[-1]["step"] == 4
+        ckpts = os.listdir(f"{logdir}/checkpoints")
+        assert any(c.startswith("checkpoint_") for c in ckpts)
+
+    # the per-scene checkpoint renders through the standard eval app
+    savedir = str(tmp_path / "renders")
+    rc = eval_main(
+        [
+            "--config", cfg_a,
+            "--checkpoint", f"{tmp_path}/logs/scene_a/checkpoints",
+            "--savedir", savedir,
+            "--num-poses", "1",
+        ]
+    )
+    assert rc == 0
+    assert os.listdir(savedir)
+
+
+def test_multiscene_cli_rejects_mismatched_models(tmp_path):
+    from dexnerf_tpu.apps.multiscene import main as ms_main
+    from dexnerf_tpu.data import write_blender_dataset
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=12, width=12, views_per_split=(2, 1, 1))
+    cfg_a = _tiny_cfg(tmp_path, base, "scene_a", 1)
+    cfg_b = _tiny_cfg(tmp_path, base, "scene_b", 2)
+    with open(cfg_b) as f:
+        txt = f.read()
+    with open(cfg_b, "w") as f:
+        f.write(txt.replace("hidden_size: 16", "hidden_size: 32", 1))
+    with pytest.raises(SystemExit, match="models section differs"):
+        ms_main(["--configs", cfg_a, cfg_b])
