@@ -76,6 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
         "cfg.optimizer.pose_lr (default 1e-3)",
     )
     p.add_argument(
+        "--depth-loss",
+        type=float,
+        default=None,
+        help="GT-depth supervision weight: adds weight * masked depth MSE "
+        "on the rendered expected depth (datasets with depth maps — "
+        "messytable; the reference carried the GT but only computed "
+        "metrics from it); overrides cfg.nerf.train.depth_loss_weight. "
+        "XLA path only",
+    )
+    p.add_argument(
         "--max-iters", type=int, default=None, help="override train_iters"
     )
     p.add_argument(
@@ -137,6 +147,7 @@ def main(argv=None) -> int:
         sampling=args.sampling,
         steps_per_call=args.steps_per_call,
         pose_opt=args.pose_opt or None,
+        depth_loss_weight=args.depth_loss,
     )
     print(
         f"done: {out['rays_per_sec']:.0f} rays/s, "

@@ -39,7 +39,7 @@ from dexnerf_tpu.render.renderer import RayBatch
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data",),
+    data_fields=("data", "depth"),
     meta_fields=("near", "far", "rays_per_image"),
 )
 @dataclasses.dataclass(frozen=True)
@@ -50,12 +50,17 @@ class RayStore:
     from cache shards); when positive, per-image sampling is available.
     The scalar fields are pytree *metadata* (static under jit), so
     per-image sampling can branch on them at trace time.
+
+    ``depth`` optionally carries per-ray ground-truth depth [N] (meters) —
+    present when the dataset has GT depth maps (messytable, synthetic) and
+    depth supervision is requested (``nerf.train.depth_loss_weight``).
     """
 
     data: jnp.ndarray  # [N, 12]: ro(3) rd(3) viewdir(3) rgb(3)
     near: float
     far: float
     rays_per_image: int = 0
+    depth: Optional[jnp.ndarray] = None  # [N] GT depth (meters) or None
 
     @property
     def num_rays(self) -> int:
@@ -91,12 +96,15 @@ def build_ray_store(
     *,
     intrinsics: Optional[np.ndarray] = None,
     use_ndc: bool = False,
+    depths: Optional[np.ndarray] = None,
 ) -> RayStore:
     """Generate and pack rays for every image.
 
     ``poses`` are c2w [N,4,4] (blender/llff convention) unless ``intrinsics``
     is given, in which case they are w2c and rays use the full K
     (messytable convention). ``use_ndc`` applies the LLFF NDC projection.
+    ``depths`` optionally attaches per-pixel GT depth [N,H,W] (meters),
+    flattened ray-aligned for depth supervision.
     """
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
     images = jnp.asarray(images[..., :3], dtype=jnp.float32)
@@ -119,11 +127,22 @@ def build_ray_store(
         ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
 
     data = _pack(ro, rd, viewdirs, images)
+    depth = None
+    if depths is not None:
+        depth = jax.device_put(
+            jnp.asarray(depths, dtype=jnp.float32).reshape(-1)
+        )
+        if depth.shape[0] != data.shape[0]:
+            raise ValueError(
+                f"depths cover {depth.shape[0]} rays, store has "
+                f"{data.shape[0]}"
+            )
     return RayStore(
         data=jax.device_put(data),
         near=float(near),
         far=float(far),
         rays_per_image=H * W,
+        depth=depth,
     )
 
 
@@ -190,23 +209,30 @@ def _host_pack_rays():
 
 
 def sample_ray_batch(
-    store: RayStore, key: jax.Array, batch_size: int
-) -> Tuple[RayBatch, jnp.ndarray]:
-    """Gather a random ray batch (jit-safe). Returns (RayBatch, target_rgb).
+    store: RayStore, key: jax.Array, batch_size: int, *,
+    return_depth: bool = False,
+):
+    """Gather a random ray batch (jit-safe). Returns (RayBatch, target_rgb),
+    plus per-ray GT depth when ``return_depth`` (store must carry one).
 
     Sampling is uniform over all training rays. (The reference samples one
     random image then ``num_random_rays`` pixels within it,
     ``train_nerf_rgb.py:222-241``; uniform-over-all-rays is the standard
     "batching" variant of NeRF training and converges at least as well.)
+    The index draw is identical with or without ``return_depth``, so
+    enabling depth supervision does not perturb the ray stream.
     """
     idx = jax.random.randint(key, (batch_size,), 0, store.num_rays)
     rows = jnp.take(store.data, idx, axis=0)
+    if return_depth:
+        return (*_rows_to_batch(store, rows), _take_depth(store, idx))
     return _rows_to_batch(store, rows)
 
 
 def sample_ray_batch_per_image(
-    store: RayStore, key: jax.Array, batch_size: int
-) -> Tuple[RayBatch, jnp.ndarray]:
+    store: RayStore, key: jax.Array, batch_size: int, *,
+    return_depth: bool = False,
+):
     """Reference-semantics sampling: ONE random image, then ``batch_size``
     random pixels within it (``train_nerf_rgb.py:222-241``). Jit-safe."""
     if not store.rays_per_image:
@@ -214,8 +240,20 @@ def sample_ray_batch_per_image(
     k_img, k_pix = jax.random.split(key)
     img = jax.random.randint(k_img, (), 0, store.num_images)
     pix = jax.random.randint(k_pix, (batch_size,), 0, store.rays_per_image)
-    rows = jnp.take(store.data, img * store.rays_per_image + pix, axis=0)
+    idx = img * store.rays_per_image + pix
+    rows = jnp.take(store.data, idx, axis=0)
+    if return_depth:
+        return (*_rows_to_batch(store, rows), _take_depth(store, idx))
     return _rows_to_batch(store, rows)
+
+
+def _take_depth(store: RayStore, idx: jnp.ndarray) -> jnp.ndarray:
+    if store.depth is None:
+        raise ValueError(
+            "depth supervision needs a store built with GT depths "
+            "(build_ray_store(..., depths=...)); this dataset/store has none"
+        )
+    return jnp.take(store.depth, idx, axis=0)
 
 
 def _rows_to_batch(

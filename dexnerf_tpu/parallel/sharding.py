@@ -50,6 +50,8 @@ def make_parallel_train_step(
     fine_field=None,
     fused_loss=None,
     index_to_batch: Optional[Callable] = None,
+    depth_loss_weight: float = 0.0,
+    depth_valid_max: Optional[float] = None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Data-parallel train step: per-device ray sampling, gradient psum.
 
@@ -70,6 +72,9 @@ def make_parallel_train_step(
     from the trainable twists this way (a ``"pose"`` leaf in params is
     kept away from the model functions and reported as a
     ``pose_twist_norm`` metric, mirroring ``train.step.make_train_step``).
+    ``depth_loss_weight``/``depth_valid_max`` mirror
+    ``train.step.make_train_step`` (XLA path only; the per-device depth
+    term pmean's with the rest of the metrics).
     """
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
@@ -77,6 +82,17 @@ def make_parallel_train_step(
             f"global batch {global_batch_size} not divisible by {n_dev} devices"
         )
     local_batch = global_batch_size // n_dev
+    use_depth = depth_loss_weight > 0.0
+    if use_depth and fused_loss is not None:
+        raise ValueError(
+            "depth supervision needs depth gradients through compositing — "
+            "use the XLA path (see train.step.make_train_step)"
+        )
+    if use_depth and index_to_batch is not None:
+        raise ValueError(
+            "depth supervision and a custom index_to_batch (pose "
+            "refinement) are mutually exclusive"
+        )
 
     if index_to_batch is None:
         def index_to_batch(params, store, idx):
@@ -112,6 +128,20 @@ def make_parallel_train_step(
             coarse_field=coarse_field, fine_field=fine_field,
         )
         loss, metrics = nerf_loss(result, target, supervision=supervision)
+        if use_depth:
+            from dexnerf_tpu.data.pipeline import _take_depth
+            from dexnerf_tpu.train.step import masked_depth_mse
+
+            d_pred = (
+                result.fine.depth if result.fine is not None
+                else result.coarse.depth
+            )
+            d_loss = masked_depth_mse(
+                d_pred, _take_depth(store, idx), depth_valid_max
+            )
+            loss = loss + depth_loss_weight * d_loss
+            metrics["depth_loss"] = d_loss
+            metrics["loss"] = loss
         return loss, metrics
 
     def one_step(state: TrainState, store: RayStore, key: jax.Array):
@@ -122,7 +152,14 @@ def make_parallel_train_step(
         metrics = jax.lax.pmean(metrics, RAY_AXIS)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        # PSNR from the PHOTOMETRIC part (== total loss unless an auxiliary
+        # term like depth supervision is active)
+        photometric = (
+            metrics["coarse_loss"] + metrics["fine_loss"]
+            if "coarse_loss" in metrics
+            else metrics["loss"]
+        )
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(photometric, 1e-10))
         if "pose" in params:
             metrics["pose_twist_norm"] = jnp.mean(
                 jnp.linalg.norm(params["pose"], axis=-1)

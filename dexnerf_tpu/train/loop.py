@@ -560,6 +560,7 @@ def run_training(
     sampling: Optional[str] = None,
     steps_per_call: Optional[int] = None,
     pose_opt: Optional[bool] = None,
+    depth_loss_weight: Optional[float] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
 
@@ -584,6 +585,13 @@ def run_training(
     (``cfg.optimizer.pose_lr``, default 1e-3) and always take the XLA
     render path (the fused kernels' zero-ray-cotangent contract excludes
     them).
+
+    ``depth_loss_weight`` (or ``cfg.nerf.train.depth_loss_weight``) > 0
+    adds GT-depth supervision on the rendered expected depth — the
+    datasets the reference targets CARRY per-pixel GT depth (messytable),
+    but the reference only ever computed metrics from it
+    (``train_nerf_rgb.py:361-401``); here it can train. Valid-GT mask
+    ``0 < d [< cfg.nerf.train.depth_valid_max]``. XLA path only.
     """
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
@@ -702,6 +710,27 @@ def run_training(
     s_train = render_settings_from_cfg(cfg, "train", dex=False)
     batch_size = int(cfg.nerf.train.num_random_rays)
     cachedir = str(_get(cfg.dataset, "cachedir", "") or "")
+    depth_w = float(
+        depth_loss_weight
+        if depth_loss_weight is not None
+        else (_get(cfg.nerf.train, "depth_loss_weight", 0.0) or 0.0)
+    )
+    _dvm = _get(cfg.nerf.train, "depth_valid_max", None)
+    depth_valid_max = float(_dvm) if _dvm is not None else None
+    if depth_w > 0.0:
+        if pose_opt:
+            raise ValueError(
+                "depth supervision and --pose-opt are mutually exclusive"
+            )
+        if supervision == "sg_ir":
+            raise ValueError(
+                "depth supervision and --sg-ir are mutually exclusive"
+            )
+        if scene.depths is None:
+            raise ValueError(
+                "depth_loss_weight > 0 but the dataset has no GT depth "
+                "maps (messytable carries depthL.png / depth.png)"
+            )
     if pose_opt:
         # camera-frame store: world rays are re-generated from the refined
         # poses inside the step (cache shards bake world rays and carry no
@@ -721,7 +750,11 @@ def run_training(
             ),
             use_ndc=scene.use_ndc,
         )
-    elif cachedir and os.path.isdir(os.path.join(cachedir, "train")):
+    elif (
+        cachedir
+        and os.path.isdir(os.path.join(cachedir, "train"))
+        and depth_w == 0.0  # cache shards carry no GT depth
+    ):
         # Train from the offline ray cache when present (the reference's
         # USE_CACHED_DATASET preference, train_nerf_rgb.py:51-56).
         from dexnerf_tpu.data import build_ray_store_from_cache
@@ -742,6 +775,9 @@ def run_training(
                 else None
             ),
             use_ndc=scene.use_ndc,
+            depths=(
+                scene.depths[scene.i_train] if depth_w > 0.0 else None
+            ),
         )
     # orthogonal step knobs, config keys with kwarg overrides
     # (reference-semantics sampling: train_nerf_rgb.py:222-241)
@@ -765,6 +801,15 @@ def run_training(
         )
     else:
         fused_loss = maybe_fused_loss(cfg, s_train, supervision)
+    if depth_w > 0.0 and fused_loss is not None:
+        import warnings
+
+        warnings.warn(
+            "depth supervision needs depth gradients through compositing; "
+            "the combined Pallas loss kernel is bypassed (XLA path)",
+            stacklevel=2,
+        )
+        fused_loss = None
     # the combined loss kernel supersedes the separate field kernels
     coarse_field, fine_field = (
         (None, None) if fused_loss is not None
@@ -820,6 +865,8 @@ def run_training(
             coarse_field=coarse_field,
             fine_field=fine_field,
             fused_loss=fused_loss,
+            depth_loss_weight=depth_w,
+            depth_valid_max=depth_valid_max,
         )
     else:
         train_step = make_train_step(
@@ -830,6 +877,8 @@ def run_training(
             fused_loss=fused_loss,
             sampling=sampling,
             steps_per_call=steps_per_call,
+            depth_loss_weight=depth_w,
+            depth_valid_max=depth_valid_max,
         )
 
     train_iters = (

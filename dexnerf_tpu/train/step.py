@@ -113,6 +113,25 @@ def nerf_loss(
     }
 
 
+def masked_depth_mse(
+    depth_pred: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    valid_max: Optional[float] = None,
+) -> jnp.ndarray:
+    """Mean squared depth error over the valid-GT mask.
+
+    Valid = ``gt > 0`` (missing GT encodes as 0 in the depth PNGs), and
+    optionally ``gt < valid_max`` — the reference's metric mask is
+    ``0 < d < 1.25`` m (``train_nerf_rgb.py:390``, metric-only there; here
+    it can supervise)."""
+    mask = depth_gt > 0.0
+    if valid_max is not None:
+        mask = jnp.logical_and(mask, depth_gt < valid_max)
+    mask = mask.astype(depth_pred.dtype)
+    err = mask * (depth_pred - depth_gt) ** 2
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def make_train_step(
     coarse_fn: ModelFn,
     fine_fn: Optional[ModelFn],
@@ -127,6 +146,8 @@ def make_train_step(
     sampling: str = "uniform",
     steps_per_call: int = 1,
     ray_source: Optional[Callable] = None,
+    depth_loss_weight: float = 0.0,
+    depth_valid_max: Optional[float] = None,
 ) -> Callable[[TrainState, RayStore, jax.Array], Tuple[TrainState, Dict]]:
     """Build the single-device jitted train step.
 
@@ -149,6 +170,14 @@ def make_train_step(
     trainable twists this way (``train/pose_opt.py``); a ``"pose"`` leaf
     in params is kept away from the model functions and reported as a
     ``pose_twist_norm`` metric.
+    ``depth_loss_weight`` > 0 adds ``weight * masked_depth_mse`` on the
+    fine (or coarse-only) expected depth against the store's per-ray GT
+    depth — supervision the reference never had despite carrying the GT
+    (it only ever computed metrics from it, ``train_nerf_rgb.py:361-401``).
+    Depth gradients flow through compositing, so this requires the XLA
+    render path (the fused kernels compute gradients for the photometric
+    loss only). The ray/key draw structure is unchanged, so weight 0 vs
+    absent is trajectory-identical.
     The multi-chip (shard_map) variant wraps this via
     ``dexnerf_tpu.parallel.make_parallel_train_step``.
     """
@@ -158,11 +187,28 @@ def make_train_step(
         "uniform": sample_ray_batch,
         "per_image": sample_ray_batch_per_image,
     }[sampling]
+    use_depth = depth_loss_weight > 0.0
+    if use_depth and fused_loss is not None:
+        raise ValueError(
+            "depth supervision needs depth gradients through compositing — "
+            "the combined Pallas loss kernel computes photometric-loss "
+            "gradients only; use the XLA path (nerf.use_pallas: false)"
+        )
+    if use_depth and ray_source is not None:
+        raise ValueError(
+            "depth supervision and a custom ray_source (pose refinement) "
+            "are mutually exclusive"
+        )
 
     def loss_fn(params, store, key):
         k_sample, k_render = jax.random.split(key)
+        depth_gt = None
         if ray_source is not None:
             rays, target = ray_source(params, store, k_sample)
+        elif use_depth:
+            rays, target, depth_gt = sample_fn(
+                store, k_sample, batch_size, return_depth=True
+            )
         else:
             rays, target = sample_fn(store, k_sample, batch_size)
         model_params = {k: v for k, v in params.items() if k != "pose"}
@@ -179,6 +225,15 @@ def make_train_step(
             fine_field=fine_field,
         )
         loss, metrics = nerf_loss(result, target, supervision=supervision)
+        if use_depth:
+            d_pred = (
+                result.fine.depth if result.fine is not None
+                else result.coarse.depth
+            )
+            d_loss = masked_depth_mse(d_pred, depth_gt, depth_valid_max)
+            loss = loss + depth_loss_weight * d_loss
+            metrics["depth_loss"] = d_loss
+            metrics["loss"] = loss
         return loss, metrics
 
     def one_step(state: TrainState, store: RayStore, key: jax.Array):
@@ -190,7 +245,14 @@ def make_train_step(
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state
         )
-        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["loss"], 1e-10))
+        # PSNR from the PHOTOMETRIC part (== total loss unless an auxiliary
+        # term like depth supervision is active)
+        photometric = (
+            metrics["coarse_loss"] + metrics["fine_loss"]
+            if "coarse_loss" in metrics
+            else metrics["loss"]
+        )
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(photometric, 1e-10))
         if "pose" in params:
             # observability of how far the poses have moved from the dataset's
             metrics["pose_twist_norm"] = jnp.mean(
