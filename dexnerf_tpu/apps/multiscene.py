@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=None,
                    help="override rays per scene per step")
     p.add_argument(
+        "--data-devices", type=int, default=None,
+        help="data-parallel devices PER SCENE: train on a 2-D (scene, rays) "
+        "mesh — scenes sharded over the outer axis, each scene's ray batch "
+        "split over its own inner device group (gradient pmean rides that "
+        "group's ICI links; zero cross-scene communication)",
+    )
+    p.add_argument(
         "--platform", type=str, default=None,
         choices=("cpu", "tpu", "axon"),
         help="force a JAX platform (cpu when the TPU tunnel is down)",
@@ -77,7 +84,9 @@ def main(argv=None) -> int:
     from dexnerf_tpu.data.pipeline import build_ray_store
     from dexnerf_tpu.parallel import (
         init_multi_scene_state,
+        make_multi_scene_parallel_train_step,
         make_multi_scene_train_step,
+        make_scene_data_mesh,
         make_scene_mesh,
         scene_params,
         shard_multi_scene,
@@ -146,13 +155,32 @@ def main(argv=None) -> int:
     ms = stack_ray_stores(stores)
     state = init_multi_scene_state(stack_params(params_list), tx)
     n_dev = jax.device_count()
-    if len(cfgs) % n_dev == 0 and n_dev > 1:
-        state, ms = shard_multi_scene(state, ms, make_scene_mesh())
-        print(f"sharding {len(cfgs)} scenes over {n_dev} devices")
-    step = make_multi_scene_train_step(
-        coarse_fn, fine_fn, tx, settings, batch_per_scene=batch,
-        steps_per_call=spc,
-    )
+    if args.data_devices and args.data_devices > 1:
+        k = args.data_devices
+        n_scene_dev = n_dev // k
+        if n_scene_dev < 1 or len(cfgs) % max(n_scene_dev, 1):
+            raise SystemExit(
+                f"--data-devices {k}: needs {len(cfgs)} scenes divisible "
+                f"over {n_dev}//{k} = {n_scene_dev} scene-axis devices"
+            )
+        mesh = make_scene_data_mesh(n_scene_dev, k)
+        state, ms = shard_multi_scene(state, ms, mesh)
+        print(
+            f"2-D mesh: {len(cfgs)} scenes over {n_scene_dev} scene-devices"
+            f" x {k} data-devices each"
+        )
+        step = make_multi_scene_parallel_train_step(
+            mesh, coarse_fn, fine_fn, tx, settings, batch_per_scene=batch,
+            steps_per_call=spc,
+        )
+    else:
+        if len(cfgs) % n_dev == 0 and n_dev > 1:
+            state, ms = shard_multi_scene(state, ms, make_scene_mesh())
+            print(f"sharding {len(cfgs)} scenes over {n_dev} devices")
+        step = make_multi_scene_train_step(
+            coarse_fn, fine_fn, tx, settings, batch_per_scene=batch,
+            steps_per_call=spc,
+        )
 
     metrics_files = [
         open(os.path.join(d, "metrics.jsonl"), "a") for d in logdirs

@@ -11,7 +11,9 @@ from dexnerf_tpu.parallel.multiscene import (
     SCENE_AXIS,
     MultiSceneStore,
     init_multi_scene_state,
+    make_multi_scene_parallel_train_step,
     make_multi_scene_train_step,
+    make_scene_data_mesh,
     make_scene_mesh,
     scene_params,
     scene_store,
@@ -33,7 +35,9 @@ __all__ = [
     "MultiSceneStore",
     "init_multi_scene_state",
     "make_mesh",
+    "make_multi_scene_parallel_train_step",
     "make_multi_scene_train_step",
+    "make_scene_data_mesh",
     "make_scene_mesh",
     "make_parallel_render",
     "make_parallel_pose_train_step",

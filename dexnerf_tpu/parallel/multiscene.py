@@ -34,6 +34,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dexnerf_tpu.data.pipeline import RayStore
+from dexnerf_tpu.parallel.mesh import RAY_AXIS
 from dexnerf_tpu.render.renderer import (
     ModelFn,
     RayBatch,
@@ -57,6 +58,33 @@ def make_scene_mesh(
     if num_devices is not None:
         devices = list(devices)[:num_devices]
     return Mesh(np.asarray(devices), axis_names=(SCENE_AXIS,))
+
+
+def make_scene_data_mesh(
+    scene_devices: int,
+    data_devices: int,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-D ``(scene, rays)`` mesh: ``scene_devices * data_devices`` chips.
+
+    The scene axis is the outer (slower) mesh dim so each scene's
+    ``data_devices``-chip group is ICI-contiguous — the gradient ``pmean``
+    inside a scene rides the fast links; there is NO communication across
+    scenes at all."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    need = scene_devices * data_devices
+    if len(devices) < need:
+        raise ValueError(
+            f"scene_devices*data_devices = {need} but only "
+            f"{len(devices)} devices available"
+        )
+    grid = np.asarray(list(devices)[:need]).reshape(
+        scene_devices, data_devices
+    )
+    return Mesh(grid, axis_names=(SCENE_AXIS, RAY_AXIS))
 
 
 @functools.partial(
@@ -152,8 +180,14 @@ def shard_multi_scene(
 ) -> Tuple[TrainState, MultiSceneStore]:
     """Place the stacked state/store with the scene axis sharded over the
     mesh (everything scene-major on dim 0; ``state.step`` replicated).
-    The scene count must divide by the mesh size."""
-    n_dev = mesh.devices.size
+    The scene count must divide by the mesh's scene-axis size. Works for
+    the 1-D ``(scene,)`` mesh and the 2-D ``(scene, rays)`` mesh alike —
+    on the 2-D mesh everything is replicated across the ``rays`` axis."""
+    n_dev = (
+        mesh.shape[SCENE_AXIS]
+        if SCENE_AXIS in mesh.axis_names
+        else mesh.devices.size
+    )
     m = store.num_scenes
     if m % n_dev:
         raise ValueError(f"{m} scenes not divisible by {n_dev} devices")
@@ -269,5 +303,129 @@ def make_multi_scene_train_step(
         keys = jax.random.split(key, steps_per_call)
         state, metrics_seq = jax.lax.scan(body, state, keys)
         return state, jax.tree.map(lambda x: x[-1], metrics_seq)
+
+    return train_step
+
+
+def make_multi_scene_parallel_train_step(
+    mesh: Mesh,
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    tx: optax.GradientTransformation,
+    settings: RenderSettings,
+    batch_per_scene: int,
+    *,
+    supervision: str = "rgb",
+    steps_per_call: int = 1,
+):
+    """2-D scene x data parallel train step over a ``(scene, rays)`` mesh.
+
+    Composes the two parallelism axes: M scenes are sharded over the
+    ``scene`` mesh axis (zero cross-scene communication) and each scene's
+    ray batch is split over the ``rays`` axis with a per-scene gradient
+    ``pmean`` riding the ICI links WITHIN its device group — the TPU-native
+    version of the reference's "one (multi-GPU) k8s job per scene" topology
+    as one compiled program (``job-example.yaml``; the reference itself is
+    single-GPU per job, SURVEY §2.2 — this goes beyond it).
+
+    RNG contract: scene ``i`` folds the step key as ``fold_in(key, i)`` and
+    then follows EXACTLY the 1-D data-parallel draw structure
+    (``sharding.make_parallel_train_step``: per-device ``fold_in`` by
+    ``rays``-axis index, split, uniform index draw), so scene ``i``'s
+    trajectory is bit-identical to training it ALONE data-parallel over
+    ``data_devices`` chips under ``fold_in(key, i)`` — regression-tested.
+
+    ``batch_per_scene`` must divide by the mesh's ``rays``-axis size; the
+    scene count must divide by the ``scene``-axis size. XLA path only (see
+    the module docstring for why the fused kernels stay single-scene).
+    """
+    if set(mesh.axis_names) != {SCENE_AXIS, RAY_AXIS}:
+        raise ValueError(
+            f"need a (scene, rays) mesh, got axes {mesh.axis_names}"
+        )
+    n_data = mesh.shape[RAY_AXIS]
+    if batch_per_scene % n_data:
+        raise ValueError(
+            f"batch_per_scene {batch_per_scene} not divisible by "
+            f"{n_data} data devices"
+        )
+    local_batch = batch_per_scene // n_data
+
+    def scene_local_grads(params, data, near, far, key):
+        # identical draw structure to sharding.make_parallel_train_step
+        # ("uniform"): fold by data-axis index, split, uniform index draw
+        key = jax.random.fold_in(key, jax.lax.axis_index(RAY_AXIS))
+        k_sample, k_render = jax.random.split(key)
+        idx = jax.random.randint(k_sample, (local_batch,), 0, data.shape[0])
+        rows = jnp.take(data, idx, axis=0)
+        rays = RayBatch(
+            origins=rows[:, 0:3],
+            directions=rows[:, 3:6],
+            viewdirs=rows[:, 6:9],
+            near=jnp.broadcast_to(near, (local_batch,)).astype(rows.dtype),
+            far=jnp.broadcast_to(far, (local_batch,)).astype(rows.dtype),
+        )
+        result = render_rays(
+            coarse_fn, fine_fn, params, rays, k_render, settings
+        )
+        return nerf_loss(result, rows[:, 9:12], supervision=supervision)
+
+    def scene_step(params, opt_state, data, near, far, key):
+        (_, metrics), grads = jax.value_and_grad(
+            scene_local_grads, has_aux=True
+        )(params, data, near, far, key)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        metrics = jax.lax.pmean(metrics, RAY_AXIS)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["psnr"] = -10.0 * jnp.log10(
+            jnp.maximum(metrics["loss"], 1e-10)
+        )
+        return params, opt_state, metrics
+
+    vstep = jax.vmap(scene_step)  # over this shard's local scenes
+
+    def one_step(carry, data, near, far, key):
+        step, params, opt_state = carry
+        m_local = data.shape[0]
+        s0 = jax.lax.axis_index(SCENE_AXIS) * m_local
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, s0 + i))(
+            jnp.arange(m_local)
+        )
+        params, opt_state, metrics = vstep(
+            params, opt_state, data, near, far, keys
+        )
+        return (step + 1, params, opt_state), metrics
+
+    def sharded_step(step, params, opt_state, data, near, far, key):
+        carry = (step, params, opt_state)
+        if steps_per_call == 1:
+            return one_step(carry, data, near, far, key)
+
+        def body(c, k):
+            return one_step(c, data, near, far, k)
+
+        keys = jax.random.split(key, steps_per_call)
+        carry, metrics_seq = jax.lax.scan(body, carry, keys)
+        return carry, jax.tree.map(lambda x: x[-1], metrics_seq)
+
+    scene = P(SCENE_AXIS)
+    shard_mapped = jax.shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), scene, scene, scene, scene, scene, P()),
+        out_specs=((P(), scene, scene), scene),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState, store: MultiSceneStore, key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (step, params, opt_state), metrics = shard_mapped(
+            state.step, state.params, state.opt_state,
+            store.data, store.near, store.far, key,
+        )
+        return TrainState(step=step, params=params, opt_state=opt_state), metrics
 
     return train_step

@@ -18,7 +18,11 @@ from dexnerf_tpu.models import FlexibleNeRFModel
 from dexnerf_tpu.parallel import (
     SCENE_AXIS,
     init_multi_scene_state,
+    make_mesh,
+    make_multi_scene_parallel_train_step,
     make_multi_scene_train_step,
+    make_parallel_train_step,
+    make_scene_data_mesh,
     make_scene_mesh,
     scene_params,
     scene_store,
@@ -155,6 +159,102 @@ def test_multiscene_sharded_over_mesh_descends():
     # the sharded layout survived the step (scene axis still split)
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_scene_data_2d_matches_data_parallel_per_scene():
+    """2 scenes x 4 data devices on the (scene, rays) mesh: scene i's
+    trajectory is bit-identical to training it ALONE data-parallel over a
+    4-device rays mesh under fold_in(key, i) — the composition invariant."""
+    model = _model()
+    stores = _stores(2)
+    tx = make_optimizer(5e-3)
+    params = [_scene_params(model, s) for s in range(2)]
+
+    mesh2d = make_scene_data_mesh(2, 4)
+    ms = stack_ray_stores(stores)
+    mstate = init_multi_scene_state(stack_params(params), tx)
+    mstate, ms = shard_multi_scene(mstate, ms, mesh2d)
+    mstep = make_multi_scene_parallel_train_step(
+        mesh2d, model.apply, model.apply, tx, SETTINGS, batch_per_scene=32
+    )
+
+    mesh1d = make_mesh(4)
+    sstep = make_parallel_train_step(
+        mesh1d, model.apply, model.apply, tx, SETTINGS, global_batch_size=32
+    )
+    from dexnerf_tpu.train import init_train_state
+
+    sstates = [init_train_state(p, tx) for p in params]
+
+    key = jax.random.PRNGKey(11)
+    for t in range(3):
+        key, sub = jax.random.split(key)
+        mstate, mmetrics = mstep(mstate, ms, sub)
+        assert np.asarray(mmetrics["loss"]).shape == (2,)
+        for i in range(2):
+            sstates[i], smetrics = sstep(
+                sstates[i], stores[i], jax.random.fold_in(sub, i)
+            )
+            assert np.allclose(
+                float(mmetrics["loss"][i]), float(smetrics["loss"]),
+                rtol=0, atol=1e-6,
+            ), (t, i)
+    for i in range(2):
+        got = scene_params(mstate.params, i)
+        want = sstates[i].params
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=2e-6),
+            got, want,
+        )
+
+
+def test_scene_data_2d_scan_steps_descend():
+    """4 scenes x 2 data devices, steps_per_call > 1: every scene's loss
+    descends and the scene axis stays sharded."""
+    model = _model()
+    n = 4
+    stores = _stores(n)
+    tx = make_optimizer(5e-3)
+    state = init_multi_scene_state(
+        stack_params([_scene_params(model, s) for s in range(n)]), tx
+    )
+    ms = stack_ray_stores(stores)
+    mesh = make_scene_data_mesh(4, 2)
+    state, ms = shard_multi_scene(state, ms, mesh)
+    step = make_multi_scene_parallel_train_step(
+        mesh, model.apply, model.apply, tx, SETTINGS,
+        batch_per_scene=32, steps_per_call=4,
+    )
+    key = jax.random.PRNGKey(0)
+    first = last = None
+    for t in range(5):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, ms, sub)
+        if first is None:
+            first = np.asarray(metrics["loss"])
+        last = np.asarray(metrics["loss"])
+    assert last.shape == (n,)
+    assert int(state.step) == 20
+    assert (last < first).all(), (first, last)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_scene_data_mesh_validation():
+    mesh = make_scene_data_mesh(2, 4)
+    model = _model()
+    tx = make_optimizer(5e-3)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_multi_scene_parallel_train_step(
+            mesh, model.apply, model.apply, tx, SETTINGS, batch_per_scene=30
+        )
+    with pytest.raises(ValueError, match="scene, rays"):
+        make_multi_scene_parallel_train_step(
+            make_scene_mesh(), model.apply, model.apply, tx, SETTINGS,
+            batch_per_scene=32,
+        )
+    with pytest.raises(ValueError, match="devices available"):
+        make_scene_data_mesh(4, 4)
 
 
 def test_shard_multi_scene_divisibility():
