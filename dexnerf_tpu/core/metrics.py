@@ -42,6 +42,63 @@ def mse2psnr(mse: float) -> float:
     return -10.0 * math.log10(mse)
 
 
+def ssim(
+    img_a: jnp.ndarray,
+    img_b: jnp.ndarray,
+    *,
+    max_val: float = 1.0,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Structural similarity (Wang et al. 2004) between two [H, W, C] images.
+
+    Gaussian-windowed means/variances via separable depthwise convolutions
+    (jit-friendly; runs fine on TPU or CPU). Returns the mean SSIM over all
+    valid window positions and channels. The reference never computed SSIM
+    (PSNR only, ``nerf_helpers.py:9-17``); it is the second standard NeRF
+    quality metric and ships beyond parity.
+    """
+    import jax.lax as lax
+
+    a = jnp.asarray(img_a, jnp.float32)
+    b = jnp.asarray(img_b, jnp.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    c = a.shape[-1]
+    half = window_size // 2
+    x = jnp.arange(window_size, dtype=jnp.float32) - half
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    w = w / jnp.sum(w)
+
+    kh = jnp.tile(w.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
+    kv = jnp.tile(w.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
+
+    def blur(img):  # [H, W, C] -> [C, H', W'] gaussian-windowed means
+        t = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
+        t = lax.conv_general_dilated(
+            t, kh, (1, 1), "VALID", feature_group_count=c
+        )
+        t = lax.conv_general_dilated(
+            t, kv, (1, 1), "VALID", feature_group_count=c
+        )
+        return t[0]
+
+    mu_a = blur(a)
+    mu_b = blur(b)
+    var_a = blur(a * a) - mu_a * mu_a
+    var_b = blur(b * b) - mu_b * mu_b
+    cov = blur(a * b) - mu_a * mu_b
+
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    num = (2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    return jnp.mean(num / den)
+
+
 def compute_err_metric(
     depth_gt: jnp.ndarray, depth_pred: jnp.ndarray, mask: jnp.ndarray
 ) -> Dict[str, float]:

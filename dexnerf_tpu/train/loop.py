@@ -32,7 +32,7 @@ from dexnerf_tpu.config import (
     render_settings_from_cfg,
 )
 from dexnerf_tpu.core.encoding import encoding_dim
-from dexnerf_tpu.core.metrics import compute_err_metric, mse2psnr
+from dexnerf_tpu.core.metrics import compute_err_metric, mse2psnr, ssim
 from dexnerf_tpu.data.blender import load_blender_data
 from dexnerf_tpu.data.llff import load_llff_data
 from dexnerf_tpu.data.messytable import load_messytable_data
@@ -429,6 +429,8 @@ def validate(
         "coarse_loss": coarse_mse,
         "fine_loss": fine_mse,
         "psnr": mse2psnr(mse),
+        # second standard NeRF quality metric (beyond the reference's PSNR)
+        "ssim": float(ssim(rendered.rgb, target)),
         "rgb": np.asarray(rendered.rgb),
         "rgb_coarse": np.asarray(out.coarse.rgb),
         "depth": np.asarray(rendered.depth),
@@ -504,6 +506,8 @@ def _log_validation(
     logger.scalar("validation/coarse_loss", val.get("coarse_loss", val["loss"]), step)
     logger.scalar("validation/fine_loss", val.get("fine_loss", 0.0), step)
     logger.scalar("validation/psnr", val["psnr"], step)
+    if "ssim" in val:
+        logger.scalar("validation/ssim", float(val["ssim"]), step)
     for k in ("depth_abs_err", "depth_err4", "min_abs_err", "err4"):
         if k in val:
             logger.scalar(f"validation/{k}", float(val[k]), step)

@@ -371,3 +371,52 @@ def test_transparent_object_dex_vs_expected_depth():
     assert abs(dex_depth - glass_z) < 0.1, dex_depth
     assert expected_depth - glass_z > 0.5, expected_depth
     assert abs(expected_depth - wall_z) < 1.0, expected_depth
+
+
+def test_ssim_identity_and_ordering():
+    from dexnerf_tpu.core.metrics import ssim
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3).astype(np.float32)
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-6)
+    # more noise -> lower ssim, and any distortion < 1
+    small = np.clip(img + 0.05 * rng.randn(32, 32, 3), 0, 1).astype(np.float32)
+    large = np.clip(img + 0.30 * rng.randn(32, 32, 3), 0, 1).astype(np.float32)
+    s_small, s_large = float(ssim(img, small)), float(ssim(img, large))
+    assert 0.0 < s_large < s_small < 1.0, (s_small, s_large)
+    # grayscale [H, W] input accepted
+    assert float(ssim(img[..., 0], img[..., 0])) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ssim_matches_direct_numpy_windows():
+    """Cross-check the conv implementation against a literal sliding-window
+    evaluation of the Wang et al. formula (valid positions, gaussian win)."""
+    from dexnerf_tpu.core.metrics import ssim
+
+    rng = np.random.RandomState(1)
+    a = rng.rand(20, 20, 1).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(20, 20, 1), 0, 1).astype(np.float32)
+
+    win, sigma = 11, 1.5
+    x = np.arange(win) - win // 2
+    g1 = np.exp(-0.5 * (x / sigma) ** 2)
+    g1 /= g1.sum()
+    w2 = np.outer(g1, g1)  # [11, 11] separable gaussian
+    c1, c2 = 0.01**2, 0.03**2
+    vals = []
+    for i in range(20 - win + 1):
+        for j in range(20 - win + 1):
+            pa = a[i : i + win, j : j + win, 0]
+            pb = b[i : i + win, j : j + win, 0]
+            mu_a = (w2 * pa).sum()
+            mu_b = (w2 * pb).sum()
+            va = (w2 * pa * pa).sum() - mu_a**2
+            vb = (w2 * pb * pb).sum() - mu_b**2
+            cov = (w2 * pa * pb).sum() - mu_a * mu_b
+            vals.append(
+                ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+            )
+    expect = float(np.mean(vals))
+    got = float(ssim(a, b))
+    assert got == pytest.approx(expect, abs=1e-5), (got, expect)
