@@ -61,11 +61,26 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of the generated path; requires a checkpoint trained "
         "with --pose-opt (params carry the 'pose' twists subtree)",
     )
+    p.add_argument(
+        "--test-set",
+        action="store_true",
+        help="render the dataset's held-out TEST views instead of the "
+        "generated path and score them against ground truth: per-image "
+        "and mean PSNR/SSIM (plus mm depth metrics when the dataset "
+        "carries GT depth) written to <savedir>/metrics.json — the "
+        "standard NeRF test-set protocol the reference's eval lacks "
+        "(eval_nerf.py renders poses only)",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.test_set and args.refined_poses:
+        raise SystemExit(
+            "--test-set scores the held-out views; --refined-poses renders "
+            "the train views — pick one"
+        )
 
     import imageio.v2 as imageio
     import jax
@@ -121,6 +136,8 @@ def main(argv=None) -> int:
 
     rays_impl = maybe_fused_render_impl(cfg, s_val)
     intrinsics = None
+    test_indices = None
+    test_intrinsics = None
     if args.refined_poses:
         if "pose" not in params:
             raise SystemExit(
@@ -138,10 +155,19 @@ def main(argv=None) -> int:
         poses = np.asarray(
             refined_c2w(jnp.asarray(base), jnp.asarray(params["pose"]))
         )
+    elif args.test_set:
+        held_out = scene.i_test if scene.i_test is not None else scene.i_val
+        test_indices = [int(t) for t in np.asarray(held_out).ravel()]
+        poses = scene.poses[test_indices]
+        if scene.intrinsics is not None:
+            # messytable convention: dataset poses are w2c + full K
+            test_intrinsics = scene.intrinsics[test_indices]
     else:
         poses = scene.render_poses
     if args.num_poses:
         poses = poses[: args.num_poses]
+        if test_indices is not None:
+            test_indices = test_indices[: args.num_poses]
 
     os.makedirs(args.savedir, exist_ok=True)
     if args.save_disparity_image:
@@ -161,6 +187,7 @@ def main(argv=None) -> int:
         sg_coarse_m, sg_fine_m = models_from_cfg(cfg)
 
     times = []
+    per_image = []
     for i, pose in enumerate(poses):
         t0 = time.time()
         if intrinsics is not None:
@@ -183,6 +210,12 @@ def main(argv=None) -> int:
             T = jnp.asarray(pose[:4, :4])
             rd = _rotate(cam_dirs, T[:3, :3])
             ro = jnp.broadcast_to(T[:3, 3], rd.shape)
+        elif test_intrinsics is not None:
+            from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+
+            ro, rd = get_ray_bundle_w2c(
+                H, W, jnp.asarray(pose), jnp.asarray(test_intrinsics[i])
+            )
         else:
             ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
         out = render_image(
@@ -243,9 +276,54 @@ def main(argv=None) -> int:
                 os.path.join(args.savedir, "ir", f"{i:04d}.png"),
                 cast_to_gray_image(np.asarray(ir)),
             )
+        if test_indices is not None:
+            # score against ground truth (standard NeRF test-set protocol)
+            from dexnerf_tpu.core.metrics import (
+                compute_err_metric,
+                mse2psnr,
+                ssim,
+            )
+
+            idx = test_indices[i]
+            gt = np.asarray(scene.images[idx][..., :3], np.float32)
+            row = {
+                "index": idx,
+                "psnr": mse2psnr(float(np.mean((rgb - gt) ** 2))),
+                "ssim": float(ssim(rgb, gt)),
+            }
+            if scene.depths is not None:
+                d_gt = np.asarray(scene.depths[idx], np.float32)
+                valid_max = float(
+                    cfg.dataset.get("depth_valid_max", 1.25) or 1.25
+                )
+                mask = (d_gt > 0) & (d_gt < valid_max)
+                if mask.any():
+                    row.update(
+                        compute_err_metric(
+                            d_gt, np.asarray(rendered.depth), mask
+                        )
+                    )
+            per_image.append(row)
         print(f"frame {i}: {times[-1]:.3f}s")
 
     print(f"Avg time per image: {np.mean(times):.3f}s")
+    if test_indices is not None:
+        import json
+
+        keys = sorted({k for r in per_image for k in r} - {"index"})
+        mean = {k: float(np.mean([r[k] for r in per_image if k in r]))
+                for k in keys}
+        report = {
+            "per_image": per_image,
+            "mean": mean,
+            "avg_s_per_image": float(np.mean(times)),
+        }
+        with open(os.path.join(args.savedir, "metrics.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(
+            "test set: "
+            + " ".join(f"{k}={v:.4g}" for k, v in sorted(mean.items()))
+        )
     return 0
 
 

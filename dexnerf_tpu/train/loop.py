@@ -62,6 +62,7 @@ class SceneData:
     hwf: list
     i_train: np.ndarray
     i_val: np.ndarray
+    i_test: Optional[np.ndarray] = None  # held-out split (val when absent)
     intrinsics: Optional[np.ndarray] = None  # [N, 3, 3] (messytable)
     depths: Optional[np.ndarray] = None  # [N, H, W] GT depth in meters
     render_poses: Optional[np.ndarray] = None
@@ -86,6 +87,7 @@ def load_scene(cfg: CfgNode) -> SceneData:
             hwf=hwf,
             i_train=i_split[0],
             i_val=i_split[1],
+            i_test=i_split[2],
             render_poses=render_poses,
         )
     if dtype == "messytable":
@@ -111,6 +113,7 @@ def load_scene(cfg: CfgNode) -> SceneData:
             hwf=hwf,
             i_train=i_split[0],
             i_val=i_split[1],
+            i_test=i_split[2],
             intrinsics=intrinsics,
             depths=depths,
             render_poses=render_poses,
@@ -141,6 +144,8 @@ def load_scene(cfg: CfgNode) -> SceneData:
             hwf=[int(hwf[0]), int(hwf[1]), float(hwf[2])],
             i_train=i_train,
             i_val=i_val,
+            # LLFF convention: the llffhold views ARE the held-out set
+            i_test=i_val,
             render_poses=render_poses,
             use_ndc=not bool(_get(ds, "no_ndc", True)),
         )

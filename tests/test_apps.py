@@ -243,3 +243,146 @@ def test_export_app_roundtrips_reference_ckpt(tmp_path):
         np.testing.assert_allclose(
             got[name]["kernel"], np.asarray(want[name]["kernel"]), atol=0
         )
+
+
+def test_eval_test_set_metrics(blender_dir, tmp_path):
+    """apps.eval --test-set: held-out views scored against GT, per-image and
+    mean PSNR/SSIM written to <savedir>/metrics.json (beyond the reference's
+    pose-path-only eval, eval_nerf.py)."""
+    import json
+
+    import yaml
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train.loop import setup_models
+
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": blender_dir,
+                    "near": 2.0, "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+            "fine": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                     "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                     "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--savedir", savedir, "--test-set",
+    ])
+    assert rc == 0
+    with open(os.path.join(savedir, "metrics.json")) as f:
+        report = json.load(f)
+    assert report["per_image"] and "mean" in report
+    row = report["per_image"][0]
+    assert {"index", "psnr", "ssim"} <= set(row)
+    assert -1.0 <= row["ssim"] <= 1.0
+    assert np.isfinite(row["psnr"])
+    assert os.path.exists(os.path.join(savedir, "0000.png"))
+    # --test-set and --refined-poses are mutually exclusive
+    with pytest.raises(SystemExit, match="pick one"):
+        eval_main([
+            "--config", cfg_path, "--checkpoint", ckpt_dir,
+            "--savedir", savedir, "--test-set", "--refined-poses",
+        ])
+
+
+def test_eval_test_set_messytable_depth_metrics(tmp_path):
+    """--test-set on a messytable scene: w2c/full-K test rays plus mm depth
+    metrics (the dataset carries GT depth) in metrics.json."""
+    import json
+
+    import yaml
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.data import write_messytable_dataset
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    base = str(tmp_path / "mt")
+    write_messytable_dataset(base, height=25, width=25,
+                             views_per_split=(2, 1, 1))
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "messytable", "basedir": base,
+                    "near": 2.0, "far": 6.0, "no_ndc": True,
+                    "depth_valid_max": 6.0},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 0,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 0,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--savedir", savedir, "--test-set", "--num-poses", "1",
+    ])
+    assert rc == 0
+    with open(os.path.join(savedir, "metrics.json")) as f:
+        report = json.load(f)
+    row = report["per_image"][0]
+    assert {"psnr", "ssim", "depth_abs_err", "depth_rmse"} <= set(row)
+    assert row["depth_abs_err"] > 0  # untrained model: real mm error
+    assert "depth_rmse" in report["mean"]
