@@ -106,6 +106,7 @@ def _make_loss_kernel(
     has_noise: bool,
     parts: int = 1,
     ablate: Optional[str] = None,
+    has_depth: bool = False,
 ):
     """``ablate`` is a TIMING-ONLY bisection knob
     (tools/loss_kernel_ablation.py): "no_bwd" skips the backward chain,
@@ -122,6 +123,7 @@ def _make_loss_kernel(
 
     def kernel(*refs):
         # inputs: origins, raydirs, z, viewdirs, dists, [noise],
+        #         [depth_gt [R, 1], depth_coef [R, 1]],
         #         target_pk [Rp, 4P], valid_pk [Rp, 4P], bias_pk [1, 4P],
         #         mats..., biases...
         # outputs: loss(1,1) acc, w [R,S], rgb [R,4], dmats... acc, dbs... acc
@@ -132,6 +134,10 @@ def _make_loss_kernel(
         if has_noise:
             noise_ref = refs[i]
             i += 1
+        dgt_ref = dcoef_ref = None
+        if has_depth:
+            dgt_ref, dcoef_ref = refs[i], refs[i + 1]
+            i += 2
         target_ref, valid_ref, bias_pk_ref = refs[i], refs[i + 1], refs[i + 2]
         i += 3
         mats = refs[i : i + n_mats]
@@ -355,6 +361,25 @@ def _make_loss_kernel(
             loss_total = jnp.sum(diff * diff)
             g_ray = 2.0 * diff
 
+        # ---- optional GT-depth term: coef_r * (Σ_s w_rs z_rs - gt_r)² ----
+        # Per-ray [Rp, 1] column ops only (mirrors the white_background
+        # acc_r pattern — a handful of column ops is fine; it is per-sample
+        # CHAINS on [B, 1] columns that waste lanes). ``depth_coef`` arrives
+        # premultiplied (weight * valid_mask / n_valid * norm) so the
+        # wrapper's final /norm yields exactly the masked-MSE term, and
+        # padding rays carry coef 0. All f32 VPU math — no truncating dots.
+        gdep = []
+        if has_depth:
+            for p in range(P):
+                z_rs = rows(z_ref, p)
+                diff_d = (
+                    jnp.sum(w_rs_l[p] * z_rs, axis=1, keepdims=True)
+                    - rows(dgt_ref, p)
+                )  # [Rp, 1]
+                c = rows(dcoef_ref, p)  # [Rp, 1]
+                loss_total = loss_total + jnp.sum(c * diff_d * diff_d)
+                gdep.append(2.0 * c * diff_d)  # dL/d depth_r
+
         # ---- compositing backward: rgb packed, σ per part ----
         gr = expand(g_ray)  # [Bp, Q] per-sample ray cotangent
         # per-part sum over the ray's rgb channels (alpha lanes are 0)
@@ -368,6 +393,10 @@ def _make_loss_kernel(
             if white_background:
                 # dL/dacc broadcasts across the ray's samples
                 gw = gw - _f32dot(gwb, onehot)
+            if has_depth:
+                # d depth_r / d w_rs = z_rs: the depth term's cotangent
+                # joins the photometric one BEFORE the suffix scan
+                gw = gw + gdep[p] * rows(z_ref, p)
             # suffix_s = sum_{u>s, same ray} gw_u * w_u: transposed scan
             suffix = _f32dot(gw * w_rs_l[p], jnp.where(rr > cc, 1.0, 0.0))
             # -suffix / (1 - alpha + eps): finite AND non-zero at
@@ -454,23 +483,24 @@ def make_fused_pass_loss(
         raise ValueError(f"unknown supervision mode: {supervision}")
     kernels = {}
 
-    def get_kernel(S: int, has_noise: bool, parts: int):
-        k = (S, has_noise, parts)
+    def get_kernel(S: int, has_noise: bool, parts: int, has_depth: bool):
+        k = (S, has_noise, parts, has_depth)
         if k not in kernels:
             kernels[k] = _make_loss_kernel(
                 model, compute_dtype, dw_dtype, S,
                 bool(white_background), supervision, has_noise,
-                parts=parts, ablate=ablate,
+                parts=parts, ablate=ablate, has_depth=has_depth,
             )
         return kernels[k]
 
     names = _flex_param_layout(model)
 
     def _kernel_call(params, origins, directions, z_vals, viewdirs, dists,
-                     noise, target):
+                     noise, target, depth_gt=None, depth_coef=None):
         N, S = z_vals.shape
         total = N * S
         has_noise = noise is not None
+        has_depth = depth_gt is not None
         block, pad, rays_per_block = _loss_ray_blocking(block_samples, N, S)
         n_blocks = (total + pad) // block
         # ray-part interleave: the most parts whose [Rp, S] tiles keep
@@ -553,6 +583,9 @@ def make_fused_pass_loss(
         inputs = [orig_in, rdir_in, z_rows, dirs_in, dists_rows]
         if has_noise:
             inputs.append(pad_rays(noise))
+        if has_depth:
+            inputs.append(pad_rays(depth_gt.reshape(N, 1)))
+            inputs.append(pad_rays(depth_coef.reshape(N, 1)))
         inputs += [target_pk, valid_pk, bias_pk]
         padded = total + pad
         grid = (padded // block,)
@@ -574,6 +607,8 @@ def make_fused_pass_loss(
                     blk((R, 3)), blk((R, S))]
         if has_noise:
             in_specs.append(blk((R, S)))
+        if has_depth:
+            in_specs += [blk((R, 1)), blk((R, 1))]
         in_specs += [
             blk((Rp, Q)),
             blk((Rp, Q)),
@@ -603,7 +638,7 @@ def make_fused_pass_loss(
         ]
 
         outs = pl.pallas_call(
-            get_kernel(S, has_noise, n_parts),
+            get_kernel(S, has_noise, n_parts, has_depth),
             out_shape=tuple(out_shapes),
             grid=grid,
             in_specs=in_specs,
@@ -662,11 +697,59 @@ def make_fused_pass_loss(
 
     passfn.defvjp(passfn_fwd, passfn_bwd)
 
+    # depth-supervised variant: same contract (params-only gradients — the
+    # depth term flows through w, whose z/dists inputs are stop_gradient-ed
+    # in the train graph exactly like the photometric term's)
+    @jax.custom_vjp
+    def passfn_d(params, origins, directions, z_vals, viewdirs, dists,
+                 noise, target, depth_gt, depth_coef):
+        outs, _ = _kernel_call(
+            params, origins, directions, z_vals, viewdirs, dists, noise,
+            target, depth_gt, depth_coef,
+        )
+        return outs
+
+    def passfn_d_fwd(params, origins, directions, z_vals, viewdirs, dists,
+                     noise, target, depth_gt, depth_coef):
+        outs, grads = _kernel_call(
+            params, origins, directions, z_vals, viewdirs, dists, noise,
+            target, depth_gt, depth_coef,
+        )
+        return outs, (grads, origins, directions, z_vals, viewdirs, dists,
+                      noise, target, depth_gt, depth_coef)
+
+    def passfn_d_bwd(res, g):
+        (grads, origins, directions, z_vals, viewdirs, dists, noise,
+         target, depth_gt, depth_coef) = res
+        g_loss = g[0]
+        dparams = jax.tree.map(lambda t: t * g_loss, grads)
+        return (
+            dparams,
+            jnp.zeros_like(origins),
+            jnp.zeros_like(directions),
+            jnp.zeros_like(z_vals),
+            jnp.zeros_like(viewdirs),
+            jnp.zeros_like(dists),
+            None if noise is None else jnp.zeros_like(noise),
+            jnp.zeros_like(target),
+            jnp.zeros_like(depth_gt),
+            jnp.zeros_like(depth_coef),
+        )
+
+    passfn_d.defvjp(passfn_d_fwd, passfn_d_bwd)
+
     def pass_loss(params, origins, directions, z_vals, viewdirs, dists,
-                  noise, target):
+                  noise, target, depth_gt=None, depth_coef=None):
         # stop_gradient makes the zero-input-cotangent contract explicit and
         # lets XLA DCE the structural zeros the VJP must return
         sg = jax.lax.stop_gradient
+        if depth_gt is not None:
+            return passfn_d(
+                params, sg(origins), sg(directions), sg(z_vals),
+                sg(viewdirs), sg(dists),
+                None if noise is None else sg(noise), sg(target),
+                sg(depth_gt), sg(depth_coef),
+            )
         return passfn(
             params, sg(origins), sg(directions), sg(z_vals), sg(viewdirs),
             sg(dists), None if noise is None else sg(noise), sg(target),
@@ -687,6 +770,8 @@ def make_fused_train_loss(
     interpret: bool = False,
     parts: Optional[int] = None,
     resample: str = "auto",
+    depth_loss_weight: float = 0.0,
+    depth_valid_max: Optional[float] = None,
 ):
     """The full hierarchical training loss on the combined kernels.
 
@@ -706,6 +791,15 @@ def make_fused_train_loss(
     dots the stable merge requires cost ~9 ms while the XLA glue they
     replace costs ~1.2 ms. The kernel stays available opt-in
     ("pallas") as the launch-overhead hedge it was built to be.
+
+    ``depth_loss_weight`` > 0 adds GT-depth supervision INSIDE the kernel:
+    ``weight * masked MSE`` of the expected depth ``Σ w·z`` against per-ray
+    GT (the same term as ``train.step.masked_depth_mse``; the depth
+    cotangent joins the photometric one before the compositing backward's
+    suffix scan). The returned ``loss_fn`` then takes a 5th argument
+    ``depth_gt [N]`` and advertises ``supports_depth = True``; the term
+    rides the fine pass (coarse when no fine model). Valid mask
+    ``gt > 0 [& gt < depth_valid_max]`` is computed in XLA per batch.
     """
     from dexnerf_tpu.core.sampling import (
         hierarchical_z_vals,
@@ -746,12 +840,19 @@ def make_fused_train_loss(
         else None
     )
 
-    def loss_fn(params, rays, target, key):
+    use_depth = depth_loss_weight > 0.0
+
+    def loss_fn(params, rays, target, key, depth_gt=None):
         # same split structure as renderer.render_rays
         if key is not None:
             k_strat, k_noise_c, k_fine, k_noise_f = jax.random.split(key, 4)
         else:
             k_strat = k_noise_c = k_fine = k_noise_f = None
+        if use_depth and depth_gt is None:
+            raise ValueError(
+                "fused loss built with depth_loss_weight > 0 needs the "
+                "per-ray depth_gt argument (sample with return_depth=True)"
+            )
 
         z_vals = stratified_z_vals(
             rays.near, rays.far, s.num_coarse, lindisp=s.lindisp
@@ -767,12 +868,38 @@ def make_fused_train_loss(
         n = target.shape[0]
         norm = float(n * 3 if supervision == "rgb" else n)
 
+        dcoef = None
+        if use_depth:
+            depth_gt = jnp.asarray(depth_gt, jnp.float32).reshape(n)
+            mask = depth_gt > 0.0
+            if depth_valid_max is not None:
+                mask = jnp.logical_and(mask, depth_gt < depth_valid_max)
+            mask = mask.astype(jnp.float32)
+            n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+            # premultiplied so the kernel's unnormalized sum, divided by
+            # the wrapper's /norm, lands exactly on weight * masked MSE
+            dcoef = (norm * depth_loss_weight / n_valid) * mask
+
+        depth_on_coarse = use_depth and (
+            fine_model is None or s.num_fine <= 0
+        )
         loss_c_sum, w_c, _ = coarse_pass(
             params["coarse"], rays.origins, rays.directions, z_vals,
             rays.viewdirs, ray_dists(z_vals, rays.directions),
             noise_for(k_noise_c, z_vals.shape), target,
+            *((depth_gt, dcoef) if depth_on_coarse else (None, None)),
         )
         coarse_loss = loss_c_sum / norm
+
+        def depth_metric(w_pass, z_pass):
+            # report the masked depth MSE from the kernel's returned
+            # weights (same f32 values the in-kernel term saw)
+            d_pred = jnp.sum(w_pass * z_pass, axis=-1)
+            return jnp.sum(mask * (d_pred - depth_gt) ** 2) / n_valid
+
+        depth_loss = None
+        if depth_on_coarse:
+            depth_loss = depth_metric(w_c, z_vals)
 
         fine_loss = jnp.zeros((), jnp.float32)
         if fine_pass is not None:
@@ -808,18 +935,34 @@ def make_fused_train_loss(
                     k_fine, z_vals, w_c, s.num_fine, det=not s.perturb
                 )
                 dists_f = ray_dists(z_merged, rays.directions)
-            loss_f_sum, _, _ = fine_pass(
+            depth_on_fine = use_depth and not depth_on_coarse
+            loss_f_sum, w_f, _ = fine_pass(
                 params["fine"], rays.origins, rays.directions, z_merged,
                 rays.viewdirs, dists_f,
                 noise_for(k_noise_f, z_merged.shape), target,
+                *((depth_gt, dcoef) if depth_on_fine else (None, None)),
             )
             fine_loss = loss_f_sum / norm
+            if depth_on_fine:
+                depth_loss = depth_metric(w_f, z_merged)
 
-        loss = coarse_loss + fine_loss
-        return loss, {
+        loss = coarse_loss + fine_loss  # pass sums include the depth term
+        metrics = {
             "loss": loss,
             "coarse_loss": coarse_loss,
             "fine_loss": fine_loss,
         }
+        if depth_loss is not None:
+            # report the photometric split the XLA path reports: the pass
+            # that carried the depth term has it subtracted back out (the
+            # metric recompute uses the kernel's own returned weights)
+            d = depth_loss_weight * depth_loss
+            if depth_on_coarse:
+                metrics["coarse_loss"] = coarse_loss - d
+            else:
+                metrics["fine_loss"] = fine_loss - d
+            metrics["depth_loss"] = depth_loss
+        return loss, metrics
 
+    loss_fn.supports_depth = use_depth
     return loss_fn

@@ -73,8 +73,9 @@ def make_parallel_train_step(
     kept away from the model functions and reported as a
     ``pose_twist_norm`` metric, mirroring ``train.step.make_train_step``).
     ``depth_loss_weight``/``depth_valid_max`` mirror
-    ``train.step.make_train_step`` (XLA path only; the per-device depth
-    term pmean's with the rest of the metrics).
+    ``train.step.make_train_step`` (XLA path or a depth-built fused loss
+    kernel; the per-device depth term pmean's with the rest of the
+    metrics).
     """
     n_dev = mesh.devices.size
     if global_batch_size % n_dev:
@@ -83,10 +84,12 @@ def make_parallel_train_step(
         )
     local_batch = global_batch_size // n_dev
     use_depth = depth_loss_weight > 0.0
-    if use_depth and fused_loss is not None:
+    fused_depth = use_depth and getattr(fused_loss, "supports_depth", False)
+    if use_depth and fused_loss is not None and not fused_depth:
         raise ValueError(
-            "depth supervision needs depth gradients through compositing — "
-            "use the XLA path (see train.step.make_train_step)"
+            "depth supervision with a fused loss kernel requires the "
+            "kernel to be built with depth_loss_weight > 0 "
+            "(see train.step.make_train_step)"
         )
     if use_depth and index_to_batch is not None:
         raise ValueError(
@@ -122,6 +125,13 @@ def make_parallel_train_step(
         rays, target = index_to_batch(params, store, idx)
         model_params = {k: v for k, v in params.items() if k != "pose"}
         if fused_loss is not None:
+            if fused_depth:
+                from dexnerf_tpu.data.pipeline import _take_depth
+
+                return fused_loss(
+                    model_params, rays, target, k_render,
+                    _take_depth(store, idx),
+                )
             return fused_loss(model_params, rays, target, k_render)
         result = render_rays(
             coarse_fn, fine_fn, model_params, rays, k_render, settings,

@@ -223,7 +223,13 @@ def maybe_fused_fields(cfg: CfgNode, *, train: bool = False):
     return cf, ff
 
 
-def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
+def maybe_fused_loss(
+    cfg: CfgNode,
+    settings,
+    supervision: str,
+    depth_loss_weight: float = 0.0,
+    depth_valid_max=None,
+):
     """The combined loss+gradients kernel path (``ops/fused_train_loss``)
     when ``cfg.nerf.use_pallas`` is set — the fastest TPU train path (the
     forward runs once per step; the separate-field path recomputes it in
@@ -264,6 +270,8 @@ def maybe_fused_loss(cfg: CfgNode, settings, supervision: str):
         dw_dtype=dtype,
         interpret=jax.default_backend() == "cpu",
         parts=None if parts_cfg is None else int(parts_cfg),
+        depth_loss_weight=float(depth_loss_weight),
+        depth_valid_max=depth_valid_max,
         resample=str(_get(cfg.nerf, "pallas_loss_resample", "auto")),
     )
 
@@ -600,7 +608,9 @@ def run_training(
     datasets the reference targets CARRY per-pixel GT depth (messytable),
     but the reference only ever computed metrics from it
     (``train_nerf_rgb.py:361-401``); here it can train. Valid-GT mask
-    ``0 < d [< cfg.nerf.train.depth_valid_max]``. XLA path only.
+    ``0 < d [< cfg.nerf.train.depth_valid_max]``. Works on the XLA path
+    AND the combined Pallas loss kernel (the depth cotangent is computed
+    in-kernel — ``ops.fused_train_loss`` ``depth_loss_weight``).
     """
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
@@ -809,16 +819,10 @@ def run_training(
             ),
         )
     else:
-        fused_loss = maybe_fused_loss(cfg, s_train, supervision)
-    if depth_w > 0.0 and fused_loss is not None:
-        import warnings
-
-        warnings.warn(
-            "depth supervision needs depth gradients through compositing; "
-            "the combined Pallas loss kernel is bypassed (XLA path)",
-            stacklevel=2,
+        fused_loss = maybe_fused_loss(
+            cfg, s_train, supervision,
+            depth_loss_weight=depth_w, depth_valid_max=depth_valid_max,
         )
-        fused_loss = None
     # the combined loss kernel supersedes the separate field kernels
     coarse_field, fine_field = (
         (None, None) if fused_loss is not None

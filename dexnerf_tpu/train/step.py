@@ -174,10 +174,11 @@ def make_train_step(
     fine (or coarse-only) expected depth against the store's per-ray GT
     depth — supervision the reference never had despite carrying the GT
     (it only ever computed metrics from it, ``train_nerf_rgb.py:361-401``).
-    Depth gradients flow through compositing, so this requires the XLA
-    render path (the fused kernels compute gradients for the photometric
-    loss only). The ray/key draw structure is unchanged, so weight 0 vs
-    absent is trajectory-identical.
+    Works on the XLA path and on a fused loss kernel built with
+    ``depth_loss_weight > 0`` (``loss_fn.supports_depth`` — the depth
+    cotangent is computed inside the kernel); a photometric-only fused
+    kernel is rejected. The ray/key draw structure is unchanged, so
+    weight 0 vs absent is trajectory-identical.
     The multi-chip (shard_map) variant wraps this via
     ``dexnerf_tpu.parallel.make_parallel_train_step``.
     """
@@ -188,11 +189,13 @@ def make_train_step(
         "per_image": sample_ray_batch_per_image,
     }[sampling]
     use_depth = depth_loss_weight > 0.0
-    if use_depth and fused_loss is not None:
+    fused_depth = use_depth and getattr(fused_loss, "supports_depth", False)
+    if use_depth and fused_loss is not None and not fused_depth:
         raise ValueError(
-            "depth supervision needs depth gradients through compositing — "
-            "the combined Pallas loss kernel computes photometric-loss "
-            "gradients only; use the XLA path (nerf.use_pallas: false)"
+            "depth supervision with a fused loss kernel requires the "
+            "kernel to be built with depth_loss_weight > 0 "
+            "(ops.make_fused_train_loss(depth_loss_weight=...)); this one "
+            "computes photometric-loss gradients only"
         )
     if use_depth and ray_source is not None:
         raise ValueError(
@@ -213,6 +216,10 @@ def make_train_step(
             rays, target = sample_fn(store, k_sample, batch_size)
         model_params = {k: v for k, v in params.items() if k != "pose"}
         if fused_loss is not None:
+            if fused_depth:
+                return fused_loss(
+                    model_params, rays, target, k_render, depth_gt
+                )
             return fused_loss(model_params, rays, target, k_render)
         result = render_rays(
             coarse_fn,

@@ -251,3 +251,64 @@ def test_run_training_with_depth_loss(tmp_path):
             cfg, scene=scene_nod, use_tensorboard=False,
             depth_loss_weight=0.5,
         )
+
+
+def test_depth_supervision_fused_kernel_step():
+    """A depth-built fused loss kernel trains through make_train_step: the
+    depth metric is reported and the TOTAL depth error descends (the depth
+    cotangent is computed inside the kernel — ops/fused_train_loss)."""
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_train_loss
+
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+    )
+    apply_fn, params = _setup()
+    store, _ = _depth_store(num_views=2, hw=8)
+    tx = make_optimizer(5e-3)
+    fused = make_fused_train_loss(
+        model, model, SETTINGS, block_samples=64, interpret=True,
+        depth_loss_weight=0.5,
+    )
+    step = make_train_step(
+        apply_fn, apply_fn, tx, SETTINGS, 32,
+        fused_loss=fused, depth_loss_weight=0.5,
+    )
+    state = init_train_state(params, tx)
+    key = jax.random.PRNGKey(0)
+    first = last = None
+    for t in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, store, sub)
+        assert "depth_loss" in metrics
+        if first is None:
+            first = float(metrics["depth_loss"])
+        last = float(metrics["depth_loss"])
+    assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_parallel_depth_supervision_fused_kernel():
+    from dexnerf_tpu.models import FlexibleNeRFModel
+    from dexnerf_tpu.ops import make_fused_train_loss
+    from dexnerf_tpu.parallel import make_mesh, make_parallel_train_step
+
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=ENC_XYZ, num_encoding_fn_dir=ENC_DIR,
+    )
+    apply_fn, params = _setup()
+    store, _ = _depth_store(num_views=2, hw=8)
+    tx = make_optimizer(5e-3)
+    fused = make_fused_train_loss(
+        model, model, SETTINGS, block_samples=32, interpret=True,
+        depth_loss_weight=0.5,
+    )
+    step = make_parallel_train_step(
+        make_mesh(), apply_fn, apply_fn, tx, SETTINGS,
+        global_batch_size=64, fused_loss=fused, depth_loss_weight=0.5,
+    )
+    state = init_train_state(params, tx)
+    state, metrics = step(state, store, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["depth_loss"]))
+    assert np.isfinite(float(metrics["loss"]))

@@ -232,3 +232,107 @@ def test_fused_loss_saturated_density_grads():
     assert float(jnp.max(alpha[..., :-1])) == 1.0  # interior saturation
 
     _compare(model, params, s, rays, target, key=None, atol=2e-4)
+
+
+def _xla_depth_loss_fn(model, s, weight, valid_max=None):
+    from dexnerf_tpu.train.step import masked_depth_mse
+
+    def loss_fn(params, rays, target, key, depth_gt):
+        result = render_rays(model.apply, model.apply, params, rays, key, s)
+        loss, metrics = nerf_loss(result, target)
+        d_pred = (
+            result.fine.depth if result.fine is not None
+            else result.coarse.depth
+        )
+        d = masked_depth_mse(d_pred, depth_gt, valid_max)
+        loss = loss + weight * d
+        metrics["depth_loss"] = d
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def _compare_depth(model, params, s, rays, target, key, *, weight=0.5,
+                   valid_max=None, num_fine=None, atol=5e-5):
+    n = target.shape[0]
+    # GT depth with some invalid entries (0) and, with valid_max, some
+    # beyond the mask limit
+    depth_gt = jnp.asarray(
+        np.r_[0.0, np.linspace(2.5, 5.5, n - 1)], jnp.float32
+    )
+    fused = make_fused_train_loss(
+        model, model if (num_fine or s.num_fine) else None, s,
+        block_samples=8, interpret=True,
+        depth_loss_weight=weight, depth_valid_max=valid_max,
+    )
+    assert fused.supports_depth
+    xla = _xla_depth_loss_fn(model, s, weight, valid_max)
+    (v1, m1), g1 = jax.value_and_grad(xla, has_aux=True)(
+        params, rays, target, key, depth_gt
+    )
+    (v2, m2), g2 = jax.value_and_grad(fused, has_aux=True)(
+        params, rays, target, key, depth_gt
+    )
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    for k in ("loss", "coarse_loss", "fine_loss", "depth_loss"):
+        np.testing.assert_allclose(
+            float(m2[k]), float(m1[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    _assert_grads_close(g2, g1, atol)
+
+
+def test_fused_loss_depth_supervision_fine():
+    """Depth term on the fine pass: loss, metric split, and every gradient
+    leaf match XLA autodiff of photometric + masked depth MSE."""
+    model, params, s, rays, target = _setup(perturb=False)
+    _compare_depth(model, params, s, rays, target, key=None)
+
+
+def test_fused_loss_depth_supervision_valid_max_stochastic():
+    model, params, s, rays, target = _setup(
+        perturb=True, radiance_field_noise_std=0.2
+    )
+    _compare_depth(
+        model, params, s, rays, target, key=jax.random.PRNGKey(5),
+        valid_max=5.0, weight=0.25,
+    )
+
+
+def test_fused_loss_depth_supervision_coarse_only():
+    """No fine model: the depth term rides the coarse pass."""
+    model, params, s, rays, target = _setup(num_fine=0, perturb=False)
+    params = {"coarse": params["coarse"]}
+
+    from dexnerf_tpu.train.step import masked_depth_mse
+
+    n = target.shape[0]
+    depth_gt = jnp.asarray(np.linspace(2.5, 5.5, n), jnp.float32)
+
+    def xla(params, rays, target, key, depth_gt):
+        result = render_rays(model.apply, None, params, rays, key, s)
+        loss, metrics = nerf_loss(result, target)
+        d = masked_depth_mse(result.coarse.depth, depth_gt)
+        loss = loss + 0.5 * d
+        metrics["depth_loss"] = d
+        metrics["loss"] = loss
+        return loss, metrics
+
+    fused = make_fused_train_loss(
+        model, None, s, block_samples=8, interpret=True,
+        depth_loss_weight=0.5,
+    )
+    (v1, m1), g1 = jax.value_and_grad(xla, has_aux=True)(
+        params, rays, target, None, depth_gt
+    )
+    (v2, m2), g2 = jax.value_and_grad(fused, has_aux=True)(
+        params, rays, target, None, depth_gt
+    )
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m2["depth_loss"]), float(m1["depth_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m2["coarse_loss"]), float(m1["coarse_loss"]), rtol=1e-5
+    )
+    _assert_grads_close(g2, g1, 5e-5)

@@ -37,7 +37,15 @@ def main():
         "--ref-cache", type=str, default="/tmp/fused_loss_ref.npz",
         help="cache the (slow, ~7 min) XLA reference grads across runs",
     )
+    p.add_argument(
+        "--depth-weight", type=float, default=0.0,
+        help="also supervise GT depth (the in-kernel depth term): both the "
+        "XLA reference and the kernel add weight * masked depth MSE; "
+        "switches the ref cache to <ref-cache>.depth.npz",
+    )
     args = p.parse_args()
+    if args.depth_weight > 0.0 and args.ref_cache:
+        args.ref_cache = args.ref_cache + ".depth.npz"
 
     from dexnerf_tpu.core.encoding import encoding_dim
     from dexnerf_tpu.models import FlexibleNeRFModel
@@ -74,11 +82,27 @@ def main():
     )
     target = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
     render_key = jax.random.PRNGKey(7)
+    depth_gt = None
+    if args.depth_weight > 0.0:
+        # mixed valid/invalid GT, like a real depth map with holes
+        depth_gt = jnp.where(
+            jax.random.uniform(jax.random.PRNGKey(5), (n,)) > 0.2,
+            jax.random.uniform(
+                jax.random.PRNGKey(6), (n,), minval=2.0, maxval=6.0
+            ),
+            0.0,
+        )
 
     def xla_loss(p):
         result = render_rays(model.apply, model.apply, p, rays, render_key,
                              settings)
         loss, _ = nerf_loss(result, target)
+        if depth_gt is not None:
+            from dexnerf_tpu.train.step import masked_depth_mse
+
+            loss = loss + args.depth_weight * masked_depth_mse(
+                result.fine.depth, depth_gt
+            )
         return loss
 
     t0 = time.time()
@@ -113,10 +137,14 @@ def main():
             fused = make_fused_train_loss(
                 model, model, settings,
                 block_samples=args.block, compute_dtype=cd, dw_dtype=cd,
+                depth_loss_weight=args.depth_weight,
             )
 
             def floss(p):
-                loss, _ = fused(p, rays, target, render_key)
+                if depth_gt is not None:
+                    loss, _ = fused(p, rays, target, render_key, depth_gt)
+                else:
+                    loss, _ = fused(p, rays, target, render_key)
                 return loss
 
             loss, grads = jax.jit(jax.value_and_grad(floss))(params)
