@@ -8,6 +8,10 @@ from dexnerf_tpu.data.blender import (
 )
 from dexnerf_tpu.data.llff import load_llff_data
 from dexnerf_tpu.data.messytable import load_messytable_data
+from dexnerf_tpu.data.host_store import (
+    HostRayLoader,
+    build_host_ray_rows,
+)
 from dexnerf_tpu.data.pipeline import (
     RayStore,
     build_ray_store,
@@ -29,7 +33,9 @@ __all__ = [
     "spherical_render_poses",
     "load_llff_data",
     "load_messytable_data",
+    "HostRayLoader",
     "RayStore",
+    "build_host_ray_rows",
     "build_ray_store",
     "build_ray_store_from_cache",
     "sample_ray_batch",

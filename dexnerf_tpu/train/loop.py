@@ -750,6 +750,7 @@ def run_training(
                 "depth_loss_weight > 0 but the dataset has no GT depth "
                 "maps (messytable carries depthL.png / depth.png)"
             )
+    host_rows = host_depth = host_loader = None
     if pose_opt:
         # camera-frame store: world rays are re-generated from the refined
         # poses inside the step (cache shards bake world rays and carry no
@@ -781,6 +782,28 @@ def run_training(
         store = build_ray_store_from_cache(
             cachedir, float(cfg.dataset.near), float(cfg.dataset.far)
         )
+    elif bool(_get(cfg.dataset, "host_store", False)):
+        # Host-streaming data path (data/host_store.py): the packed rays
+        # stay in host RAM and a prefetch thread ships each step's batch —
+        # for captures whose ray store exceeds HBM. Built incrementally
+        # (one image's bundle of device memory at a time).
+        from dexnerf_tpu.data.host_store import build_host_ray_rows
+
+        host_rows, host_depth = build_host_ray_rows(
+            scene.images[scene.i_train],
+            scene.poses[scene.i_train],
+            scene.hwf,
+            intrinsics=(
+                scene.intrinsics[scene.i_train]
+                if scene.intrinsics is not None
+                else None
+            ),
+            use_ndc=scene.use_ndc,
+            depths=(
+                scene.depths[scene.i_train] if depth_w > 0.0 else None
+            ),
+        )
+        store = None
     else:
         store = build_ray_store(
             scene.images[scene.i_train],
@@ -797,6 +820,12 @@ def run_training(
             depths=(
                 scene.depths[scene.i_train] if depth_w > 0.0 else None
             ),
+        )
+    if host_rows is not None and num_devices is not None and num_devices > 1:
+        raise ValueError(
+            "dataset.host_store is a single-device data path (keep the "
+            "store resident for data-parallel training, or scale scenes "
+            "with apps.multiscene)"
         )
     # orthogonal step knobs, config keys with kwarg overrides
     # (reference-semantics sampling: train_nerf_rgb.py:222-241)
@@ -881,6 +910,46 @@ def run_training(
             depth_loss_weight=depth_w,
             depth_valid_max=depth_valid_max,
         )
+    elif host_rows is not None:
+        # host-streaming path: sampling + gather on the host, one step
+        # ahead of the device (data/host_store.py)
+        if sampling != "uniform":
+            raise ValueError(
+                "dataset.host_store supports uniform sampling only "
+                "(the loader draws uniform-over-all-rays batches)"
+            )
+        from dexnerf_tpu.data.host_store import HostRayLoader
+        from dexnerf_tpu.train.step import make_batch_train_step
+
+        host_loader = HostRayLoader(
+            host_rows,
+            float(cfg.dataset.near),
+            float(cfg.dataset.far),
+            batch_size,
+            seed,
+            depth=host_depth if depth_w > 0.0 else None,
+            prefetch=int(_get(cfg.dataset, "host_prefetch", 2) or 2),
+        )
+        _bstep = make_batch_train_step(
+            coarse_fn, fine_fn, tx, s_train,
+            supervision=supervision,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
+            fused_loss=fused_loss,
+            depth_loss_weight=depth_w,
+            depth_valid_max=depth_valid_max,
+        )
+
+        def train_step(state, _store, key):
+            keys = (
+                jax.random.split(key, steps_per_call)
+                if steps_per_call > 1
+                else [key]
+            )
+            for k in keys:
+                batch = next(host_loader)
+                state, metrics = _bstep(state, *batch[:2], k, *batch[2:])
+            return state, metrics
     else:
         train_step = make_train_step(
             coarse_fn, fine_fn, tx, s_train, batch_size,
@@ -985,6 +1054,8 @@ def run_training(
     if ckpt_mngr is not None:
         ckpt_mngr.wait()
         ckpt_mngr.close()
+    if host_loader is not None:
+        host_loader.close()
     logger.close()
     extra: Dict[str, Any] = {}
     if pose_opt:

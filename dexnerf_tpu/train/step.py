@@ -284,3 +284,89 @@ def make_train_step(
         return state, metrics
 
     return train_step
+
+
+def make_batch_train_step(
+    coarse_fn: ModelFn,
+    fine_fn: Optional[ModelFn],
+    tx: optax.GradientTransformation,
+    settings: RenderSettings,
+    *,
+    supervision: str = "rgb",
+    coarse_field=None,
+    fine_field=None,
+    fused_loss=None,
+    depth_loss_weight: float = 0.0,
+    depth_valid_max: Optional[float] = None,
+):
+    """Train step over an EXPLICIT ray batch (the host-streaming data path,
+    ``data/host_store.py``): sampling happens on the host, so the jitted
+    program receives ``(rays, target[, depth_gt])`` directly instead of
+    gathering from a device-resident store. Same loss/update body as
+    :func:`make_train_step`; the key is split exactly like the resident
+    path (the sample half is simply unused), so noise/perturb draws match
+    it key-for-key.
+
+    Returns ``step(state, rays, target, key[, depth_gt]) ->
+    (state, metrics)`` (the depth argument exists iff
+    ``depth_loss_weight > 0``).
+    """
+    use_depth = depth_loss_weight > 0.0
+    fused_depth = use_depth and getattr(fused_loss, "supports_depth", False)
+    if use_depth and fused_loss is not None and not fused_depth:
+        raise ValueError(
+            "depth supervision with a fused loss kernel requires the "
+            "kernel to be built with depth_loss_weight > 0"
+        )
+
+    def loss_fn(params, rays, target, key, depth_gt):
+        _, k_render = jax.random.split(key)  # mirror the resident split
+        model_params = {k: v for k, v in params.items() if k != "pose"}
+        if fused_loss is not None:
+            if fused_depth:
+                return fused_loss(
+                    model_params, rays, target, k_render, depth_gt
+                )
+            return fused_loss(model_params, rays, target, k_render)
+        result = render_rays(
+            coarse_fn, fine_fn, model_params, rays, k_render, settings,
+            coarse_field=coarse_field, fine_field=fine_field,
+        )
+        loss, metrics = nerf_loss(result, target, supervision=supervision)
+        if use_depth:
+            d_pred = (
+                result.fine.depth if result.fine is not None
+                else result.coarse.depth
+            )
+            d_loss = masked_depth_mse(d_pred, depth_gt, depth_valid_max)
+            loss = loss + depth_loss_weight * d_loss
+            metrics["depth_loss"] = d_loss
+            metrics["loss"] = loss
+        return loss, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def batch_step(state: TrainState, rays, target, key, depth_gt=None):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rays, target, key, depth_gt
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        photometric = (
+            metrics["coarse_loss"] + metrics["fine_loss"]
+            if "coarse_loss" in metrics
+            else metrics["loss"]
+        )
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(photometric, 1e-10))
+        return (
+            TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            metrics,
+        )
+
+    if use_depth:
+        return batch_step
+
+    def step_no_depth(state, rays, target, key):
+        return batch_step(state, rays, target, key)
+
+    return step_no_depth
