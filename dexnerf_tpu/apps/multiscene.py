@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max-iters", type=int, default=None,
                    help="override train_iters (from the first config)")
+    p.add_argument(
+        "--validate-every", type=int, default=None,
+        help="full-frame validation render per scene every N iters "
+        "(default: the first config's experiment.validate_every; 0 off): "
+        "PSNR/SSIM appended to each scene's metrics.jsonl, the render "
+        "saved under <logdir>/validation/",
+    )
     p.add_argument("--steps-per-call", type=int, default=None,
                    help="optimizer steps per dispatch (lax.scan)")
     p.add_argument("--batch", type=int, default=None,
@@ -104,9 +111,10 @@ def main(argv=None) -> int:
     cfgs = [load_config(p) for p in paths]
     settings = _require_matching(cfgs, paths)
 
-    stores, params_list, logdirs = [], [], []
+    stores, params_list, logdirs, scenes = [], [], [], []
     for cfg, path in zip(cfgs, paths):
         scene = load_scene(cfg)
+        scenes.append(scene)
         tr = scene.i_train
         stores.append(
             build_ray_store(
@@ -187,6 +195,50 @@ def main(argv=None) -> int:
     ]
     key = jax.random.PRNGKey(int(_get(cfg0.experiment, "randomseed", 42)))
     print_every = int(_get(cfg0.experiment, "print_every", 100) or 100)
+    validate_every = int(
+        args.validate_every
+        if args.validate_every is not None
+        else _get(cfg0.experiment, "validate_every", 0) or 0
+    )
+
+    def validate_scenes(upto):
+        """Full-frame validation per scene: the single-scene ``validate``
+        over each scene's own params slice, like the single-scene loop."""
+        import imageio.v2 as imageio
+
+        from dexnerf_tpu.core.metrics import luminance  # noqa: F401
+        from dexnerf_tpu.train.loop import validate
+        from dexnerf_tpu.utils import cast_to_image
+
+        for j, (cfg, scene, logdir, f) in enumerate(
+            zip(cfgs, scenes, logdirs, metrics_files)
+        ):
+            val = validate(
+                coarse_fn, fine_fn, scene_params(state.params, j),
+                scene, cfg, dex=False, supervision="rgb",
+                val_idx=int(
+                    scene.i_val[(upto // max(validate_every, 1))
+                                % len(scene.i_val)]
+                ),
+            )
+            f.write(json.dumps({
+                "step": upto,
+                "val_psnr": float(val["psnr"]),
+                "val_ssim": float(val["ssim"]),
+            }) + "\n")
+            f.flush()
+            vdir = os.path.join(logdir, "validation")
+            os.makedirs(vdir, exist_ok=True)
+            imageio.imwrite(
+                os.path.join(vdir, f"rgb_{upto:07d}.png"),
+                cast_to_image(np.clip(val["rgb"], 0, 1)),
+            )
+            print(
+                f"[val {upto}] s{j}: {val['psnr']:.2f} dB "
+                f"ssim {val['ssim']:.3f}",
+                flush=True,
+            )
+
     t0 = time.time()
     i = 0
     metrics = None
@@ -194,6 +246,10 @@ def main(argv=None) -> int:
         key, sub = jax.random.split(key)
         state, metrics = step(state, ms, sub)
         last = min(i + spc, iters) - 1
+        if validate_every and (
+            (last + 1) % validate_every < spc or last == iters - 1
+        ):
+            validate_scenes(last + 1)
         if (last + 1) % print_every < spc or last == iters - 1:
             loss = np.asarray(metrics["loss"])
             psnr = np.asarray(metrics["psnr"])

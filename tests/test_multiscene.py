@@ -343,7 +343,7 @@ def test_multiscene_cli_e2e(tmp_path):
     cfg_a = _tiny_cfg(tmp_path, base, "scene_a", 1)
     cfg_b = _tiny_cfg(tmp_path, base, "scene_b", 2)
 
-    assert ms_main(["--configs", cfg_a, cfg_b]) == 0
+    assert ms_main(["--configs", cfg_a, cfg_b, "--validate-every", "4"]) == 0
     for ident in ("scene_a", "scene_b"):
         logdir = f"{tmp_path}/logs/{ident}"
         assert os.path.exists(f"{logdir}/config.yml")
@@ -352,6 +352,10 @@ def test_multiscene_cli_e2e(tmp_path):
         assert lines and lines[-1]["step"] == 4
         ckpts = os.listdir(f"{logdir}/checkpoints")
         assert any(c.startswith("checkpoint_") for c in ckpts)
+        # per-scene full-frame validation: PSNR/SSIM rows + saved render
+        val_rows = [l for l in lines if "val_psnr" in l]
+        assert val_rows and "val_ssim" in val_rows[-1]
+        assert os.path.exists(f"{logdir}/validation/rgb_0000004.png")
 
     # the per-scene checkpoint renders through the standard eval app
     savedir = str(tmp_path / "renders")
