@@ -62,6 +62,24 @@ def build_parser() -> argparse.ArgumentParser:
         "with --pose-opt (params carry the 'pose' twists subtree)",
     )
     p.add_argument(
+        "--save-pointcloud",
+        action="store_true",
+        help="back-project each frame's depth into a colored world-space "
+        "point cloud (<savedir>/pointcloud/NNNN.ply, ASCII PLY): what a "
+        "grasp planner consumes — the reference computes depth maps but "
+        "never exports geometry. Uses the expected depth, or the "
+        "Dex-NeRF σ-threshold depth with --pointcloud-threshold",
+    )
+    p.add_argument(
+        "--pointcloud-threshold",
+        type=float,
+        default=None,
+        help="σ threshold for the point cloud's depth (Dex-NeRF "
+        "first-crossing depth, the transparency-aware choice); renders "
+        "with dex thresholds enabled and picks the nearest configured "
+        "candidate",
+    )
+    p.add_argument(
         "--test-set",
         action="store_true",
         help="render the dataset's held-out TEST views instead of the "
@@ -130,7 +148,27 @@ def main(argv=None) -> int:
         payload = restore_checkpoint(ckpt)
         params = payload["params"]
 
-    s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
+    want_dex_pc = args.pointcloud_threshold is not None
+    if want_dex_pc and not args.save_pointcloud:
+        raise SystemExit("--pointcloud-threshold needs --save-pointcloud")
+    s_val = render_settings_from_cfg(
+        cfg, "validation", dex=want_dex_pc
+    ).eval_variant()
+    pc_thres_idx = None
+    if want_dex_pc:
+        cands = tuple(s_val.m_thres_cand)
+        if not cands:
+            raise SystemExit(
+                "--pointcloud-threshold: the config defines no dex "
+                "threshold candidates (nerf.validation.m_thres)"
+            )
+        pc_thres_idx = int(
+            np.argmin(np.abs(np.asarray(cands) - args.pointcloud_threshold))
+        )
+        print(
+            f"pointcloud: σ-threshold depth at m={cands[pc_thres_idx]} "
+            f"(nearest to requested {args.pointcloud_threshold})"
+        )
     # cfg.nerf.use_pallas: fully fused PE->MLP->compositing render kernel
     from dexnerf_tpu.train.loop import maybe_fused_render_impl
 
@@ -174,6 +212,8 @@ def main(argv=None) -> int:
         os.makedirs(os.path.join(args.savedir, "disparity"), exist_ok=True)
     if args.save_jet_disparity:
         os.makedirs(os.path.join(args.savedir, "disparity_jet"), exist_ok=True)
+    if args.save_pointcloud:
+        os.makedirs(os.path.join(args.savedir, "pointcloud"), exist_ok=True)
     if args.sg_ir:
         if "sg" not in params:
             raise SystemExit(
@@ -252,6 +292,29 @@ def main(argv=None) -> int:
                     os.path.join(args.savedir, "disparity_jet", f"{i:04d}.png"),
                     apply_jet_colormap(np.clip(disp, 0.0, 2.0) / 2.0),
                 )
+        if args.save_pointcloud:
+            from dexnerf_tpu.utils import depth_to_points, write_ply
+
+            if pc_thres_idx is not None:
+                if rendered.depth_dex is None:
+                    raise SystemExit(
+                        "--pointcloud-threshold: σ-threshold depth rides "
+                        "the fine pass (reference semantics) — set "
+                        "nerf.validation.num_fine > 0"
+                    )
+                d = np.asarray(rendered.depth_dex)[pc_thres_idx]
+            else:
+                d = np.asarray(rendered.depth)
+            # keep pixels whose ray actually hit something (the σ-threshold
+            # depth lands at the first sample when no crossing exists)
+            acc = np.asarray(rendered.accumulation)
+            pts, cols = depth_to_points(
+                np.asarray(ro), np.asarray(rd), d, rgb=rgb, mask=acc > 0.5
+            )
+            write_ply(
+                os.path.join(args.savedir, "pointcloud", f"{i:04d}.ply"),
+                pts, cols,
+            )
         if args.sg_ir:
             ir = render_sg_ir_image(
                 sg_coarse_m,
