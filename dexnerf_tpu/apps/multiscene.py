@@ -165,6 +165,11 @@ def main(argv=None) -> int:
     n_dev = jax.device_count()
     if args.data_devices and args.data_devices > 1:
         k = args.data_devices
+        if n_dev % k:
+            raise SystemExit(
+                f"--data-devices {k} does not divide the {n_dev} available "
+                f"devices — {n_dev % k} chips would sit idle"
+            )
         n_scene_dev = n_dev // k
         if n_scene_dev < 1 or len(cfgs) % max(n_scene_dev, 1):
             raise SystemExit(
@@ -206,7 +211,6 @@ def main(argv=None) -> int:
         over each scene's own params slice, like the single-scene loop."""
         import imageio.v2 as imageio
 
-        from dexnerf_tpu.core.metrics import luminance  # noqa: F401
         from dexnerf_tpu.train.loop import validate
         from dexnerf_tpu.utils import cast_to_image
 

@@ -83,7 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
         "on the rendered expected depth (datasets with depth maps — "
         "messytable; the reference carried the GT but only computed "
         "metrics from it); overrides cfg.nerf.train.depth_loss_weight. "
-        "XLA path only",
+        "Works on the XLA path and inside the fused loss kernel; valid "
+        "mask 0 < d < depth_valid_max (nerf.train, else the dataset's "
+        "metric mask limit, default 1.25 m)",
     )
     p.add_argument(
         "--max-iters", type=int, default=None, help="override train_iters"

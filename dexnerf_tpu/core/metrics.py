@@ -68,6 +68,9 @@ def ssim(
         a = a[..., None]
         b = b[..., None]
     c = a.shape[-1]
+    # clamp the window to the image: a VALID conv with window > dim has
+    # zero output positions and jnp.mean of it would be a silent NaN
+    window_size = min(window_size, a.shape[0], a.shape[1])
     half = window_size // 2
     x = jnp.arange(window_size, dtype=jnp.float32) - half
     w = jnp.exp(-0.5 * (x / sigma) ** 2)

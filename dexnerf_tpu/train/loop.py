@@ -734,7 +734,15 @@ def run_training(
         if depth_loss_weight is not None
         else (_get(cfg.nerf.train, "depth_loss_weight", 0.0) or 0.0)
     )
+    # supervision valid-mask limit: explicit nerf.train.depth_valid_max
+    # wins, else the dataset's METRIC mask limit when the config sets one
+    # (the key validate()/eval use, reference train_nerf_rgb.py:390) — so
+    # a config that masks its metrics never TRAINS against GT readings it
+    # treats as invalid. No key set -> gt > 0 only (an implicit 1.25 m
+    # cap would silently zero supervision on far-range scenes).
     _dvm = _get(cfg.nerf.train, "depth_valid_max", None)
+    if _dvm is None:
+        _dvm = _get(cfg.dataset, "depth_valid_max", None)
     depth_valid_max = float(_dvm) if _dvm is not None else None
     if depth_w > 0.0:
         if pose_opt:
@@ -770,23 +778,13 @@ def run_training(
             ),
             use_ndc=scene.use_ndc,
         )
-    elif (
-        cachedir
-        and os.path.isdir(os.path.join(cachedir, "train"))
-        and depth_w == 0.0  # cache shards carry no GT depth
-    ):
-        # Train from the offline ray cache when present (the reference's
-        # USE_CACHED_DATASET preference, train_nerf_rgb.py:51-56).
-        from dexnerf_tpu.data import build_ray_store_from_cache
-
-        store = build_ray_store_from_cache(
-            cachedir, float(cfg.dataset.near), float(cfg.dataset.far)
-        )
     elif bool(_get(cfg.dataset, "host_store", False)):
         # Host-streaming data path (data/host_store.py): the packed rays
         # stay in host RAM and a prefetch thread ships each step's batch —
         # for captures whose ray store exceeds HBM. Built incrementally
-        # (one image's bundle of device memory at a time).
+        # (one image's bundle of device memory at a time). Takes
+        # precedence over an offline cache: the explicit host_store says
+        # the rays do NOT fit on-device, which the cache path would do.
         from dexnerf_tpu.data.host_store import build_host_ray_rows
 
         host_rows, host_depth = build_host_ray_rows(
@@ -804,6 +802,18 @@ def run_training(
             ),
         )
         store = None
+    elif (
+        cachedir
+        and os.path.isdir(os.path.join(cachedir, "train"))
+        and depth_w == 0.0  # cache shards carry no GT depth
+    ):
+        # Train from the offline ray cache when present (the reference's
+        # USE_CACHED_DATASET preference, train_nerf_rgb.py:51-56).
+        from dexnerf_tpu.data import build_ray_store_from_cache
+
+        store = build_ray_store_from_cache(
+            cachedir, float(cfg.dataset.near), float(cfg.dataset.far)
+        )
     else:
         store = build_ray_store(
             scene.images[scene.i_train],
@@ -993,69 +1003,73 @@ def run_training(
         return every > 0 and (hi // every) > ((lo - 1) // every) if lo else True
 
     i = start_iter
-    while i < train_iters:
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, store, sub)
-        last = min(i + steps_per_call, train_iters) - 1
+    try:
+        while i < train_iters:
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, store, sub)
+            last = min(i + steps_per_call, train_iters) - 1
 
-        if _crosses(i, last, print_every) or last == train_iters - 1:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            last_metrics = metrics
-            logger.scalars(
-                {f"train/{k}": v for k, v in metrics.items()}, last
-            )
-            elapsed = time.time() - t0
-            rays_done = (last - start_iter + 1) * batch_size
-            logger.scalar(
-                "train/rays_per_sec", rays_done / max(elapsed, 1e-9), last
-            )
-
-        if validate_every and (
-            _crosses(i, last, validate_every) or last == train_iters - 1
-        ):
-            # cycle through validation views (the reference picks a random
-            # one each time, train_nerf_rgb.py:316-320)
-            val_idx = int(
-                scene.i_val[(last // validate_every) % len(scene.i_val)]
-            )
-            val = validate(
-                coarse_fn,
-                fine_fn,
-                state.params,
-                scene,
-                cfg,
-                dex=dex,
-                supervision=supervision,
-                val_idx=val_idx,
-                mesh=mesh,
-            )
-            last_val = val
-            _log_validation(
-                logger, val, last, logdir, save_artifacts=save_artifacts
-            )
-
-        if save_every and is_primary and last > 0 and (
-            _crosses(i, last, save_every) or last == train_iters - 1
-        ):
-            # async manager: the array write overlaps the next train steps
-            # (SURVEY §5; the reference's torch.save stalls its loop)
-            if ckpt_mngr is None:
-                ckpt_mngr = AsyncCheckpointManager(
-                    os.path.join(logdir, "checkpoints")
+            if _crosses(i, last, print_every) or last == train_iters - 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics = metrics
+                logger.scalars(
+                    {f"train/{k}": v for k, v in metrics.items()}, last
                 )
-            ckpt_mngr.save(
-                last,
-                state,
-                extra={"loss": metrics.get("loss", 0.0)} if isinstance(metrics, dict) else None,
-            )
-        i = last + 1
+                elapsed = time.time() - t0
+                rays_done = (last - start_iter + 1) * batch_size
+                logger.scalar(
+                    "train/rays_per_sec", rays_done / max(elapsed, 1e-9), last
+                )
+
+            if validate_every and (
+                _crosses(i, last, validate_every) or last == train_iters - 1
+            ):
+                # cycle through validation views (the reference picks a random
+                # one each time, train_nerf_rgb.py:316-320)
+                val_idx = int(
+                    scene.i_val[(last // validate_every) % len(scene.i_val)]
+                )
+                val = validate(
+                    coarse_fn,
+                    fine_fn,
+                    state.params,
+                    scene,
+                    cfg,
+                    dex=dex,
+                    supervision=supervision,
+                    val_idx=val_idx,
+                    mesh=mesh,
+                )
+                last_val = val
+                _log_validation(
+                    logger, val, last, logdir, save_artifacts=save_artifacts
+                )
+
+            if save_every and is_primary and last > 0 and (
+                _crosses(i, last, save_every) or last == train_iters - 1
+            ):
+                # async manager: the array write overlaps the next train steps
+                # (SURVEY §5; the reference's torch.save stalls its loop)
+                if ckpt_mngr is None:
+                    ckpt_mngr = AsyncCheckpointManager(
+                        os.path.join(logdir, "checkpoints")
+                    )
+                ckpt_mngr.save(
+                    last,
+                    state,
+                    extra={"loss": metrics.get("loss", 0.0)} if isinstance(metrics, dict) else None,
+                )
+            i = last + 1
+    finally:
+        # the prefetch worker (and its queued device batches) must not
+        # outlive a failed run (host-streaming path)
+        if host_loader is not None:
+            host_loader.close()
 
     elapsed = time.time() - t0
     if ckpt_mngr is not None:
         ckpt_mngr.wait()
         ckpt_mngr.close()
-    if host_loader is not None:
-        host_loader.close()
     logger.close()
     extra: Dict[str, Any] = {}
     if pose_opt:

@@ -420,3 +420,15 @@ def test_ssim_matches_direct_numpy_windows():
     expect = float(np.mean(vals))
     got = float(ssim(a, b))
     assert got == pytest.approx(expect, abs=1e-5), (got, expect)
+
+
+def test_ssim_small_image_no_nan():
+    """Images smaller than the 11px window: the window clamps to the image
+    instead of producing a zero-size VALID conv (silent NaN)."""
+    from dexnerf_tpu.core.metrics import ssim
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-6)
+    s = float(ssim(img, np.clip(img + 0.2 * rng.randn(8, 8, 3), 0, 1)))
+    assert np.isfinite(s) and s < 1.0

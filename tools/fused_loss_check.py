@@ -45,7 +45,9 @@ def main():
     )
     args = p.parse_args()
     if args.depth_weight > 0.0 and args.ref_cache:
-        args.ref_cache = args.ref_cache + ".depth.npz"
+        # key the cache on the WEIGHT too — stale grads for a different
+        # weight would read as spurious kernel mismatches
+        args.ref_cache = f"{args.ref_cache}.depth{args.depth_weight}.npz"
 
     from dexnerf_tpu.core.encoding import encoding_dim
     from dexnerf_tpu.models import FlexibleNeRFModel
