@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
         "with --pose-opt (params carry the 'pose' twists subtree)",
     )
     p.add_argument(
+        "--save-gif",
+        action="store_true",
+        help="also assemble the rendered frames into <savedir>/render.gif "
+        "(the artifact the reference's README shows but never generates)",
+    )
+    p.add_argument(
+        "--gif-fps", type=float, default=10.0,
+        help="frames per second for --save-gif",
+    )
+    p.add_argument(
         "--save-pointcloud",
         action="store_true",
         help="back-project each frame's depth into a colored world-space "
@@ -228,6 +238,7 @@ def main(argv=None) -> int:
 
     times = []
     per_image = []
+    gif_frames = []
     for i, pose in enumerate(poses):
         t0 = time.time()
         if intrinsics is not None:
@@ -280,6 +291,8 @@ def main(argv=None) -> int:
         imageio.imwrite(
             os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
         )
+        if args.save_gif:
+            gif_frames.append(cast_to_image(rgb))
         if args.save_disparity_image or args.save_jet_disparity:
             disp = np.asarray(rendered.disparity)
             if args.save_disparity_image:
@@ -370,6 +383,13 @@ def main(argv=None) -> int:
         print(f"frame {i}: {times[-1]:.3f}s")
 
     print(f"Avg time per image: {np.mean(times):.3f}s")
+    if args.save_gif and gif_frames:
+        gif_path = os.path.join(args.savedir, "render.gif")
+        imageio.mimwrite(
+            gif_path, gif_frames, duration=1000.0 / max(args.gif_fps, 0.1),
+            loop=0,
+        )
+        print(f"wrote {gif_path} ({len(gif_frames)} frames)")
     if test_indices is not None:
         import json
 

@@ -124,3 +124,62 @@ def test_eval_pointcloud_cli(tmp_path):
             "--config", cfg_path, "--checkpoint", ckpt_dir,
             "--savedir", savedir, "--pointcloud-threshold", "7.0",
         ])
+
+
+def test_eval_save_gif(tmp_path):
+    """--save-gif assembles the rendered frames into an animated GIF."""
+    import imageio.v2 as imageio
+    import yaml
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.data import write_blender_dataset
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=12, width=12, views_per_split=(2, 1, 1))
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": base,
+                    "near": 2.0, "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 0,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 0,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--savedir", savedir, "--num-poses", "3", "--save-gif",
+    ])
+    assert rc == 0
+    frames = imageio.mimread(os.path.join(savedir, "render.gif"))
+    assert len(frames) == 3
