@@ -40,6 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--num-poses", type=int, default=None, help="limit render path length"
     )
     p.add_argument(
+        "--hwf", type=float, nargs=3, default=None,
+        metavar=("H", "W", "FOCAL"),
+        help="render height/width/focal override. With a reference .ckpt "
+        "this also enables DATASET-FREE rendering (blender scenes): the "
+        "shipped pretrained checkpoints carry no size metadata and their "
+        "configs point at non-existent data paths — e.g. the *-lowres "
+        "scenes are `--hwf 400 400 555.555`",
+    )
+    p.add_argument(
         "--platform",
         type=str,
         default=None,
@@ -124,27 +133,83 @@ def main(argv=None) -> int:
     from dexnerf_tpu.train.loop import load_scene, setup_models
 
     cfg = load_config(args.config)
-    scene = load_scene(cfg)
+    imported = None
+    if args.checkpoint.endswith(".ckpt"):
+        # reference PyTorch checkpoint; shipped reference configs declare
+        # architectures their checkpoints do not hold (the reference
+        # ignores those knobs) — trust the weights
+        from dexnerf_tpu.train import import_torch_checkpoint
+        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
+
+        imported = import_torch_checkpoint(args.checkpoint)
+        cfg = align_cfg_models_to_checkpoint(cfg, imported)
+
+    needs_dataset = args.test_set or args.refined_poses
+    try:
+        scene = load_scene(cfg)
+    except (FileNotFoundError, OSError):
+        # Rendering a generated path needs no dataset when the checkpoint
+        # carries hwf (reference .ckpts do, eval_nerf.py:147-152) and the
+        # path is synthesizable (blender's 40-pose spherical orbit). The
+        # reference's eval insists on the full training dataset even then.
+        ckpt_hwf = (
+            [imported["height"], imported["width"], imported["focal_length"]]
+            if imported is not None
+            and all(
+                imported.get(k) is not None
+                for k in ("height", "width", "focal_length")
+            )
+            else None
+        )
+        hwf = args.hwf if args.hwf is not None else ckpt_hwf
+        can_synthesize = (
+            imported is not None
+            and not needs_dataset
+            and str(cfg.dataset.type).lower() == "blender"
+            and hwf is not None
+        )
+        if not can_synthesize:
+            if imported is not None and not needs_dataset:
+                raise SystemExit(
+                    f"dataset at {cfg.dataset.basedir} not found, and "
+                    "dataset-free rendering needs the frame geometry: pass "
+                    "--hwf H W FOCAL (the shipped *-lowres scenes are "
+                    "`--hwf 400 400 555.555`)"
+                )
+            raise
+        from dexnerf_tpu.data.blender import spherical_render_poses
+        from dexnerf_tpu.train.loop import SceneData
+
+        print(
+            f"dataset at {cfg.dataset.basedir} not found; rendering the "
+            "spherical path at H/W/focal "
+            f"{int(hwf[0])}/{int(hwf[1])}/{float(hwf[2]):.3f}"
+        )
+        scene = SceneData(
+            images=np.zeros((0, 1, 1, 3), np.float32),
+            poses=np.zeros((0, 4, 4), np.float32),
+            hwf=[int(hwf[0]), int(hwf[1]), float(hwf[2])],
+            i_train=np.zeros((0,), np.int64),
+            i_val=np.zeros((0,), np.int64),
+            render_poses=spherical_render_poses(),
+            use_ndc=False,  # blender scenes never use NDC
+        )
     coarse_fn, fine_fn, params = setup_models(
         cfg, int(cfg.experiment.randomseed)
     )
 
     H, W, focal = scene.hwf
-    if args.checkpoint.endswith(".ckpt"):
-        # reference PyTorch checkpoint
-        from dexnerf_tpu.train import import_torch_checkpoint
-
-        imported = import_torch_checkpoint(args.checkpoint)
+    if imported is not None:
         params = {"coarse": imported["coarse"]}
         if imported["fine"] is not None:
             params["fine"] = imported["fine"]
         # hwf override from the checkpoint when present
         # (reference eval_nerf.py:147-152)
-        if "height" in imported:
+        if imported.get("height") is not None:
             H = int(imported["height"])
-        if "width" in imported:
+        if imported.get("width") is not None:
             W = int(imported["width"])
-        if "focal_length" in imported:
+        if imported.get("focal_length") is not None:
             focal = float(imported["focal_length"])
     else:
         ckpt = args.checkpoint
@@ -157,6 +222,8 @@ def main(argv=None) -> int:
                 ckpt = resolved
         payload = restore_checkpoint(ckpt)
         params = payload["params"]
+    if args.hwf is not None:
+        H, W, focal = int(args.hwf[0]), int(args.hwf[1]), float(args.hwf[2])
 
     want_dex_pc = args.pointcloud_threshold is not None
     if want_dex_pc and not args.save_pointcloud:
@@ -236,19 +303,62 @@ def main(argv=None) -> int:
 
         sg_coarse_m, sg_fine_m = models_from_cfg(cfg)
 
-    times = []
-    per_image = []
-    gif_frames = []
-    for i, pose in enumerate(poses):
-        t0 = time.time()
-        if intrinsics is not None:
-            # refined messytable views: rays straight from the refined c2w
-            # + full K (the fx-for-both-axes quirk included) — the exact
-            # rays the twists were trained against (train/pose_opt.py),
-            # with no w2c round-trip inversions
-            from dexnerf_tpu.core.rays import _rotate, pixel_grid
+    # One jitted program per frame: ray generation + the full hierarchical
+    # render + selection of ONLY the outputs this invocation consumes.
+    # Calling render_image eagerly instead costs ~40x on the remote TPU
+    # (every eager op is a tunnel round-trip, and every render output —
+    # per-sample weights included — is materialized whether used or not).
+    need_disparity = args.save_disparity_image or args.save_jet_disparity
+    need_depth = args.save_pointcloud and pc_thres_idx is None
+    need_test_depth = args.test_set and scene.depths is not None
+    need_rays = args.save_pointcloud or args.sg_ir
+    near_f, far_f = float(cfg.dataset.near), float(cfg.dataset.far)
 
-            K = np.asarray(intrinsics[i], np.float32)
+    def _select_outputs(ro, rd):
+        out = render_image(
+            coarse_fn,
+            fine_fn,
+            params,
+            ro,
+            rd,
+            near_f,
+            far_f,
+            s_val,
+            use_ndc=scene.use_ndc,
+            height=H,
+            width=W,
+            focal_length=focal,
+            rays_impl=rays_impl,
+        )
+        r = out.fine if out.fine is not None else out.coarse
+        res = {"rgb": r.rgb}
+        if need_disparity:
+            res["disparity"] = r.disparity
+        if need_depth or need_test_depth:
+            res["depth"] = r.depth
+        if args.save_pointcloud:
+            res["accumulation"] = r.accumulation
+            if pc_thres_idx is not None:
+                if r.depth_dex is None:
+                    raise SystemExit(
+                        "--pointcloud-threshold: σ-threshold depth rides "
+                        "the fine pass (reference semantics) — set "
+                        "nerf.validation.num_fine > 0"
+                    )
+                res["depth_dex"] = r.depth_dex[pc_thres_idx]
+        if need_rays:
+            res["ro"], res["rd"] = ro, rd
+        return res
+
+    if intrinsics is not None:
+        # refined messytable views: rays straight from the refined c2w
+        # + full K (the fx-for-both-axes quirk included) — the exact
+        # rays the twists were trained against (train/pose_opt.py),
+        # with no w2c round-trip inversions
+        from dexnerf_tpu.core.rays import _rotate, pixel_grid
+
+        @jax.jit
+        def render_frame(pose, K):
             ii, jj = pixel_grid(H, W)
             cam_dirs = jnp.stack(
                 [
@@ -258,35 +368,38 @@ def main(argv=None) -> int:
                 ],
                 axis=-1,
             )
-            T = jnp.asarray(pose[:4, :4])
-            rd = _rotate(cam_dirs, T[:3, :3])
-            ro = jnp.broadcast_to(T[:3, 3], rd.shape)
-        elif test_intrinsics is not None:
-            from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+            rd = _rotate(cam_dirs, pose[:3, :3])
+            ro = jnp.broadcast_to(pose[:3, 3], rd.shape)
+            return _select_outputs(ro, rd)
 
-            ro, rd = get_ray_bundle_w2c(
-                H, W, jnp.asarray(pose), jnp.asarray(test_intrinsics[i])
-            )
+    elif test_intrinsics is not None:
+        from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+
+        @jax.jit
+        def render_frame(pose, K):
+            ro, rd = get_ray_bundle_w2c(H, W, pose, K)
+            return _select_outputs(ro, rd)
+
+    else:
+
+        @jax.jit
+        def render_frame(pose, K=None):
+            ro, rd = get_ray_bundle_c2w(H, W, focal, pose)
+            return _select_outputs(ro, rd)
+
+    times = []
+    per_image = []
+    gif_frames = []
+    for i, pose in enumerate(poses):
+        t0 = time.time()
+        pose_j = jnp.asarray(np.asarray(pose[:4, :4], np.float32))
+        if intrinsics is not None:
+            res = render_frame(pose_j, jnp.asarray(intrinsics[i]))
+        elif test_intrinsics is not None:
+            res = render_frame(pose_j, jnp.asarray(test_intrinsics[i]))
         else:
-            ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(pose[:4, :4]))
-        out = render_image(
-            coarse_fn,
-            fine_fn,
-            params,
-            ro,
-            rd,
-            float(cfg.dataset.near),
-            float(cfg.dataset.far),
-            s_val,
-            use_ndc=scene.use_ndc,
-            height=H,
-            width=W,
-            focal_length=focal,
-            rays_impl=rays_impl,
-        )
-        rendered = out.fine if out.fine is not None else out.coarse
-        rgb = np.asarray(rendered.rgb)
-        jax.block_until_ready(rendered.rgb)
+            res = render_frame(pose_j)
+        rgb = np.asarray(res["rgb"])
         times.append(time.time() - t0)
         imageio.imwrite(
             os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
@@ -294,7 +407,7 @@ def main(argv=None) -> int:
         if args.save_gif:
             gif_frames.append(cast_to_image(rgb))
         if args.save_disparity_image or args.save_jet_disparity:
-            disp = np.asarray(rendered.disparity)
+            disp = np.asarray(res["disparity"])
             if args.save_disparity_image:
                 imageio.imwrite(
                     os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
@@ -309,20 +422,15 @@ def main(argv=None) -> int:
             from dexnerf_tpu.utils import depth_to_points, write_ply
 
             if pc_thres_idx is not None:
-                if rendered.depth_dex is None:
-                    raise SystemExit(
-                        "--pointcloud-threshold: σ-threshold depth rides "
-                        "the fine pass (reference semantics) — set "
-                        "nerf.validation.num_fine > 0"
-                    )
-                d = np.asarray(rendered.depth_dex)[pc_thres_idx]
+                d = np.asarray(res["depth_dex"])
             else:
-                d = np.asarray(rendered.depth)
+                d = np.asarray(res["depth"])
             # keep pixels whose ray actually hit something (the σ-threshold
             # depth lands at the first sample when no crossing exists)
-            acc = np.asarray(rendered.accumulation)
+            acc = np.asarray(res["accumulation"])
             pts, cols = depth_to_points(
-                np.asarray(ro), np.asarray(rd), d, rgb=rgb, mask=acc > 0.5
+                np.asarray(res["ro"]), np.asarray(res["rd"]), d,
+                rgb=rgb, mask=acc > 0.5,
             )
             write_ply(
                 os.path.join(args.savedir, "pointcloud", f"{i:04d}.ply"),
@@ -333,8 +441,8 @@ def main(argv=None) -> int:
                 sg_coarse_m,
                 sg_fine_m,
                 params,
-                ro,
-                rd,
+                res["ro"],
+                res["rd"],
                 float(cfg.dataset.near),
                 float(cfg.dataset.far),
                 s_val,
@@ -376,7 +484,7 @@ def main(argv=None) -> int:
                 if mask.any():
                     row.update(
                         compute_err_metric(
-                            d_gt, np.asarray(rendered.depth), mask
+                            d_gt, np.asarray(res["depth"]), mask
                         )
                     )
             per_image.append(row)

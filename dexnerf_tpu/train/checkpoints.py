@@ -237,6 +237,64 @@ def import_torch_checkpoint(path: str, use_viewdirs: bool = True) -> Dict:
     return out
 
 
+def _skip_positions(num_trunk: int, skip_every: int):
+    """Trunk indices where ``FlexibleNeRFModel`` inserts a skip concat
+    (mirrors ``models/mlp.py::FlexibleNeRFModel.__call__``)."""
+    return {
+        j
+        for j in range(num_trunk)
+        if j % skip_every == 0 and j > 0 and j != num_trunk - 1
+    }
+
+
+def infer_flexible_arch(
+    flax_tree: Dict, use_viewdirs: bool = True
+) -> Dict[str, int]:
+    """Reconstruct ``FlexibleNeRFModel`` constructor kwargs from a param tree.
+
+    The reference train scripts pass ONLY encoding/viewdir kwargs to the
+    model constructor, silently dropping ``num_layers`` / ``hidden_size`` /
+    ``skip_connect_every`` from the config (``train_nerf_rgb.py:122-128``) —
+    so a shipped checkpoint's architecture routinely disagrees with the
+    ``config.yml`` sitting next to it (all 7 ``pretrained/`` scenes declare
+    8x256 while the weights hold the 4x128 constructor defaults). The
+    checkpoint is the truth: this reads the Dense kernel shapes and returns
+    the ``{num_layers, hidden_size, skip_connect_every}`` that reproduce
+    them (encoding kwargs ARE honored by the reference, so those stay with
+    the config).
+    """
+    p = flax_tree["params"] if "params" in flax_tree else flax_tree
+    names = sorted(p.keys(), key=lambda n: int(n.rsplit("_", 1)[1]))
+    kshapes = [tuple(np.shape(p[n]["kernel"])) for n in names]
+    n = len(names)
+    num_trunk = (n - 5) if use_viewdirs else (n - 2)
+    if num_trunk < 0:
+        raise ValueError(
+            f"param tree has {n} Dense layers — too few for a "
+            f"FlexibleNeRFModel with use_viewdirs={use_viewdirs}"
+        )
+    hidden = int(kshapes[0][1])
+    # trunk layer j is Dense_{1+j}; a skip layer's input is hidden + dim_xyz
+    skips = {j for j in range(num_trunk) if kshapes[1 + j][0] != hidden}
+    num_layers = num_trunk + 1
+    if not skips:
+        # any period that never fires inside the trunk; num_layers + 1 is
+        # always > num_trunk - 2 so no j>0 multiple lands in range
+        skip_every = num_layers + 1
+    else:
+        skip_every = min(skips)
+        if _skip_positions(num_trunk, skip_every) != skips:
+            raise ValueError(
+                f"skip layers at trunk positions {sorted(skips)} do not "
+                "match any periodic skip_connect_every"
+            )
+    return {
+        "num_layers": num_layers,
+        "hidden_size": hidden,
+        "skip_connect_every": skip_every,
+    }
+
+
 def _torch_adam_moment_trees(imported: Dict, use_viewdirs: bool = True):
     """Rebuild per-model (mu, nu) flax trees from a reference Adam state.
 

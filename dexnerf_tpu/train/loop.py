@@ -17,6 +17,7 @@ host handles logging, validation renders, and checkpointing.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass
@@ -292,7 +293,6 @@ def maybe_fused_render_impl(cfg: CfgNode, settings):
     if not bool(flag):
         return None
     from dexnerf_tpu.models import FlexibleNeRFModel
-    from dexnerf_tpu.ops import make_fused_render_rays
 
     coarse, fine = models_from_cfg(cfg)
     if not isinstance(coarse, FlexibleNeRFModel) or not coarse.use_viewdirs:
@@ -300,22 +300,108 @@ def maybe_fused_render_impl(cfg: CfgNode, settings):
     if fine is not None and not isinstance(fine, FlexibleNeRFModel):
         return None
     cdt = str(_get(cfg.nerf, "pallas_compute_dtype", "bfloat16"))
-    return make_fused_render_rays(
+    # memoized so repeated calls (one per validation) return the SAME
+    # closure object — _validate_render_fn keys its jit cache on it
+    return _fused_render_impl_cached(
         coarse,
         fine,
         settings,
         # render block default 8192: the round-3 chip sweep measured
         # 215.7 / 204.1 / 202.6 ms/frame at blocks 1024 / 4096 / 8192
-        block_samples=int(
+        int(
             _get(
                 cfg.nerf,
                 "pallas_render_block_samples",
                 _get(cfg.nerf, "pallas_block_samples", 8192),
             )
         ),
-        compute_dtype=jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,
-        interpret=jax.default_backend() == "cpu",
+        jnp.bfloat16 if cdt == "bfloat16" else jnp.float32,
+        jax.default_backend() == "cpu",
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_render_impl_cached(
+    coarse, fine, settings, block_samples, compute_dtype, interpret
+):
+    from dexnerf_tpu.ops import make_fused_render_rays
+
+    return make_fused_render_rays(
+        coarse,
+        fine,
+        settings,
+        block_samples=block_samples,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+
+def align_cfg_models_to_checkpoint(cfg: CfgNode, imported: Dict) -> CfgNode:
+    """Reconcile ``cfg.models.*`` with a reference checkpoint's ACTUAL
+    architecture (in place; returns ``cfg``).
+
+    The reference silently ignores ``num_layers``/``hidden_size``/
+    ``skip_connect_every`` from config when constructing its models
+    (``train_nerf_rgb.py:122-128``), so every shipped ``pretrained/``
+    scene's ``config.yml`` declares 8x256 while its ``.ckpt`` holds the
+    4x128 constructor defaults. We honor config for FRESH models (that
+    reference bug is fixed on purpose) — but when loading a reference
+    ``.ckpt`` the weights are the truth: this infers each model's real
+    architecture from the imported tree and updates the config block to
+    match (warning when it changes), so everything built FROM the config
+    downstream — apply fns, the fused Pallas kernels, export — agrees
+    with the parameters.
+    """
+    import warnings
+
+    from dexnerf_tpu.train.checkpoints import (
+        _skip_positions,
+        infer_flexible_arch,
+    )
+
+    use_vd = bool(cfg.nerf.use_viewdirs)
+    was_frozen = cfg.is_frozen()
+    changed = []
+    for name in ("coarse", "fine"):
+        tree = imported.get(name)
+        blk = _get(cfg.models, name, None)
+        if tree is None or blk is None:
+            continue
+        if str(_get(blk, "type", "FlexibleNeRFModel")) != "FlexibleNeRFModel":
+            continue
+        arch = infer_flexible_arch(tree, use_vd)
+        cfg_layers = int(_get(blk, "num_layers", 4))
+        cfg_hidden = int(_get(blk, "hidden_size", 128))
+        cfg_skip = int(_get(blk, "skip_connect_every", 4))
+        same = (
+            cfg_layers == arch["num_layers"]
+            and cfg_hidden == arch["hidden_size"]
+            and _skip_positions(cfg_layers - 1, cfg_skip)
+            == _skip_positions(
+                arch["num_layers"] - 1, arch["skip_connect_every"]
+            )
+        )
+        if same:
+            continue
+        if cfg.is_frozen():
+            cfg.defrost()
+        for k, v in arch.items():
+            setattr(blk, k, int(v))
+        changed.append(
+            f"models.{name}: {cfg_layers}x{cfg_hidden} (skip {cfg_skip}) "
+            f"-> {arch['num_layers']}x{arch['hidden_size']} "
+            f"(skip {arch['skip_connect_every']})"
+        )
+    if changed:
+        warnings.warn(
+            "checkpoint architecture overrides the config (the reference "
+            "ignores these config knobs, train_nerf_rgb.py:122-128): "
+            + "; ".join(changed),
+            stacklevel=2,
+        )
+        if was_frozen:
+            cfg.freeze()
+    return cfg
 
 
 def setup_models(cfg: CfgNode, seed: int):
@@ -337,6 +423,57 @@ def setup_models(cfg: CfgNode, seed: int):
         params["fine"] = fine.init(jax.random.fold_in(key, 1), dummy)
         fine_apply = fine.apply
     return coarse.apply, fine_apply, params
+
+
+@functools.lru_cache(maxsize=16)
+def _validate_render_fn(
+    coarse_fn,
+    fine_fn,
+    settings,
+    near,
+    far,
+    use_ndc,
+    height,
+    width,
+    focal,
+    block_size,
+    rays_impl,
+):
+    """Jitted full-frame validation render returning ONLY what validate()
+    consumes (unused outputs — notably the [rays, samples] weights — are
+    then dead-code-eliminated instead of materialized). Memoized so repeat
+    validations reuse one compiled program; all keys are hashable (flax
+    apply methods, frozen RenderSettings, the memoized fused-render impl).
+    """
+
+    @jax.jit
+    def run(params, ro, rd):
+        out = render_image(
+            coarse_fn,
+            fine_fn,
+            params,
+            ro,
+            rd,
+            near,
+            far,
+            settings,
+            block_size=block_size,
+            use_ndc=use_ndc,
+            height=height,
+            width=width,
+            focal_length=focal,
+            rays_impl=rays_impl,
+        )
+        r = out.fine if out.fine is not None else out.coarse
+        return {
+            "rgb": r.rgb,
+            "rgb_coarse": out.coarse.rgb,
+            "rgb_fine": None if out.fine is None else out.fine.rgb,
+            "depth": r.depth,
+            "depth_dex": r.depth_dex,
+        }
+
+    return run
 
 
 def validate(
@@ -373,10 +510,6 @@ def validate(
     else:
         ro, rd = get_ray_bundle_c2w(H, W, focal, jnp.asarray(scene.poses[idx]))
 
-    # full-frame validation renders run plain XLA by default (it is the
-    # fastest inference path, docs/PERF_NOTES.md); the fused render kernel
-    # is opt-in via cfg.nerf.use_fused_render
-    coarse_field = fine_field = None
     if mesh is not None:
         from dexnerf_tpu.parallel import render_image_parallel
 
@@ -396,27 +529,34 @@ def validate(
             width=W,
             focal_length=focal,
         )
+        r = out.fine if out.fine is not None else out.coarse
+        slim = {
+            "rgb": r.rgb,
+            "rgb_coarse": out.coarse.rgb,
+            "rgb_fine": None if out.fine is None else out.fine.rgb,
+            "depth": r.depth,
+            "depth_dex": r.depth_dex,
+        }
     else:
-        out = render_image(
+        # one cached jitted program per (models, settings, frame geometry):
+        # run eagerly, a full-frame render costs a remote dispatch per op
+        # and materializes every output (per-sample weights included) —
+        # ~40x slower over the TPU tunnel than the compiled program
+        run = _validate_render_fn(
             coarse_fn,
             fine_fn,
-            params,
-            ro,
-            rd,
+            s_val,
             float(cfg.dataset.near),
             float(cfg.dataset.far),
-            s_val,
-            block_size=block_size,
-            use_ndc=scene.use_ndc,
-            height=H,
-            width=W,
-            focal_length=focal,
-            coarse_field=coarse_field,
-            fine_field=fine_field,
-            rays_impl=maybe_fused_render_impl(cfg, s_val),
+            bool(scene.use_ndc),
+            int(H),
+            int(W),
+            float(focal),
+            int(block_size),
+            maybe_fused_render_impl(cfg, s_val),
         )
+        slim = run(params, ro, rd)
     target = jnp.asarray(scene.images[idx][..., :3])
-    rendered = out.fine if out.fine is not None else out.coarse
 
     # coarse/fine loss split, logged like the reference
     # (train_dexnerf_rgb.py:366-385)
@@ -434,8 +574,8 @@ def validate(
         def _mse(render_rgb):
             return float(jnp.mean((render_rgb - target) ** 2))
 
-    coarse_mse = _mse(out.coarse.rgb)
-    fine_mse = _mse(out.fine.rgb) if out.fine is not None else 0.0
+    coarse_mse = _mse(slim["rgb_coarse"])
+    fine_mse = _mse(slim["rgb_fine"]) if slim["rgb_fine"] is not None else 0.0
     mse = coarse_mse + fine_mse
     metrics: Dict[str, Any] = {
         "loss": mse,
@@ -443,16 +583,16 @@ def validate(
         "fine_loss": fine_mse,
         "psnr": mse2psnr(mse),
         # second standard NeRF quality metric (beyond the reference's PSNR)
-        "ssim": float(ssim(rendered.rgb, target)),
-        "rgb": np.asarray(rendered.rgb),
-        "rgb_coarse": np.asarray(out.coarse.rgb),
-        "depth": np.asarray(rendered.depth),
+        "ssim": float(ssim(slim["rgb"], target)),
+        "rgb": np.asarray(slim["rgb"]),
+        "rgb_coarse": np.asarray(slim["rgb_coarse"]),
+        "depth": np.asarray(slim["depth"]),
         "target": np.asarray(target),
         "index": idx,
     }
 
-    if dex and rendered.depth_dex is not None:
-        metrics["depth_dex"] = np.asarray(rendered.depth_dex)  # [T, H, W]
+    if dex and slim["depth_dex"] is not None:
+        metrics["depth_dex"] = np.asarray(slim["depth_dex"])  # [T, H, W]
         metrics["m_thres_cand"] = tuple(s_val.m_thres_cand)
 
     if scene.depths is not None:
@@ -463,8 +603,8 @@ def validate(
         mask = (gt > 0) & (gt < valid_max)
         metrics["depth_gt"] = np.asarray(gt)
         metrics["depth_mask"] = np.asarray(mask)
-        if dex and rendered.depth_dex is not None:
-            depth_dex = np.asarray(rendered.depth_dex)  # [T, H, W]
+        if dex and slim["depth_dex"] is not None:
+            depth_dex = np.asarray(slim["depth_dex"])  # [T, H, W]
             errs = []
             for t in range(depth_dex.shape[0]):
                 err = compute_err_metric(
@@ -481,7 +621,7 @@ def validate(
             metrics["err4"] = errs[best]["depth_err4"]
         else:
             err = compute_err_metric(
-                jnp.asarray(gt), jnp.asarray(rendered.depth), jnp.asarray(mask)
+                jnp.asarray(gt), jnp.asarray(slim["depth"]), jnp.asarray(mask)
             )
             metrics.update(err)
     return metrics
@@ -615,6 +755,19 @@ def run_training(
     seed = int(_get(cfg.experiment, "randomseed", 42))
     np.random.seed(seed)
 
+    imported_ref = None
+    if load_ckpt and str(load_ckpt).endswith(".ckpt"):
+        # reference PyTorch checkpoint: import ONCE, up front, so the
+        # config's model blocks are reconciled with the checkpoint's
+        # actual architecture before anything — apply fns, fused kernels,
+        # the logdir config snapshot — is built from them
+        from dexnerf_tpu.train.checkpoints import import_torch_checkpoint
+
+        imported_ref = import_torch_checkpoint(
+            load_ckpt, use_viewdirs=bool(cfg.nerf.use_viewdirs)
+        )
+        cfg = align_cfg_models_to_checkpoint(cfg, imported_ref)
+
     if scene is None:
         scene = load_scene(cfg)
 
@@ -686,13 +839,16 @@ def run_training(
     if load_ckpt:
         if str(load_ckpt).endswith(".ckpt"):
             # reference PyTorch checkpoint: params + Adam moments + iter
+            # (imported up front, before setup_models — see imported_ref)
             from dexnerf_tpu.train.checkpoints import (
                 build_opt_state_from_torch,
                 import_torch_checkpoint,
             )
 
             use_vd = bool(cfg.nerf.use_viewdirs)
-            imported = import_torch_checkpoint(load_ckpt, use_viewdirs=use_vd)
+            imported = imported_ref or import_torch_checkpoint(
+                load_ckpt, use_viewdirs=use_vd
+            )
             new_params = {"coarse": imported["coarse"]}
             if imported["fine"] is not None and "fine" in state.params:
                 new_params["fine"] = imported["fine"]

@@ -386,3 +386,72 @@ def test_eval_test_set_messytable_depth_metrics(tmp_path):
     assert {"psnr", "ssim", "depth_abs_err", "depth_rmse"} <= set(row)
     assert row["depth_abs_err"] > 0  # untrained model: real mm error
     assert "depth_rmse" in report["mean"]
+
+
+def test_eval_dataset_free_reference_ckpt(tmp_path):
+    """apps.eval renders a reference .ckpt WITHOUT the training dataset on
+    disk (blender path): render poses synthesize from the checkpoint's own
+    H/W/focal — and the declared-vs-actual architecture mismatch every
+    shipped pretrained config carries is reconciled from the weights."""
+    pytest.importorskip("torch")
+    import yaml
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train.checkpoints import export_torch_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    def cfg_dict(layers, hidden):
+        blk = {"type": "FlexibleNeRFModel", "num_layers": layers,
+               "hidden_size": hidden, "num_encoding_fn_xyz": 2,
+               "num_encoding_fn_dir": 1}
+        return {
+            "experiment": {"id": "e", "logdir": str(tmp_path),
+                           "randomseed": 1, "train_iters": 1,
+                           "validate_every": 1, "save_every": 1,
+                           "print_every": 1},
+            "dataset": {"type": "blender",
+                        "basedir": str(tmp_path / "missing_dataset"),
+                        "near": 2.0, "far": 6.0, "no_ndc": True},
+            "models": {"coarse": dict(blk), "fine": dict(blk)},
+            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {"num_random_rays": 8, "chunksize": 64,
+                          "perturb": True, "num_coarse": 3, "num_fine": 3,
+                          "white_background": False,
+                          "radiance_field_noise_std": 0.0,
+                          "lindisp": False},
+                "validation": {"chunksize": 64, "perturb": False,
+                               "num_coarse": 3, "num_fine": 3,
+                               "white_background": False,
+                               "radiance_field_noise_std": 0.0,
+                               "lindisp": False},
+            },
+        }
+
+    # weights are 2x16 — written from a MATCHING config
+    src_cfg_path = str(tmp_path / "src.yml")
+    with open(src_cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict(2, 16), f)
+    _, _, params = setup_models(load_config(src_cfg_path), 1)
+    ckpt = str(tmp_path / "checkpoint00005.ckpt")
+    export_torch_checkpoint(ckpt, params, step=5, hwf=(12, 12, 15.0))
+
+    # eval config DECLARES 8x256 (the shipped pretrained quirk) and points
+    # at a dataset that does not exist
+    eval_cfg_path = str(tmp_path / "eval.yml")
+    with open(eval_cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict(8, 256), f)
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", eval_cfg_path, "--checkpoint", ckpt,
+        "--savedir", savedir, "--num-poses", "2", "--platform", "cpu",
+    ])
+    assert rc == 0
+    import imageio.v2 as imageio
+
+    img = imageio.imread(os.path.join(savedir, "0000.png"))
+    assert img.shape[:2] == (12, 12)
+    assert os.path.exists(os.path.join(savedir, "0001.png"))

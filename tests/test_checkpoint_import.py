@@ -619,3 +619,139 @@ def test_export_pose_opt_checkpoint(tmp_path):
     assert "optimizer_state_dict" in ck
     # moments exported from the MODEL partition, torch index-keyed
     assert len(ck["optimizer_state_dict"]["state"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Architecture inference: the checkpoint is the truth
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "num_layers,hidden,skip,use_viewdirs",
+    [
+        (4, 32, 4, True),    # the reference's silent defaults: no skip fires
+        (8, 64, 4, True),    # the paper shape: skip at trunk position 4
+        (6, 16, 2, True),    # multiple skips (trunk 2 and... 2 only; 4=last-1)
+        (4, 32, 4, False),   # no-viewdirs head
+        (9, 16, 3, True),    # skips at 3 and 6
+    ],
+)
+def test_infer_flexible_arch_roundtrip(num_layers, hidden, skip, use_viewdirs):
+    """infer_flexible_arch reconstructs an architecture whose param tree is
+    shape-identical to the one it was read from."""
+    import jax
+
+    from dexnerf_tpu.train.checkpoints import infer_flexible_arch
+
+    def shapes(m):
+        x = jnp.zeros((1, DIM_XYZ + (DIM_DIR if use_viewdirs else 0)))
+        tree = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x))
+        return jax.tree.map(lambda a: a.shape, tree)
+
+    kw = dict(
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+        use_viewdirs=use_viewdirs,
+    )
+    src = FlexibleNeRFModel(
+        num_layers=num_layers, hidden_size=hidden,
+        skip_connect_every=skip, **kw,
+    )
+    params = src.init(
+        jnp.asarray(np.zeros(2, np.uint32)),
+        jnp.zeros((1, DIM_XYZ + (DIM_DIR if use_viewdirs else 0))),
+    )
+    arch = infer_flexible_arch(params, use_viewdirs)
+    assert arch["num_layers"] == num_layers
+    assert arch["hidden_size"] == hidden
+    rebuilt = FlexibleNeRFModel(**arch, **kw)
+    assert shapes(rebuilt) == shapes(src)
+
+
+def test_align_cfg_models_to_pretrained_quirk(tmp_path):
+    """A reference pretrained dir's config declares 8x256 but its checkpoint
+    holds the constructor defaults (the reference DROPS those config knobs,
+    train_nerf_rgb.py:122-128). Loading must trust the weights: after
+    align_cfg_models_to_checkpoint, config-built apply fns accept the
+    imported params."""
+    import warnings
+
+    import yaml
+
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train.loop import (
+        align_cfg_models_to_checkpoint,
+        setup_models,
+    )
+
+    rng = np.random.RandomState(3)
+    ckpt_path = str(tmp_path / "checkpoint00100.ckpt")
+    torch.save(
+        {
+            "iter": 100,
+            "model_coarse_state_dict": _random_state_dict(rng),
+            "model_fine_state_dict": _random_state_dict(rng),
+            "optimizer_state_dict": {},
+            "loss": 0.5,
+            "psnr": 20.0,
+        },
+        ckpt_path,
+    )
+    # config declares the PAPER architecture, like every shipped
+    # pretrained/*/config.yml — the weights above are 4 x HID(32)
+    model_blk = {
+        "type": "FlexibleNeRFModel", "num_layers": 8, "hidden_size": 256,
+        "skip_connect_every": 4, "num_encoding_fn_xyz": 4,
+        "num_encoding_fn_dir": 2, "use_viewdirs": True,
+    }
+    cfg_dict = {
+        "experiment": {"id": "e", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": "none", "near": 2.0,
+                    "far": 6.0, "no_ndc": True},
+        "models": {"coarse": dict(model_blk), "fine": dict(model_blk)},
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 8, "chunksize": 64, "perturb": True,
+                      "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfgpath = str(tmp_path / "cfg.yml")
+    with open(cfgpath, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    cfg = load_config(cfgpath)
+
+    imported = import_torch_checkpoint(ckpt_path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = align_cfg_models_to_checkpoint(cfg, imported)
+    assert any("overrides the config" in str(x.message) for x in w)
+    assert int(cfg.models.coarse.num_layers) == NUM_LAYERS
+    assert int(cfg.models.coarse.hidden_size) == HID
+    assert int(cfg.models.fine.hidden_size) == HID
+
+    coarse_fn, fine_fn, _ = setup_models(cfg, 1)
+    x = jnp.zeros((4, DIM_XYZ + DIM_DIR))
+    out = coarse_fn(imported["coarse"], x)       # no ScopeParamShapeError
+    assert out.shape == (4, 4)
+    out_f = fine_fn(imported["fine"], x)
+    assert out_f.shape == (4, 4)
+
+    # a MATCHING config is left untouched and warns nothing
+    cfg2 = load_config(cfgpath)
+    cfg2.models.coarse.num_layers = NUM_LAYERS
+    cfg2.models.coarse.hidden_size = HID
+    cfg2.models.fine.num_layers = NUM_LAYERS
+    cfg2.models.fine.hidden_size = HID
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        align_cfg_models_to_checkpoint(cfg2, imported)
+    assert not any("overrides the config" in str(x.message) for x in w2)
