@@ -99,6 +99,53 @@ def build_parser() -> argparse.ArgumentParser:
         "candidate",
     )
     p.add_argument(
+        "--occupancy",
+        type=float,
+        default=None,
+        metavar="SIGMA",
+        help="empty-space skipping: bake a σ > SIGMA occupancy grid from "
+        "the checkpoint once, then tighten each ray's [near, far] to its "
+        "occupied span before sampling — the sample budget concentrates "
+        "where matter is, so --samples can be cut 2-4x at BETTER "
+        "quality. Pick SIGMA far below the surface threshold so "
+        "semi-transparent fringe stays inside the interval: ~0.2 "
+        "measured best on the shipped scenes (52.9 dB vs converged at "
+        "64+64, vs 37.7 dB at σ=2). World-space scenes only (not "
+        "NDC/llff)",
+    )
+    p.add_argument(
+        "--occupancy-resolution", type=int, default=128,
+        help="occupancy grid resolution per axis",
+    )
+    p.add_argument(
+        "--occupancy-radius", type=float, default=1.5,
+        help="half-extent of the occupancy cube around --occupancy-center",
+    )
+    p.add_argument(
+        "--occupancy-center", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+        help="world-space center of the occupancy cube",
+    )
+    p.add_argument(
+        "--occupancy-dilate", type=int, default=1,
+        help="binary dilation rounds on the baked grid (safety margin)",
+    )
+    p.add_argument(
+        "--occupancy-probes", type=int, default=128,
+        help="fixed probe count per ray for interval tightening",
+    )
+    p.add_argument(
+        "--occupancy-subsample", type=int, default=2,
+        help="probe every Nth pixel per axis and propagate intervals "
+        "conservatively (the grid gather dominates tightening cost); "
+        "1 probes every ray",
+    )
+    p.add_argument(
+        "--samples", type=int, nargs=2, default=None,
+        metavar=("COARSE", "FINE"),
+        help="override nerf.validation.num_coarse/num_fine for this "
+        "render (the speed lever --occupancy makes safe)",
+    )
+    p.add_argument(
         "--test-set",
         action="store_true",
         help="render the dataset's held-out TEST views instead of the "
@@ -246,10 +293,54 @@ def main(argv=None) -> int:
             f"pointcloud: σ-threshold depth at m={cands[pc_thres_idx]} "
             f"(nearest to requested {args.pointcloud_threshold})"
         )
+    if args.samples is not None:
+        import dataclasses
+
+        s_val = dataclasses.replace(
+            s_val,
+            num_coarse=int(args.samples[0]),
+            num_fine=int(args.samples[1]),
+        )
+        print(f"sample counts overridden: {s_val.num_coarse} coarse + "
+              f"{s_val.num_fine} fine")
     # cfg.nerf.use_pallas: fully fused PE->MLP->compositing render kernel
     from dexnerf_tpu.train.loop import maybe_fused_render_impl
 
     rays_impl = maybe_fused_render_impl(cfg, s_val)
+
+    occupancy = None
+    if args.occupancy is not None:
+        if scene.use_ndc:
+            raise SystemExit(
+                "--occupancy is world-space; NDC (llff) scenes "
+                "reparameterize the frustum — unsupported"
+            )
+        from dexnerf_tpu.render import make_mlp_field
+        from dexnerf_tpu.render.occupancy import build_occupancy_grid
+
+        occ_fine = "fine" in params and fine_fn is not None
+        occ_field = make_mlp_field(fine_fn if occ_fine else coarse_fn, s_val)
+        t0 = time.time()
+        occupancy = build_occupancy_grid(
+            occ_field,
+            params["fine"] if occ_fine else params["coarse"],
+            sigma_threshold=float(args.occupancy),
+            center=tuple(args.occupancy_center),
+            radius=float(args.occupancy_radius),
+            resolution=int(args.occupancy_resolution),
+            dilate=int(args.occupancy_dilate),
+        )
+        frac = occupancy.occupancy_fraction()
+        print(
+            f"occupancy grid {args.occupancy_resolution}^3 (σ > "
+            f"{args.occupancy}) baked in {time.time() - t0:.1f}s — "
+            f"{100.0 * frac:.1f}% occupied"
+        )
+        if frac == 0.0:
+            print(
+                "WARNING: grid is empty — no tightening will happen; "
+                "lower --occupancy or move --occupancy-center/radius"
+            )
     intrinsics = None
     test_indices = None
     test_intrinsics = None
@@ -329,6 +420,9 @@ def main(argv=None) -> int:
             width=W,
             focal_length=focal,
             rays_impl=rays_impl,
+            occupancy=occupancy,
+            occupancy_probes=int(args.occupancy_probes),
+            occupancy_subsample=int(args.occupancy_subsample),
         )
         r = out.fine if out.fine is not None else out.coarse
         res = {"rgb": r.rgb}

@@ -1,5 +1,12 @@
 """Hierarchical NeRF renderer (fused XLA coarse→fine pipeline)."""
 
+from dexnerf_tpu.render.occupancy import (
+    OccupancyGrid,
+    build_occupancy_grid,
+    eval_sigma_grid,
+    tighten_image_intervals,
+    tighten_ray_intervals,
+)
 from dexnerf_tpu.render.renderer import (
     FieldFn,
     ModelFn,
@@ -14,6 +21,11 @@ from dexnerf_tpu.render.renderer import (
 )
 
 __all__ = [
+    "OccupancyGrid",
+    "build_occupancy_grid",
+    "eval_sigma_grid",
+    "tighten_image_intervals",
+    "tighten_ray_intervals",
     "FieldFn",
     "ModelFn",
     "RayBatch",

@@ -287,6 +287,9 @@ def render_image(
     coarse_field: Optional[FieldFn] = None,
     fine_field: Optional[FieldFn] = None,
     rays_impl=None,
+    occupancy=None,
+    occupancy_probes: int = 128,
+    occupancy_subsample: int = 2,
 ) -> RenderResult:
     """Render a full [H, W] ray bundle by mapping over fixed-size ray blocks.
 
@@ -299,6 +302,12 @@ def render_image(
     — e.g. the fully fused PE→MLP→compositing Pallas renderer
     (``dexnerf_tpu.ops.fused_render.make_fused_render_rays``); it receives
     ``(params, block: RayBatch, key|None)`` and returns a RenderResult.
+
+    ``occupancy`` (an :class:`~dexnerf_tpu.render.occupancy.OccupancyGrid`)
+    tightens each ray's ``[near, far]`` to its occupied span before
+    sampling — empty-space skipping that benefits the XLA path AND the
+    fused kernel (both sample ``rays.near/far``). World-space only (NDC
+    reparameterizes the frustum, so occupancy + ``use_ndc`` raises).
     """
     img_shape = ray_directions.shape[:-1]
     rays = make_ray_batch(
@@ -311,6 +320,40 @@ def render_image(
         width=width,
         focal_length=focal_length,
     )
+    if occupancy is not None:
+        if use_ndc:
+            raise ValueError(
+                "occupancy-guided sampling is world-space; NDC rays are "
+                "reparameterized (nerf_helpers.py:172-199) — disable one"
+            )
+        from dexnerf_tpu.render.occupancy import (
+            tighten_image_intervals,
+            tighten_ray_intervals,
+        )
+
+        if len(img_shape) == 2:
+            # full frame: probe every `occupancy_subsample`-th pixel and
+            # propagate conservatively (the grid gather is the cost)
+            t_near, t_far = tighten_image_intervals(
+                occupancy,
+                rays.origins,
+                rays.directions,
+                rays.near,
+                rays.far,
+                img_shape,
+                num_probes=occupancy_probes,
+                subsample=occupancy_subsample,
+            )
+        else:
+            t_near, t_far = tighten_ray_intervals(
+                occupancy,
+                rays.origins,
+                rays.directions,
+                rays.near,
+                rays.far,
+                num_probes=occupancy_probes,
+            )
+        rays = rays._replace(near=t_near, far=t_far)
     n = rays.origins.shape[0]
     num_blocks = -(-n // block_size)
     pad = num_blocks * block_size - n
