@@ -88,6 +88,20 @@ def build_parser() -> argparse.ArgumentParser:
         "metric mask limit, default 1.25 m)",
     )
     p.add_argument(
+        "--occupancy",
+        type=float,
+        default=None,
+        metavar="SIGMA",
+        help="occupancy-guided training: bake a σ > SIGMA occupancy grid "
+        "from the in-progress field (at cfg.nerf.train.occupancy_start_"
+        "iter, re-baked every occupancy_rebake_every iters) and tighten "
+        "every stored ray's [near, far] to its occupied span, so the "
+        "sample budget concentrates where matter is (pair with smaller "
+        "num_coarse/num_fine for speed); overrides "
+        "cfg.nerf.train.occupancy. World-space scenes only (not NDC). "
+        "Use a σ far below the scene's surface threshold (~0.2)",
+    )
+    p.add_argument(
         "--max-iters", type=int, default=None, help="override train_iters"
     )
     p.add_argument(
@@ -150,6 +164,7 @@ def main(argv=None) -> int:
         steps_per_call=args.steps_per_call,
         pose_opt=args.pose_opt or None,
         depth_loss_weight=args.depth_loss,
+        occupancy=args.occupancy,
     )
     print(
         f"done: {out['rays_per_sec']:.0f} rays/s, "

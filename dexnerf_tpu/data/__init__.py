@@ -18,6 +18,8 @@ from dexnerf_tpu.data.pipeline import (
     build_ray_store_from_cache,
     sample_ray_batch,
     sample_ray_batch_per_image,
+    take_ray_batch,
+    with_full_intervals,
 )
 from dexnerf_tpu.data.synthetic import (
     analytic_field,
@@ -40,6 +42,8 @@ __all__ = [
     "build_ray_store_from_cache",
     "sample_ray_batch",
     "sample_ray_batch_per_image",
+    "take_ray_batch",
+    "with_full_intervals",
     "analytic_field",
     "make_synthetic_scene",
     "render_analytic_image",

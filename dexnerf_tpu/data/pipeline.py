@@ -39,7 +39,7 @@ from dexnerf_tpu.render.renderer import RayBatch
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "depth"),
+    data_fields=("data", "depth", "intervals"),
     meta_fields=("near", "far", "rays_per_image"),
 )
 @dataclasses.dataclass(frozen=True)
@@ -54,13 +54,20 @@ class RayStore:
     ``depth`` optionally carries per-ray ground-truth depth [N] (meters) —
     present when the dataset has GT depth maps (messytable, synthetic) and
     depth supervision is requested (``nerf.train.depth_loss_weight``).
-    """
+
+    ``intervals`` optionally carries PER-RAY integration bounds [N, 2]
+    (near, far) that override the scene scalars at batch-gather time —
+    occupancy-guided training (``render/occupancy.py``) re-tightens them
+    periodically from the in-progress density field so the fixed sample
+    budget lands where matter is. ``None`` keeps the scalar bounds (and
+    the exact reference semantics)."""
 
     data: jnp.ndarray  # [N, 12]: ro(3) rd(3) viewdir(3) rgb(3)
     near: float
     far: float
     rays_per_image: int = 0
     depth: Optional[jnp.ndarray] = None  # [N] GT depth (meters) or None
+    intervals: Optional[jnp.ndarray] = None  # [N, 2] per-ray (near, far)
 
     @property
     def num_rays(self) -> int:
@@ -223,10 +230,9 @@ def sample_ray_batch(
     enabling depth supervision does not perturb the ray stream.
     """
     idx = jax.random.randint(key, (batch_size,), 0, store.num_rays)
-    rows = jnp.take(store.data, idx, axis=0)
     if return_depth:
-        return (*_rows_to_batch(store, rows), _take_depth(store, idx))
-    return _rows_to_batch(store, rows)
+        return (*take_ray_batch(store, idx), _take_depth(store, idx))
+    return take_ray_batch(store, idx)
 
 
 def sample_ray_batch_per_image(
@@ -241,10 +247,9 @@ def sample_ray_batch_per_image(
     img = jax.random.randint(k_img, (), 0, store.num_images)
     pix = jax.random.randint(k_pix, (batch_size,), 0, store.rays_per_image)
     idx = img * store.rays_per_image + pix
-    rows = jnp.take(store.data, idx, axis=0)
     if return_depth:
-        return (*_rows_to_batch(store, rows), _take_depth(store, idx))
-    return _rows_to_batch(store, rows)
+        return (*take_ray_batch(store, idx), _take_depth(store, idx))
+    return take_ray_batch(store, idx)
 
 
 def _take_depth(store: RayStore, idx: jnp.ndarray) -> jnp.ndarray:
@@ -256,16 +261,45 @@ def _take_depth(store: RayStore, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(store.depth, idx, axis=0)
 
 
-def _rows_to_batch(
-    store: RayStore, rows: jnp.ndarray
+def take_ray_batch(
+    store: RayStore, idx: jnp.ndarray
 ) -> Tuple[RayBatch, jnp.ndarray]:
+    """Gather rows ``idx`` into a RayBatch (jit-safe). Per-ray bounds come
+    from ``store.intervals`` when present, else the scene scalars."""
+    rows = jnp.take(store.data, idx, axis=0)
     n = rows.shape[0]
     dtype = rows.dtype
+    if store.intervals is not None:
+        iv = jnp.take(store.intervals, idx, axis=0)
+        near, far = iv[:, 0].astype(dtype), iv[:, 1].astype(dtype)
+    else:
+        near = jnp.full((n,), store.near, dtype=dtype)
+        far = jnp.full((n,), store.far, dtype=dtype)
     rays = RayBatch(
         origins=rows[:, 0:3],
         directions=rows[:, 3:6],
         viewdirs=rows[:, 6:9],
-        near=jnp.full((n,), store.near, dtype=dtype),
-        far=jnp.full((n,), store.far, dtype=dtype),
+        near=near,
+        far=far,
     )
     return rays, rows[:, 9:12]
+
+
+def with_full_intervals(store: RayStore) -> RayStore:
+    """Attach explicit per-ray ``intervals`` equal to the scene scalars.
+
+    Occupancy-guided training installs this BEFORE the first step so the
+    store's pytree structure (and therefore the compiled train step) never
+    changes when the first grid bake replaces the values — a mid-run
+    retrace costs minutes on the remote-TPU backend."""
+    if store.intervals is not None:
+        return store
+    n = store.num_rays
+    iv = jnp.stack(
+        [
+            jnp.full((n,), store.near, jnp.float32),
+            jnp.full((n,), store.far, jnp.float32),
+        ],
+        axis=-1,
+    )
+    return dataclasses.replace(store, intervals=jax.device_put(iv))

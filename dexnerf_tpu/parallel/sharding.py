@@ -99,9 +99,9 @@ def make_parallel_train_step(
 
     if index_to_batch is None:
         def index_to_batch(params, store, idx):
-            from dexnerf_tpu.data.pipeline import _rows_to_batch
+            from dexnerf_tpu.data.pipeline import take_ray_batch
 
-            return _rows_to_batch(store, jnp.take(store.data, idx, axis=0))
+            return take_ray_batch(store, idx)
 
     def local_grads(params, store, key):
         if sampling == "per_image":

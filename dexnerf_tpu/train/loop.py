@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Any, Dict, Optional
 
 import jax
@@ -718,6 +718,7 @@ def run_training(
     steps_per_call: Optional[int] = None,
     pose_opt: Optional[bool] = None,
     depth_loss_weight: Optional[float] = None,
+    occupancy: Optional[float] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
 
@@ -742,6 +743,18 @@ def run_training(
     (``cfg.optimizer.pose_lr``, default 1e-3) and always take the XLA
     render path (the fused kernels' zero-ray-cotangent contract excludes
     them).
+
+    ``occupancy`` (or ``cfg.nerf.train.occupancy``) > 0 enables
+    occupancy-guided training: a σ > threshold occupancy grid is baked
+    from the in-progress field at ``occupancy_start_iter`` and every
+    ``occupancy_rebake_every`` iterations after, and every stored ray's
+    ``[near, far]`` is tightened to its occupied span (misses keep the
+    full interval), so the fixed per-ray sample budget concentrates
+    where matter is — a smaller ``num_coarse``/``num_fine`` then buys
+    speed without the quality cost (measured for rendering in
+    docs/PERF_NOTES.md "Occupancy-guided rendering"). World-space only
+    (not NDC), device-resident store only, exclusive with pose
+    refinement.
 
     ``depth_loss_weight`` (or ``cfg.nerf.train.depth_loss_weight``) > 0
     adds GT-depth supervision on the rendered expected depth — the
@@ -993,6 +1006,87 @@ def run_training(
             "store resident for data-parallel training, or scale scenes "
             "with apps.multiscene)"
         )
+
+    # Occupancy-guided training (beyond parity; render/occupancy.py): bake
+    # a σ-occupancy grid from the in-progress field periodically and
+    # tighten every stored ray's [near, far] to its occupied span, so the
+    # fixed per-ray sample budget lands where matter is.
+    occ_sigma = float(
+        occupancy
+        if occupancy is not None
+        else (_get(cfg.nerf.train, "occupancy", 0.0) or 0.0)
+    )
+    occ_rebake = None
+    occ_every = 0
+    occ_next = 0
+    last_occ_frac: Optional[float] = None
+    if occ_sigma > 0.0:
+        if scene.use_ndc:
+            raise ValueError(
+                "occupancy-guided training is world-space; NDC (llff) "
+                "scenes reparameterize the frustum — unsupported"
+            )
+        if pose_opt:
+            raise ValueError(
+                "occupancy-guided training and pose refinement are "
+                "mutually exclusive (the pose store holds camera-frame "
+                "rays whose world-space intervals move with the poses)"
+            )
+        if host_rows is not None:
+            raise ValueError(
+                "occupancy-guided training needs the device-resident ray "
+                "store (dataset.host_store: false)"
+            )
+        from dexnerf_tpu.data.pipeline import with_full_intervals
+        from dexnerf_tpu.render import make_mlp_field
+        from dexnerf_tpu.render.occupancy import (
+            build_occupancy_grid,
+            tighten_store_intervals,
+        )
+
+        occ_next = int(_get(cfg.nerf.train, "occupancy_start_iter", 500))
+        occ_every = int(_get(cfg.nerf.train, "occupancy_rebake_every", 1000))
+        occ_res = int(_get(cfg.nerf.train, "occupancy_resolution", 128))
+        occ_radius = float(_get(cfg.nerf.train, "occupancy_radius", 1.5))
+        occ_center = tuple(
+            float(c)
+            for c in _get(cfg.nerf.train, "occupancy_center", (0.0,) * 3)
+        )
+        occ_dilate = int(_get(cfg.nerf.train, "occupancy_dilate", 1))
+        occ_probes = int(_get(cfg.nerf.train, "occupancy_probes", 64))
+        # install full-scalar intervals BEFORE the first step: the store's
+        # pytree structure (and so the compiled train step) never changes
+        # when the first bake swaps the values in — a mid-run retrace
+        # costs minutes on the remote-TPU backend
+        store = with_full_intervals(store)
+
+        # the field closure is built ONCE: the bake's compiled lattice
+        # evaluator is cached per field-function object (a fresh closure
+        # per re-bake would recompile every time — minutes on the
+        # remote-TPU backend)
+        occ_use_fine = "fine" in params and fine_fn is not None
+        occ_field = make_mlp_field(
+            fine_fn if occ_use_fine else coarse_fn, s_train
+        )
+
+        def occ_rebake(params):
+            grid = build_occupancy_grid(
+                occ_field,
+                params["fine" if occ_use_fine else "coarse"],
+                sigma_threshold=occ_sigma,
+                center=occ_center,
+                radius=occ_radius,
+                resolution=occ_res,
+                dilate=occ_dilate,
+            )
+            iv = tighten_store_intervals(
+                grid,
+                store.data,
+                store.near,
+                store.far,
+                num_probes=occ_probes,
+            )
+            return grid.occupancy_fraction(), iv
     # orthogonal step knobs, config keys with kwarg overrides
     # (reference-semantics sampling: train_nerf_rgb.py:222-241)
     sampling = sampling or str(_get(cfg.nerf.train, "sampling", "uniform"))
@@ -1165,6 +1259,22 @@ def run_training(
             state, metrics = train_step(state, store, sub)
             last = min(i + steps_per_call, train_iters) - 1
 
+            if occ_rebake is not None and last + 1 >= occ_next:
+                frac, iv = occ_rebake(state.params)
+                store = dc_replace(store, intervals=iv)
+                occ_next = last + 1 + occ_every
+                last_occ_frac = frac
+                shrink = 1.0 - float(jnp.mean(iv[:, 1] - iv[:, 0])) / (
+                    store.far - store.near
+                )
+                logger.scalars(
+                    {
+                        "train/occ_fraction": frac,
+                        "train/occ_interval_shrink": shrink,
+                    },
+                    last,
+                )
+
             if _crosses(i, last, print_every) or last == train_iters - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics = metrics
@@ -1228,6 +1338,11 @@ def run_training(
         ckpt_mngr.close()
     logger.close()
     extra: Dict[str, Any] = {}
+    if last_occ_frac is not None:
+        extra["occ_fraction"] = last_occ_frac
+        extra["occ_interval_shrink"] = 1.0 - float(
+            jnp.mean(store.intervals[:, 1] - store.intervals[:, 0])
+        ) / (store.far - store.near)
     if pose_opt:
         from dexnerf_tpu.train.pose_opt import refined_c2w
 

@@ -25,10 +25,22 @@ def run_convergence(
     seed: int = 0,
     batch: int = 1024,
     quiet: bool = False,
+    samples: int = 32,
+    occupancy: float = 0.0,
+    occupancy_start: int = 500,
+    occupancy_rebake: int = 500,
 ) -> float:
     """Train the synthetic scene through one compute path and return the
     final holdout PSNR (dB). ``path``: "xla" | "fused" (Pallas field
-    kernels) | "fused_loss" (combined loss+gradients kernel)."""
+    kernels) | "fused_loss" (combined loss+gradients kernel).
+
+    ``samples`` sets the per-pass budget (coarse == fine == samples;
+    default 32+32 — the recorded quality bands' configuration).
+    ``occupancy`` > 0 enables occupancy-guided training (σ threshold;
+    grid re-baked from the in-progress fine field every
+    ``occupancy_rebake`` iters after ``occupancy_start``) — the A/B is
+    time-to-quality at a REDUCED ``samples`` vs the full-interval
+    default budget."""
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +63,7 @@ def run_convergence(
     test_img, test_pose = images[-1], poses[-1]
     enc_xyz, enc_dir = 6, 4
     settings = RenderSettings(
-        num_coarse=32, num_fine=32, perturb=True,
+        num_coarse=int(samples), num_fine=int(samples), perturb=True,
         radiance_field_noise_std=0.0,
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
@@ -97,16 +109,67 @@ def run_convergence(
         model.apply, model.apply, tx, settings, batch,
         coarse_field=cf, fine_field=ff, fused_loss=fused_loss,
     )
+    occ_rebake = None
+    if occupancy > 0.0:
+        from dexnerf_tpu.data import with_full_intervals
+        from dexnerf_tpu.render import build_occupancy_grid, make_mlp_field
+        from dexnerf_tpu.render.occupancy import tighten_store_intervals
+
+        store = with_full_intervals(store)
+        occ_field = make_mlp_field(model.apply, settings)
+
+        def occ_rebake(params):
+            # radius 2.5: the synthetic blobs' σ > 0.5 tails reach ~2.3
+            # from the origin (densities 40-60, sigmoid-8 falloff) — a
+            # grid cube that clips real matter BIASES training, exactly
+            # like the render-side fringe finding (docs/PERF_NOTES.md)
+            grid = build_occupancy_grid(
+                occ_field, params["fine"],
+                sigma_threshold=float(occupancy), radius=2.5,
+                resolution=64, dilate=1,
+            )
+            return grid.occupancy_fraction(), tighten_store_intervals(
+                grid, store.data, store.near, store.far, num_probes=64
+            )
+
     t0 = time.time()
     final_psnr = 0.0
     for i in range(iters + 1):
         key, sub = jax.random.split(key)
         state, metrics = step(state, store, sub)
+        if (
+            occ_rebake is not None
+            and i >= occupancy_start
+            and (i - occupancy_start) % occupancy_rebake == 0
+        ):
+            import dataclasses
+
+            frac, iv = occ_rebake(state.params)
+            store = dataclasses.replace(store, intervals=iv)
+            if not quiet:
+                shrink = 1.0 - float(jnp.mean(iv[:, 1] - iv[:, 0])) / (
+                    store.far - store.near
+                )
+                print(
+                    f"iter {i}: occupancy re-bake — {100 * frac:.1f}% "
+                    f"occupied, mean interval shrink {100 * shrink:.1f}%",
+                    flush=True,
+                )
         if i % 500 == 0 or i == iters:
             ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
+            # holdout renders always at the 32+32 reference budget so a
+            # reduced TRAIN budget (--samples, the occupancy A/B) is
+            # scored on field quality, not on eval sample count
+            eval_settings = settings.eval_variant()
+            if int(samples) != 32:
+                import dataclasses as _dc
+
+                eval_settings = _dc.replace(
+                    eval_settings, num_coarse=32, num_fine=32
+                )
             out = render_image(
                 model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
-                settings.eval_variant(), block_size=4096,
+                eval_settings, block_size=4096,
             )
             mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
             final_psnr = mse2psnr(mse)
@@ -141,6 +204,17 @@ def main() -> int:
         "(ops/fused_train_loss) — quality-parity check for the "
         "single-program fwd+bwd path",
     )
+    p.add_argument(
+        "--samples", type=int, default=32,
+        help="per-pass sample budget (coarse == fine == SAMPLES)",
+    )
+    p.add_argument(
+        "--occupancy", type=float, default=0.0, metavar="SIGMA",
+        help="occupancy-guided training: σ threshold for the periodic "
+        "grid re-bake + store interval tightening (0 = off); A/B "
+        "time-to-quality against the full-interval default at a "
+        "reduced --samples",
+    )
     args = p.parse_args()
 
     path = (
@@ -148,7 +222,7 @@ def main() -> int:
     )
     psnr = run_convergence(
         path=path, dtype=args.dtype, iters=args.iters, seed=args.seed,
-        batch=args.batch,
+        batch=args.batch, samples=args.samples, occupancy=args.occupancy,
     )
     print(f"DONE holdout_psnr={psnr:.2f}")
     return 0
