@@ -32,20 +32,38 @@ _SPHERES = (
     ((0.9, 0.9, 0.0), 0.5, (0.2, 0.4, 0.9), 60.0),
 )
 
+# A budget-starved variant: SMALL blobs in a WIDE [near, far] range, so a
+# reduced per-ray sample budget genuinely undersamples unless the
+# integration intervals are tightened (the occupancy-guided-training A/B
+# scene — with 16 coarse samples over [2, 10] the spacing is 0.5, wider
+# than the 0.22 blob, so the coarse pass can step straight over it). The
+# default scene's blobs span most of its [2, 6] range and cannot
+# discriminate sample budgets (measured: 16+16 matches 32+32 within the
+# seed band there).
+SPARSE_SPHERES = (
+    ((0.0, 0.1, 0.0), 0.35, (0.9, 0.3, 0.2), 60.0),
+    ((0.7, -0.4, 0.4), 0.22, (0.2, 0.5, 0.9), 80.0),
+)
 
-def analytic_field(pts: jnp.ndarray) -> jnp.ndarray:
+
+def analytic_field(
+    pts: jnp.ndarray, spheres=None, falloff: float = 8.0
+) -> jnp.ndarray:
     """Map points [..., 3] to raw radiance-field logits [..., 4].
 
-    Each sphere contributes density ``d * sigmoid(8 * (r - |p - c|))`` — a
-    smooth solid blob an MLP can fit. Outputs are *logits* (pre-sigmoid rgb,
-    pre-relu σ) so they can be fed straight into the compositor.
+    Each sphere contributes density ``d * sigmoid(falloff * (r - |p - c|))``
+    — a smooth solid blob an MLP can fit. Outputs are *logits* (pre-sigmoid
+    rgb, pre-relu σ) so they can be fed straight into the compositor.
+    ``spheres`` defaults to the standard scene (``_SPHERES``).
     """
     rgb_accum = jnp.zeros((*pts.shape[:-1], 3))
     sigma = jnp.zeros(pts.shape[:-1])
     total_w = jnp.zeros(pts.shape[:-1])
-    for center, radius, albedo, density in _SPHERES:
+    for center, radius, albedo, density in (
+        _SPHERES if spheres is None else spheres
+    ):
         dist = jnp.linalg.norm(pts - jnp.asarray(center), axis=-1)
-        inside = jax.nn.sigmoid(8.0 * (radius - dist))
+        inside = jax.nn.sigmoid(float(falloff) * (radius - dist))
         sigma = sigma + density * inside
         rgb_accum = rgb_accum + inside[..., None] * jnp.asarray(albedo)
         total_w = total_w + inside
@@ -63,11 +81,13 @@ def render_analytic_rays(
     near: float = 2.0,
     far: float = 6.0,
     num_samples: int = 128,
+    spheres=None,
+    falloff: float = 8.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth (rgb, depth) of the analytic scene along given rays."""
     t = jnp.linspace(near, far, num_samples)
     pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
-    raw = analytic_field(pts)
+    raw = analytic_field(pts, spheres=spheres, falloff=falloff)
     z = jnp.broadcast_to(t, (*rd.shape[:-1], num_samples))
     out = volume_render_radiance_field(raw, z, rd, white_background=True)
     return np.asarray(out.rgb), np.asarray(out.depth)
@@ -81,10 +101,14 @@ def render_analytic_image(
     near: float = 2.0,
     far: float = 6.0,
     num_samples: int = 128,
+    spheres=None,
+    falloff: float = 8.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth (rgb, depth) of the analytic scene from one pose."""
     ro, rd = get_ray_bundle_c2w(height, width, focal, jnp.asarray(c2w))
-    return render_analytic_rays(ro, rd, near, far, num_samples)
+    return render_analytic_rays(
+        ro, rd, near, far, num_samples, spheres=spheres, falloff=falloff
+    )
 
 
 def make_synthetic_scene(
@@ -95,6 +119,10 @@ def make_synthetic_scene(
     near: float = 2.0,
     far: float = 6.0,
     seed: int = 0,
+    cam_radius: float = 4.0,
+    spheres=None,
+    falloff: float = 8.0,
+    num_gt_samples: int = 128,
 ):
     """Posed ground-truth views of the analytic scene.
 
@@ -106,11 +134,15 @@ def make_synthetic_scene(
     thetas = np.linspace(-180, 180, num_views, endpoint=False)
     phis = -30.0 + rng.uniform(-10, 10, size=num_views)
     poses = np.stack(
-        [pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)], 0
+        [pose_spherical(t, p, float(cam_radius)) for t, p in zip(thetas, phis)],
+        0,
     )
     images, depths = [], []
     for c2w in poses:
-        rgb, depth = render_analytic_image(c2w, height, width, focal, near, far)
+        rgb, depth = render_analytic_image(
+            c2w, height, width, focal, near, far,
+            num_samples=num_gt_samples, spheres=spheres, falloff=falloff,
+        )
         images.append(rgb)
         depths.append(depth)
     return (

@@ -29,6 +29,7 @@ def run_convergence(
     occupancy: float = 0.0,
     occupancy_start: int = 500,
     occupancy_rebake: int = 500,
+    scene: str = "default",
 ) -> float:
     """Train the synthetic scene through one compute path and return the
     final holdout PSNR (dB). ``path``: "xla" | "fused" (Pallas field
@@ -40,7 +41,12 @@ def run_convergence(
     grid re-baked from the in-progress fine field every
     ``occupancy_rebake`` iters after ``occupancy_start``) — the A/B is
     time-to-quality at a REDUCED ``samples`` vs the full-interval
-    default budget."""
+    default budget.
+
+    ``scene``: "default" (blobs spanning most of [2, 6] — cannot
+    discriminate sample budgets; the quality-band scene) or "sparse"
+    (small blobs in a wide [2, 10] — a reduced budget undersamples
+    unless the intervals are tightened; the occupancy A/B scene)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,8 +63,23 @@ def run_convergence(
     )
 
     H = W = 64
+    near, far = 2.0, 6.0
+    scene_kwargs = {}
+    occ_grid_radius = 2.5
+    if scene == "sparse":
+        from dexnerf_tpu.data.synthetic import SPARSE_SPHERES
+
+        near, far = 2.0, 10.0
+        scene_kwargs = dict(
+            cam_radius=4.5, spheres=SPARSE_SPHERES, falloff=12.0,
+            num_gt_samples=256, focal=2.0 * W,
+        )
+        # blobs + σ>0.2 tails fit in ~1.7 world units; 2.0 is conservative
+        occ_grid_radius = 2.0
+    elif scene != "default":
+        raise ValueError(f"unknown scene {scene!r}")
     images, depths, poses, hwf = make_synthetic_scene(
-        num_views=12, height=H, width=W
+        num_views=12, height=H, width=W, near=near, far=far, **scene_kwargs
     )
     test_img, test_pose = images[-1], poses[-1]
     enc_xyz, enc_dir = 6, 4
@@ -66,6 +87,12 @@ def run_convergence(
         num_coarse=int(samples), num_fine=int(samples), perturb=True,
         radiance_field_noise_std=0.0,
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
+        # the analytic GT composites on WHITE; the sparse scene is ~80%
+        # background, so the training compositor must match it (the
+        # default scene keeps False to preserve the recorded band
+        # trajectories — its blobs dominate the frame and it converges
+        # regardless)
+        white_background=(scene == "sparse"),
     )
     model = FlexibleNeRFModel(
         num_layers=6, hidden_size=128, skip_connect_every=3,
@@ -78,7 +105,7 @@ def run_convergence(
         "coarse": model.init(key, jnp.ones((1, in_dim))),
         "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
     }
-    store = build_ray_store(images[:-1], poses[:-1], hwf, 2.0, 6.0)
+    store = build_ray_store(images[:-1], poses[:-1], hwf, near, far)
     tx = make_optimizer(5e-3, lr_decay=50, lr_decay_factor=0.1)
     state = init_train_state(params, tx)
     cf = ff = None
@@ -110,6 +137,7 @@ def run_convergence(
         coarse_field=cf, fine_field=ff, fused_loss=fused_loss,
     )
     occ_rebake = None
+    occ_grid = None  # latest baked grid; also tightens the holdout render
     if occupancy > 0.0:
         from dexnerf_tpu.data import with_full_intervals
         from dexnerf_tpu.render import build_occupancy_grid, make_mlp_field
@@ -119,18 +147,19 @@ def run_convergence(
         occ_field = make_mlp_field(model.apply, settings)
 
         def occ_rebake(params):
-            # radius 2.5: the synthetic blobs' σ > 0.5 tails reach ~2.3
-            # from the origin (densities 40-60, sigmoid-8 falloff) — a
-            # grid cube that clips real matter BIASES training, exactly
-            # like the render-side fringe finding (docs/PERF_NOTES.md)
+            # grid radius must cover the blobs' σ > threshold TAILS
+            # (default scene: ~2.3 from the origin at sigmoid-8 falloff)
+            # — a grid cube that clips real matter BIASES training,
+            # exactly like the render-side fringe finding (PERF_NOTES)
             grid = build_occupancy_grid(
                 occ_field, params["fine"],
-                sigma_threshold=float(occupancy), radius=2.5,
+                sigma_threshold=float(occupancy), radius=occ_grid_radius,
                 resolution=64, dilate=1,
             )
-            return grid.occupancy_fraction(), tighten_store_intervals(
+            iv = tighten_store_intervals(
                 grid, store.data, store.near, store.far, num_probes=64
             )
+            return grid, iv
 
     t0 = time.time()
     final_psnr = 0.0
@@ -144,7 +173,8 @@ def run_convergence(
         ):
             import dataclasses
 
-            frac, iv = occ_rebake(state.params)
+            occ_grid, iv = occ_rebake(state.params)
+            frac = occ_grid.occupancy_fraction()
             store = dataclasses.replace(store, intervals=iv)
             if not quiet:
                 shrink = 1.0 - float(jnp.mean(iv[:, 1] - iv[:, 0])) / (
@@ -157,19 +187,26 @@ def run_convergence(
                 )
         if i % 500 == 0 or i == iters:
             ro, rd = get_ray_bundle_c2w(H, W, hwf[2], jnp.asarray(test_pose))
-            # holdout renders always at the 32+32 reference budget so a
-            # reduced TRAIN budget (--samples, the occupancy A/B) is
+            # holdout renders always at a FIXED reference budget (32+32
+            # default scene, 64+64 sparse — its wide interval needs more)
+            # so a reduced TRAIN budget (--samples, the occupancy A/B) is
             # scored on field quality, not on eval sample count
+            eval_nc = 64 if scene == "sparse" else 32
             eval_settings = settings.eval_variant()
-            if int(samples) != 32:
+            if int(samples) != eval_nc:
                 import dataclasses as _dc
 
                 eval_settings = _dc.replace(
-                    eval_settings, num_coarse=32, num_fine=32
+                    eval_settings, num_coarse=eval_nc, num_fine=eval_nc
                 )
+            # occupancy-trained fields are UNSUPERVISED outside their
+            # tightened intervals (no sample ever lands there), so the
+            # holdout render tightens with the same grid — exactly how the
+            # product renders such a checkpoint (apps.eval --occupancy)
             out = render_image(
-                model.apply, model.apply, state.params, ro, rd, 2.0, 6.0,
+                model.apply, model.apply, state.params, ro, rd, near, far,
                 eval_settings, block_size=4096,
+                occupancy=occ_grid,
             )
             mse = float(jnp.mean((out.fine.rgb - jnp.asarray(test_img)) ** 2))
             final_psnr = mse2psnr(mse)
@@ -215,6 +252,12 @@ def main() -> int:
         "time-to-quality against the full-interval default at a "
         "reduced --samples",
     )
+    p.add_argument(
+        "--scene", default="default", choices=["default", "sparse"],
+        help="'sparse' = small blobs in a wide [2, 10] interval, where a "
+        "reduced sample budget undersamples unless occupancy-tightened "
+        "(the occupancy A/B scene)",
+    )
     args = p.parse_args()
 
     path = (
@@ -223,6 +266,7 @@ def main() -> int:
     psnr = run_convergence(
         path=path, dtype=args.dtype, iters=args.iters, seed=args.seed,
         batch=args.batch, samples=args.samples, occupancy=args.occupancy,
+        scene=args.scene,
     )
     print(f"DONE holdout_psnr={psnr:.2f}")
     return 0
