@@ -455,3 +455,91 @@ def test_eval_dataset_free_reference_ckpt(tmp_path):
     img = imageio.imread(os.path.join(savedir, "0000.png"))
     assert img.shape[:2] == (12, 12)
     assert os.path.exists(os.path.join(savedir, "0001.png"))
+
+
+def test_make_dataset_from_ckpt_roundtrip(tmp_path):
+    """tools/make_dataset_from_ckpt.py: a checkpoint's renders become a
+    loadable blender-format dataset (the hermetic real-scene training
+    drive's data generator; reference ships checkpoints but no datasets)."""
+    import json
+
+    import yaml
+
+    sys_tools = os.path.join(os.path.dirname(os.path.dirname(__file__)))
+    import sys
+
+    sys.path.insert(0, os.path.join(sys_tools, "tools"))
+    from make_dataset_from_ckpt import main as mk_main
+
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.data.blender import load_blender_data
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": str(tmp_path / "none"),
+                    "near": 2.0, "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+            "fine": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                     "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                     "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    out = str(tmp_path / "views")
+    rc = mk_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir, "--out", out,
+        "--hwf", "10", "12", "14.0", "--views", "3", "1", "2",
+        "--save-depth", "--platform", "cpu",
+    ])
+    assert rc == 0
+
+    images, poses, render_poses, hwf, i_split = load_blender_data(out)
+    assert images.shape == (6, 10, 12, 3)
+    assert [len(s) for s in i_split] == [3, 1, 2]
+    assert hwf[0] == 10 and hwf[1] == 12
+    assert abs(hwf[2] - 14.0) < 1e-3
+    assert np.isfinite(images).all() and images.min() >= 0.0
+    # poses roundtrip through the JSON as valid c2w (orthonormal rotation)
+    R = poses[0][:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # camera sits on the requested orbit radius
+    np.testing.assert_allclose(
+        np.linalg.norm(poses[0][:3, 3]), 4.0, atol=1e-4
+    )
+    # test-split depth sidecars written
+    assert os.path.exists(os.path.join(out, "test", "d_0.npy"))
+    d = np.load(os.path.join(out, "test", "d_1.npy"))
+    assert d.shape == (10, 12)
+    with open(os.path.join(out, "source.json")) as f:
+        src = json.load(f)
+    assert src["hwf"] == [10, 12, 14.0]

@@ -1,0 +1,223 @@
+"""Render a blender-format multi-view dataset FROM a trained checkpoint.
+
+Turns any checkpoint — ours (orbax) or the reference's shipped pretrained
+``.ckpt`` artifacts (reference ``train_nerf_rgb.py:427-441`` schema) — into
+an on-disk ``transforms_{train,val,test}.json`` + PNG dataset that
+``load_blender_data`` consumes unchanged.
+
+Why: the reference repo ships 7 converged checkpoints but none of the
+datasets they were trained on, so "train a real visually-complex scene end
+to end" cannot be driven from the shipped artifacts alone. This tool closes
+the loop: the checkpoint becomes the scene (its renders ARE posed views of
+a real object), and a fresh model trained on them is scored against
+held-out renders — a hermetic real-imagery training drive, and a general
+field→field distillation data generator (e.g. re-train a smaller/faster
+architecture from a converged big one).
+
+    python tools/make_dataset_from_ckpt.py \
+        --config  .../pretrained/lego-lowres/config.yml \
+        --checkpoint .../pretrained/lego-lowres/checkpoint199999.ckpt \
+        --hwf 400 400 555.555 --out /tmp/lego_views --views 36 4 8
+
+Poses are sampled on the blender spherical orbit (``pose_spherical``,
+reference ``load_blender.py:33-38``): per split, theta covers the full
+circle with a split-specific offset (held-out views sit BETWEEN training
+azimuths) and phi draws uniformly from ``--phi-range`` under a fixed seed.
+``--save-depth`` additionally writes each test view's expected depth as
+``test/d_{k}.npy`` (float32 meters) so depth metrics can score the distilled
+field too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument(
+        "--hwf", type=float, nargs=3, default=None, metavar=("H", "W", "F"),
+        help="frame height/width/focal; defaults to the checkpoint's stored "
+        "geometry when present (the shipped *-lowres scenes carry none — "
+        "pass `--hwf 400 400 555.555`)",
+    )
+    p.add_argument(
+        "--views", type=int, nargs=3, default=(36, 4, 8),
+        metavar=("TRAIN", "VAL", "TEST"),
+        help="views per split",
+    )
+    p.add_argument(
+        "--radius", type=float, default=4.0,
+        help="camera orbit radius (blender lego trains at ~4.0)",
+    )
+    p.add_argument(
+        "--phi-range", type=float, nargs=2, default=(-60.0, -10.0),
+        metavar=("LO", "HI"),
+        help="elevation range in degrees (uniform draws, fixed --seed)",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--samples", type=int, nargs=2, default=None,
+        metavar=("COARSE", "FINE"),
+        help="override nerf.validation.num_coarse/num_fine for the renders",
+    )
+    p.add_argument(
+        "--save-depth", action="store_true",
+        help="also write each test view's expected depth (test/d_{k}.npy)",
+    )
+    p.add_argument(
+        "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
+        help="force a JAX platform (cpu when the TPU tunnel is down)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from dexnerf_tpu.config import load_config, render_settings_from_cfg
+    from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+    from dexnerf_tpu.data.blender import pose_spherical
+    from dexnerf_tpu.render import render_image
+    from dexnerf_tpu.train import latest_checkpoint, restore_checkpoint
+    from dexnerf_tpu.train.loop import maybe_fused_render_impl, setup_models
+
+    cfg = load_config(args.config)
+    imported = None
+    if args.checkpoint.endswith(".ckpt"):
+        # reference PyTorch checkpoint: trust the weights' architecture over
+        # the config's declared-but-ignored knobs (train_nerf_rgb.py:122-128)
+        from dexnerf_tpu.train import import_torch_checkpoint
+        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
+
+        imported = import_torch_checkpoint(args.checkpoint)
+        cfg = align_cfg_models_to_checkpoint(cfg, imported)
+
+    coarse_fn, fine_fn, params = setup_models(
+        cfg, int(cfg.experiment.randomseed)
+    )
+    H = W = focal = None
+    if imported is not None:
+        params = {"coarse": imported["coarse"]}
+        if imported["fine"] is not None:
+            params["fine"] = imported["fine"]
+        if imported.get("height") is not None:
+            H, W = int(imported["height"]), int(imported["width"])
+            focal = float(imported["focal_length"])
+    else:
+        ckpt = args.checkpoint
+        if os.path.isdir(ckpt):
+            resolved = latest_checkpoint(ckpt)
+            if resolved is not None:
+                ckpt = resolved
+        params = restore_checkpoint(ckpt)["params"]
+    if args.hwf is not None:
+        H, W = int(args.hwf[0]), int(args.hwf[1])
+        focal = float(args.hwf[2])
+    if H is None:
+        raise SystemExit(
+            "checkpoint carries no frame geometry: pass --hwf H W FOCAL"
+        )
+
+    s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
+    if args.samples is not None:
+        import dataclasses
+
+        s_val = dataclasses.replace(
+            s_val,
+            num_coarse=int(args.samples[0]),
+            num_fine=int(args.samples[1]),
+        )
+    rays_impl = maybe_fused_render_impl(cfg, s_val)
+    near, far = float(cfg.dataset.near), float(cfg.dataset.far)
+
+    # one compiled program for every frame (eager render_image over the
+    # remote tunnel costs ~60x — docs/PERF_NOTES.md)
+    @jax.jit
+    def render_frame(pose):
+        ro, rd = get_ray_bundle_c2w(H, W, focal, pose)
+        out = render_image(
+            coarse_fn, fine_fn, params, ro, rd, near, far, s_val,
+            rays_impl=rays_impl,
+        )
+        r = out.fine if out.fine is not None else out.coarse
+        return {"rgb": r.rgb, "depth": r.depth}
+
+    rng = np.random.default_rng(args.seed)
+    camera_angle_x = 2.0 * float(np.arctan(0.5 * W / focal))
+    splits = ("train", "val", "test")
+    times = []
+    for si, (split, n) in enumerate(zip(splits, args.views)):
+        frames = []
+        os.makedirs(os.path.join(args.out, split), exist_ok=True)
+        for k in range(int(n)):
+            # full-circle coverage per split; each split's azimuths sit
+            # between the previous split's (offset by si / len(splits) of
+            # one train-view spacing)
+            theta = -180.0 + 360.0 * (k + si / len(splits)) / max(int(n), 1)
+            phi = float(rng.uniform(*args.phi_range))
+            c2w = pose_spherical(theta, phi, float(args.radius))
+            t0 = time.time()
+            res = render_frame(jnp.asarray(c2w))
+            rgb = np.asarray(res["rgb"])
+            times.append(time.time() - t0)
+            rel = f"./{split}/r_{k}"
+            imageio.imwrite(
+                os.path.join(args.out, f"{rel}.png"),
+                (np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8),
+            )
+            if args.save_depth and split == "test":
+                np.save(
+                    os.path.join(args.out, split, f"d_{k}.npy"),
+                    np.asarray(res["depth"], np.float32),
+                )
+            frames.append(
+                {"file_path": rel, "transform_matrix": c2w.tolist()}
+            )
+        with open(
+            os.path.join(args.out, f"transforms_{split}.json"), "w"
+        ) as f:
+            json.dump(
+                {"camera_angle_x": camera_angle_x, "frames": frames}, f
+            )
+        print(f"{split}: {n} views written")
+    with open(os.path.join(args.out, "source.json"), "w") as f:
+        json.dump(
+            {
+                "checkpoint": os.path.abspath(args.checkpoint),
+                "config": os.path.abspath(args.config),
+                "hwf": [H, W, focal],
+                "radius": float(args.radius),
+                "phi_range": list(args.phi_range),
+                "seed": int(args.seed),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        f"dataset at {args.out}: H/W/focal {H}/{W}/{focal:.3f}, "
+        f"avg {np.mean(times):.3f}s/frame"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
