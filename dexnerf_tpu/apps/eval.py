@@ -176,20 +176,14 @@ def main(argv=None) -> int:
     from dexnerf_tpu.config import load_config, render_settings_from_cfg
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w
     from dexnerf_tpu.render import render_image
-    from dexnerf_tpu.train import restore_checkpoint
-    from dexnerf_tpu.train.loop import load_scene, setup_models
+    from dexnerf_tpu.train.loop import (
+        load_eval_params,
+        load_scene,
+        setup_models,
+    )
 
     cfg = load_config(args.config)
-    imported = None
-    if args.checkpoint.endswith(".ckpt"):
-        # reference PyTorch checkpoint; shipped reference configs declare
-        # architectures their checkpoints do not hold (the reference
-        # ignores those knobs) — trust the weights
-        from dexnerf_tpu.train import import_torch_checkpoint
-        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
-
-        imported = import_torch_checkpoint(args.checkpoint)
-        cfg = align_cfg_models_to_checkpoint(cfg, imported)
+    cfg, ck_params, ck_hwf, imported = load_eval_params(cfg, args.checkpoint)
 
     needs_dataset = args.test_set or args.refined_poses
     try:
@@ -199,16 +193,7 @@ def main(argv=None) -> int:
         # carries hwf (reference .ckpts do, eval_nerf.py:147-152) and the
         # path is synthesizable (blender's 40-pose spherical orbit). The
         # reference's eval insists on the full training dataset even then.
-        ckpt_hwf = (
-            [imported["height"], imported["width"], imported["focal_length"]]
-            if imported is not None
-            and all(
-                imported.get(k) is not None
-                for k in ("height", "width", "focal_length")
-            )
-            else None
-        )
-        hwf = args.hwf if args.hwf is not None else ckpt_hwf
+        hwf = args.hwf if args.hwf is not None else ck_hwf
         can_synthesize = (
             imported is not None
             and not needs_dataset
@@ -217,6 +202,13 @@ def main(argv=None) -> int:
         )
         if not can_synthesize:
             if imported is not None and not needs_dataset:
+                if str(cfg.dataset.type).lower() != "blender":
+                    raise SystemExit(
+                        f"dataset at {cfg.dataset.basedir} not found; "
+                        "dataset-free rendering synthesizes the blender "
+                        f"spherical orbit only (this config is "
+                        f"'{cfg.dataset.type}') — restore the dataset"
+                    )
                 raise SystemExit(
                     f"dataset at {cfg.dataset.basedir} not found, and "
                     "dataset-free rendering needs the frame geometry: pass "
@@ -241,34 +233,16 @@ def main(argv=None) -> int:
             render_poses=spherical_render_poses(),
             use_ndc=False,  # blender scenes never use NDC
         )
-    coarse_fn, fine_fn, params = setup_models(
+    coarse_fn, fine_fn, _ = setup_models(
         cfg, int(cfg.experiment.randomseed)
     )
 
     H, W, focal = scene.hwf
-    if imported is not None:
-        params = {"coarse": imported["coarse"]}
-        if imported["fine"] is not None:
-            params["fine"] = imported["fine"]
+    params = ck_params
+    if ck_hwf is not None:
         # hwf override from the checkpoint when present
         # (reference eval_nerf.py:147-152)
-        if imported.get("height") is not None:
-            H = int(imported["height"])
-        if imported.get("width") is not None:
-            W = int(imported["width"])
-        if imported.get("focal_length") is not None:
-            focal = float(imported["focal_length"])
-    else:
-        ckpt = args.checkpoint
-        if os.path.isdir(ckpt):
-            # allow passing the checkpoints directory: pick the latest
-            from dexnerf_tpu.train import latest_checkpoint
-
-            resolved = latest_checkpoint(ckpt)
-            if resolved is not None:
-                ckpt = resolved
-        payload = restore_checkpoint(ckpt)
-        params = payload["params"]
+        H, W, focal = ck_hwf
     if args.hwf is not None:
         H, W, focal = int(args.hwf[0]), int(args.hwf[1]), float(args.hwf[2])
 

@@ -66,35 +66,13 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import jax.numpy as jnp
-
     from dexnerf_tpu.config import load_config, render_settings_from_cfg
     from dexnerf_tpu.render.renderer import make_mlp_field
-    from dexnerf_tpu.train import restore_checkpoint
-    from dexnerf_tpu.train.loop import setup_models
+    from dexnerf_tpu.train.loop import load_eval_params, setup_models
     from dexnerf_tpu.utils.mesh import marching_tetrahedra, write_ply_mesh
 
     cfg = load_config(args.config)
-    if args.checkpoint.endswith(".ckpt"):
-        from dexnerf_tpu.train import import_torch_checkpoint
-        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
-
-        imported = import_torch_checkpoint(args.checkpoint)
-        # shipped reference configs declare architectures their checkpoints
-        # do not hold (the reference ignores those knobs); trust the weights
-        cfg = align_cfg_models_to_checkpoint(cfg, imported)
-        params = {"coarse": imported["coarse"]}
-        if imported["fine"] is not None:
-            params["fine"] = imported["fine"]
-    else:
-        ckpt = args.checkpoint
-        if os.path.isdir(ckpt):
-            from dexnerf_tpu.train import latest_checkpoint
-
-            resolved = latest_checkpoint(ckpt)
-            if resolved is not None:
-                ckpt = resolved
-        params = restore_checkpoint(ckpt)["params"]
+    cfg, params, _, _ = load_eval_params(cfg, args.checkpoint)
     coarse_fn, fine_fn, _ = setup_models(cfg, int(cfg.experiment.randomseed))
 
     s = render_settings_from_cfg(cfg, "validation").eval_variant()
@@ -104,35 +82,19 @@ def main(argv=None) -> int:
     print(f"sampling σ on a {args.resolution}^3 grid "
           f"({'fine' if use_fine else 'coarse'} field)")
 
-    n = args.resolution
-    lin = np.linspace(-args.radius, args.radius, n, dtype=np.float32)
-    spacing = float(lin[1] - lin[0])
-    center = np.asarray(args.center, np.float32)
-    pts = np.stack(
-        np.meshgrid(lin + center[0], lin + center[1], lin + center[2],
-                    indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)
+    from dexnerf_tpu.render.occupancy import eval_sigma_grid
 
-    @jax.jit
-    def sigma_batch(p, block):
-        # σ is view-independent in every model family (the dir branch
-        # feeds rgb only); a fixed +z viewdir satisfies the interface
-        vd = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), block.shape
-        )
-        raw = field(p, block[:, None, :], vd)
-        return jnp.maximum(raw[:, 0, 3], 0.0)  # relu'd σ, like compositing
+    n = args.resolution
+    spacing = 2.0 * float(args.radius) / max(n - 1, 1)
+    center = np.asarray(args.center, np.float32)
 
     t0 = time.time()
-    total = pts.shape[0]
-    bs = int(args.batch)
-    pad = (-total) % bs
-    padded = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-    out = []
-    for i in range(0, padded.shape[0], bs):
-        out.append(np.asarray(sigma_batch(fparams, padded[i:i + bs])))
-    sigma = np.concatenate(out)[:total].reshape(n, n, n)
+    # corner NODES, not cell centers: marching tetrahedra interpolates
+    # between lattice nodes, so the nodes must span the cube inclusively
+    sigma = np.asarray(eval_sigma_grid(
+        field, fparams, center=tuple(center), radius=float(args.radius),
+        resolution=n, batch=int(args.batch), style="corners",
+    ))
     print(f"σ grid in {time.time()-t0:.1f}s (min {sigma.min():.2f}, "
           f"max {sigma.max():.1f}, mean {sigma.mean():.2f})")
 

@@ -159,8 +159,12 @@ class RenderService:
 
         self._frame_rgb = frame_rgb
         self._frame_depth = frame_depth
+        # σ-threshold depth rides the FINE pass only (reference semantics,
+        # renderer.py render_rays): without one, r.depth_dex is None and
+        # the program would crash at trace time
+        has_fine_pass = fine_fn is not None and settings.num_fine > 0
         self._frame_depth_dex = (
-            frame_depth_dex if self.m_thres_cand else None
+            frame_depth_dex if (self.m_thres_cand and has_fine_pass) else None
         )
 
     def warmup(self, verbose: bool = True) -> None:
@@ -183,10 +187,15 @@ class RenderService:
         return np.asarray(pose_spherical(theta, phi, radius), np.float32)
 
     def nearest_threshold(self, m: float) -> int:
-        if not self.m_thres_cand:
+        if self._frame_depth_dex is None:
+            if not self.m_thres_cand:
+                raise ValueError(
+                    "this config defines no dex threshold candidates "
+                    "(nerf.validation.m_thres)"
+                )
             raise ValueError(
-                "this config defines no dex threshold candidates "
-                "(nerf.validation.m_thres)"
+                "σ-threshold depth needs a fine pass (reference semantics): "
+                "set nerf.validation.num_fine > 0 and configure a fine model"
             )
         return int(np.argmin(np.abs(np.asarray(self.m_thres_cand) - m)))
 
@@ -344,43 +353,20 @@ def build_service(args) -> RenderService:
     import dataclasses
 
     from dexnerf_tpu.config import load_config, render_settings_from_cfg
-    from dexnerf_tpu.train import restore_checkpoint
     from dexnerf_tpu.train.loop import (
+        load_eval_params,
         maybe_fused_render_impl,
         setup_models,
     )
 
     cfg = load_config(args.config)
-    imported = None
-    if args.checkpoint.endswith(".ckpt"):
-        from dexnerf_tpu.train import import_torch_checkpoint
-        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
-
-        imported = import_torch_checkpoint(args.checkpoint)
-        cfg = align_cfg_models_to_checkpoint(cfg, imported)
-
-    coarse_fn, fine_fn, params = setup_models(
+    cfg, params, ck_hwf, _ = load_eval_params(cfg, args.checkpoint)
+    coarse_fn, fine_fn, _init_params = setup_models(
         cfg, int(cfg.experiment.randomseed)
     )
     H = W = focal = None
-    if imported is not None:
-        params = {"coarse": imported["coarse"]}
-        if imported["fine"] is not None:
-            params["fine"] = imported["fine"]
-        if imported.get("height") is not None:
-            H, W = int(imported["height"]), int(imported["width"])
-            focal = float(imported["focal_length"])
-    else:
-        ckpt = args.checkpoint
-        import os
-
-        if os.path.isdir(ckpt):
-            from dexnerf_tpu.train import latest_checkpoint
-
-            resolved = latest_checkpoint(ckpt)
-            if resolved is not None:
-                ckpt = resolved
-        params = restore_checkpoint(ckpt)["params"]
+    if ck_hwf is not None:
+        H, W, focal = ck_hwf
     if args.hwf is not None:
         H, W = int(args.hwf[0]), int(args.hwf[1])
         focal = float(args.hwf[2])

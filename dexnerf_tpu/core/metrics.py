@@ -80,12 +80,17 @@ def ssim(
     kv = jnp.tile(w.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
 
     def blur(img):  # [H, W, C] -> [C, H', W'] gaussian-windowed means
+        # HIGHEST precision: TPU convs default to bf16 operands (~3e-3
+        # relative error), which breaks the E[x^2] - mu^2 cancellation below
+        # (c2 itself is only 9e-4) and can push SSIM past 1.0
         t = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
         t = lax.conv_general_dilated(
-            t, kh, (1, 1), "VALID", feature_group_count=c
+            t, kh, (1, 1), "VALID", feature_group_count=c,
+            precision=lax.Precision.HIGHEST,
         )
         t = lax.conv_general_dilated(
-            t, kv, (1, 1), "VALID", feature_group_count=c
+            t, kv, (1, 1), "VALID", feature_group_count=c,
+            precision=lax.Precision.HIGHEST,
         )
         return t[0]
 

@@ -62,15 +62,27 @@ class OccupancyGrid(NamedTuple):
 
 
 @functools.lru_cache(maxsize=8)
-def _lattice_blocks(resolution: int, radius: float, batch: int):
-    """Device-resident, center-free cell-center lattice, blocked for
-    ``lax.map``. Cached: re-bakes (occupancy-guided TRAINING re-bakes every
-    few thousand steps) must not re-upload the 25 MB lattice each time."""
+def _lattice_blocks(
+    resolution: int, radius: float, batch: int, style: str = "centers"
+):
+    """Device-resident, center-free lattice, blocked for ``lax.map``.
+    Cached: re-bakes (occupancy-guided TRAINING re-bakes every few thousand
+    steps) must not re-upload the 25 MB lattice each time.
+
+    ``style="centers"`` samples cell centers (the grid as a volume
+    classifier — the center is the least-biased single probe of a cell);
+    ``style="corners"`` samples the inclusive endpoint lattice
+    (isosurface extraction wants node values at cube corners)."""
     n = int(resolution)
-    spacing = 2.0 * float(radius) / n
-    # cell centers, not corners: the grid is a volume classifier, and the
-    # center is the least-biased single probe of a cell
-    lin = (np.arange(n, dtype=np.float32) + 0.5) * spacing - float(radius)
+    if style == "corners":
+        lin = np.linspace(
+            -float(radius), float(radius), n, dtype=np.float32
+        )
+    elif style == "centers":
+        spacing = 2.0 * float(radius) / n
+        lin = (np.arange(n, dtype=np.float32) + 0.5) * spacing - float(radius)
+    else:
+        raise ValueError(f"unknown lattice style {style!r}")
     pts = np.stack(
         np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1
     ).reshape(-1, 3)
@@ -113,16 +125,19 @@ def eval_sigma_grid(
     radius: float = 1.5,
     resolution: int = 128,
     batch: int = 65536,
+    style: str = "centers",
 ) -> jnp.ndarray:
     """Evaluate relu(σ) on a dense ``resolution³`` lattice, on device.
 
     ``field`` is a renderer ``FieldFn`` (``make_mlp_field``): σ is
     view-independent in every model family (the viewdir branch feeds rgb
     only), so a fixed +z direction satisfies the interface. Returns an
-    [R, R, R] f32 array ordered ``ij`` (x-major), cell CENTERS sampled.
+    [R, R, R] f32 array ordered ``ij`` (x-major); ``style`` picks cell
+    CENTERS (occupancy bakes) or corner NODES (isosurface extraction,
+    ``apps.mesh``) — see ``_lattice_blocks``.
     """
     n = int(resolution)
-    blocks, total = _lattice_blocks(n, float(radius), int(batch))
+    blocks, total = _lattice_blocks(n, float(radius), int(batch), str(style))
     run = _sigma_eval_fn(field)
     sigma = run(params, blocks, jnp.asarray(center, jnp.float32))
     sigma = sigma.reshape(-1)[:total]

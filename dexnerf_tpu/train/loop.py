@@ -404,6 +404,62 @@ def align_cfg_models_to_checkpoint(cfg: CfgNode, imported: Dict) -> CfgNode:
     return cfg
 
 
+def load_eval_params(cfg: CfgNode, checkpoint: str):
+    """Load inference params from either a reference ``.ckpt`` or an orbax
+    checkpoint (file, step dir, or checkpoints dir — latest picked).
+
+    The shared half of every inference entry point (eval / serve / mesh /
+    the dataset and probe tools): for a reference ``.ckpt`` the config's
+    model blocks are reconciled with the checkpoint's ACTUAL architecture
+    first (see :func:`align_cfg_models_to_checkpoint`) so everything built
+    from the config downstream agrees with the weights.
+
+    Returns ``(cfg, params, hwf, imported)`` where ``params`` is
+    ``{"coarse": ..., ["fine": ...]}``, ``hwf`` is ``(H, W, focal)`` when
+    the checkpoint carries frame geometry (reference ``.ckpt``s may,
+    ``eval_nerf.py:147-152``) else ``None``, and ``imported`` is the raw
+    import dict for ``.ckpt`` sources (``None`` for orbax) for callers
+    that need the extra keys (step, Adam moments, ...).
+    """
+    imported = None
+    if str(checkpoint).endswith(".ckpt"):
+        # reference PyTorch checkpoint; shipped reference configs declare
+        # architectures their checkpoints do not hold (the reference
+        # ignores those knobs, train_nerf_rgb.py:122-128) — trust the
+        # weights
+        from dexnerf_tpu.train.checkpoints import import_torch_checkpoint
+
+        imported = import_torch_checkpoint(checkpoint)
+        cfg = align_cfg_models_to_checkpoint(cfg, imported)
+        params = {"coarse": imported["coarse"]}
+        if imported["fine"] is not None:
+            params["fine"] = imported["fine"]
+        hwf = None
+        if all(
+            imported.get(k) is not None
+            for k in ("height", "width", "focal_length")
+        ):
+            hwf = (
+                int(imported["height"]),
+                int(imported["width"]),
+                float(imported["focal_length"]),
+            )
+        return cfg, params, hwf, imported
+
+    from dexnerf_tpu.train.checkpoints import (
+        latest_checkpoint,
+        restore_checkpoint,
+    )
+
+    ckpt = checkpoint
+    if os.path.isdir(ckpt):
+        # allow passing the checkpoints directory: pick the latest
+        resolved = latest_checkpoint(ckpt)
+        if resolved is not None:
+            ckpt = resolved
+    return cfg, restore_checkpoint(ckpt)["params"], None, None
+
+
 def setup_models(cfg: CfgNode, seed: int):
     """Init coarse/fine models + params; returns (apply_c, apply_f, params)."""
     coarse, fine = models_from_cfg(cfg)
@@ -855,13 +911,10 @@ def run_training(
             # (imported up front, before setup_models — see imported_ref)
             from dexnerf_tpu.train.checkpoints import (
                 build_opt_state_from_torch,
-                import_torch_checkpoint,
             )
 
             use_vd = bool(cfg.nerf.use_viewdirs)
-            imported = imported_ref or import_torch_checkpoint(
-                load_ckpt, use_viewdirs=use_vd
-            )
+            imported = imported_ref
             new_params = {"coarse": imported["coarse"]}
             if imported["fine"] is not None and "fine" in state.params:
                 new_params["fine"] = imported["fine"]

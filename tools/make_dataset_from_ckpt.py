@@ -97,38 +97,20 @@ def main(argv=None) -> int:
     from dexnerf_tpu.core.rays import get_ray_bundle_c2w
     from dexnerf_tpu.data.blender import pose_spherical
     from dexnerf_tpu.render import render_image
-    from dexnerf_tpu.train import latest_checkpoint, restore_checkpoint
-    from dexnerf_tpu.train.loop import maybe_fused_render_impl, setup_models
+    from dexnerf_tpu.train.loop import (
+        load_eval_params,
+        maybe_fused_render_impl,
+        setup_models,
+    )
 
     cfg = load_config(args.config)
-    imported = None
-    if args.checkpoint.endswith(".ckpt"):
-        # reference PyTorch checkpoint: trust the weights' architecture over
-        # the config's declared-but-ignored knobs (train_nerf_rgb.py:122-128)
-        from dexnerf_tpu.train import import_torch_checkpoint
-        from dexnerf_tpu.train.loop import align_cfg_models_to_checkpoint
-
-        imported = import_torch_checkpoint(args.checkpoint)
-        cfg = align_cfg_models_to_checkpoint(cfg, imported)
-
-    coarse_fn, fine_fn, params = setup_models(
+    cfg, params, ck_hwf, _ = load_eval_params(cfg, args.checkpoint)
+    coarse_fn, fine_fn, _init_params = setup_models(
         cfg, int(cfg.experiment.randomseed)
     )
     H = W = focal = None
-    if imported is not None:
-        params = {"coarse": imported["coarse"]}
-        if imported["fine"] is not None:
-            params["fine"] = imported["fine"]
-        if imported.get("height") is not None:
-            H, W = int(imported["height"]), int(imported["width"])
-            focal = float(imported["focal_length"])
-    else:
-        ckpt = args.checkpoint
-        if os.path.isdir(ckpt):
-            resolved = latest_checkpoint(ckpt)
-            if resolved is not None:
-                ckpt = resolved
-        params = restore_checkpoint(ckpt)["params"]
+    if ck_hwf is not None:
+        H, W, focal = ck_hwf
     if args.hwf is not None:
         H, W = int(args.hwf[0]), int(args.hwf[1])
         focal = float(args.hwf[2])
@@ -164,15 +146,21 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
     camera_angle_x = 2.0 * float(np.arctan(0.5 * W / focal))
     splits = ("train", "val", "test")
+    # held-out azimuths must sit BETWEEN training azimuths, so each split
+    # offsets by a fraction of the TRAIN-view spacing (offsetting by the
+    # split's own spacing lands val/test azimuths back on train ones
+    # whenever the view counts divide)
+    train_spacing = 360.0 / max(int(args.views[0]), 1)
     times = []
     for si, (split, n) in enumerate(zip(splits, args.views)):
         frames = []
         os.makedirs(os.path.join(args.out, split), exist_ok=True)
         for k in range(int(n)):
-            # full-circle coverage per split; each split's azimuths sit
-            # between the previous split's (offset by si / len(splits) of
-            # one train-view spacing)
-            theta = -180.0 + 360.0 * (k + si / len(splits)) / max(int(n), 1)
+            theta = (
+                -180.0
+                + 360.0 * k / max(int(n), 1)
+                + train_spacing * si / len(splits)
+            )
             phi = float(rng.uniform(*args.phi_range))
             c2w = pose_spherical(theta, phi, float(args.radius))
             t0 = time.time()

@@ -65,9 +65,8 @@ def main():
         make_mlp_field,
         render_image,
     )
-    from dexnerf_tpu.train import import_torch_checkpoint
     from dexnerf_tpu.train.loop import (
-        align_cfg_models_to_checkpoint,
+        load_eval_params,
         models_from_cfg,
         setup_models,
     )
@@ -76,11 +75,9 @@ def main():
     ckpts = sorted(
         f for f in os.listdir(args.scene_dir) if f.endswith(".ckpt")
     )
-    imported = import_torch_checkpoint(os.path.join(args.scene_dir, ckpts[-1]))
-    cfg = align_cfg_models_to_checkpoint(cfg, imported)
-    params = {"coarse": imported["coarse"]}
-    if imported["fine"] is not None:
-        params["fine"] = imported["fine"]
+    cfg, params, _, _ = load_eval_params(
+        cfg, os.path.join(args.scene_dir, ckpts[-1])
+    )
     coarse_fn, fine_fn, _ = setup_models(cfg, 1)
     s_base = render_settings_from_cfg(cfg, "validation").eval_variant()
     near, far = float(cfg.dataset.near), float(cfg.dataset.far)
