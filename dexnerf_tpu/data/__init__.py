@@ -3,6 +3,7 @@ on-device ray pipeline."""
 
 from dexnerf_tpu.data.blender import (
     load_blender_data,
+    load_blender_depths,
     pose_spherical,
     spherical_render_poses,
 )
@@ -31,6 +32,7 @@ from dexnerf_tpu.data.synthetic import (
 
 __all__ = [
     "load_blender_data",
+    "load_blender_depths",
     "pose_spherical",
     "spherical_render_poses",
     "load_llff_data",

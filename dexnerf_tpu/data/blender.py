@@ -63,6 +63,64 @@ def spherical_render_poses(
     return np.stack([pose_spherical(a, phi, radius) for a in angles], 0)
 
 
+def load_blender_depths(
+    basedir: str,
+    testskip: int = 1,
+    half_res: bool = False,
+    debug: bool = False,
+):
+    """Load optional per-view metric-depth sidecars for a blender dataset.
+
+    A frame whose ``file_path`` is ``./split/r_k`` may carry a float32
+    meters sidecar at ``split/d_k.npy`` (``tools/make_dataset_from_ckpt.py
+    --save-depth`` writes them for test views). Returns an ``[N, H, W]``
+    float32 array aligned with ``load_blender_data``'s global view order
+    (zeros where no sidecar exists — downstream masks treat 0 as invalid,
+    reference ``train_nerf_rgb.py:390``), or ``None`` when the dataset
+    carries no sidecars at all. The reference format has no depth channel;
+    this is the extension that lets the Dex-NeRF depth metrics score
+    blender scenes too.
+    """
+    splits = ["train", "val", "test"]
+    per_view, found = [], False
+    for s in splits:
+        with open(os.path.join(basedir, f"transforms_{s}.json"), "r") as fp:
+            meta = json.load(fp)
+        skip = 1 if (s == "train" or testskip == 0) else testskip
+        for frame in meta["frames"][::skip]:
+            rel = frame["file_path"]
+            d, base = os.path.split(rel)
+            sidecar = None
+            if base.startswith("r_"):
+                cand = os.path.join(basedir, d, "d_" + base[2:] + ".npy")
+                if os.path.exists(cand):
+                    sidecar = np.load(cand).astype(np.float32)
+                    found = True
+            per_view.append(sidecar)
+    if not found:
+        return None
+    shape = next(d.shape for d in per_view if d is not None)
+    depths = np.stack(
+        [d if d is not None else np.zeros(shape, np.float32) for d in per_view],
+        0,
+    )
+    if debug:
+        size = (25, 25)
+    elif half_res:
+        size = (shape[1] // 4, shape[0] // 4)
+    else:
+        return depths
+    # nearest-neighbor: averaging metric depth across a resize blends
+    # foreground/background into depths that exist on no surface
+    return np.stack(
+        [
+            cv2.resize(d, dsize=size, interpolation=cv2.INTER_NEAREST)
+            for d in depths
+        ],
+        0,
+    )
+
+
 def load_blender_data(
     basedir: str,
     half_res: bool = False,

@@ -34,7 +34,7 @@ from dexnerf_tpu.config import (
 )
 from dexnerf_tpu.core.encoding import encoding_dim
 from dexnerf_tpu.core.metrics import compute_err_metric, mse2psnr, ssim
-from dexnerf_tpu.data.blender import load_blender_data
+from dexnerf_tpu.data.blender import load_blender_data, load_blender_depths
 from dexnerf_tpu.data.llff import load_llff_data
 from dexnerf_tpu.data.messytable import load_messytable_data
 from dexnerf_tpu.data.pipeline import build_ray_store
@@ -82,6 +82,12 @@ def load_scene(cfg: CfgNode) -> SceneData:
             debug=bool(_get(ds, "debug", False)),
         )
         images = images[..., :3]
+        depths = load_blender_depths(
+            ds.basedir,
+            testskip=int(_get(ds, "testskip", 1)),
+            half_res=bool(_get(ds, "half_res", False)),
+            debug=bool(_get(ds, "debug", False)),
+        )
         return SceneData(
             images=images,
             poses=poses,
@@ -89,6 +95,7 @@ def load_scene(cfg: CfgNode) -> SceneData:
             i_train=i_split[0],
             i_val=i_split[1],
             i_test=i_split[2],
+            depths=depths,
             render_poses=render_poses,
         )
     if dtype == "messytable":
@@ -659,7 +666,14 @@ def validate(
         mask = (gt > 0) & (gt < valid_max)
         metrics["depth_gt"] = np.asarray(gt)
         metrics["depth_mask"] = np.asarray(mask)
-        if dex and slim["depth_dex"] is not None:
+        if not np.any(np.asarray(gt) > 0):
+            # this view carries no GT depth at all (blender sidecars exist
+            # only for test views; absent views are zero-filled) — skip
+            # rather than log NaNs. An empty VALIDITY mask over real data
+            # still computes (NaN) metrics, matching the reference's
+            # unguarded masking (train_nerf_rgb.py:390).
+            pass
+        elif dex and slim["depth_dex"] is not None:
             depth_dex = np.asarray(slim["depth_dex"])  # [T, H, W]
             errs = []
             for t in range(depth_dex.shape[0]):

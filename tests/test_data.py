@@ -281,3 +281,46 @@ def test_messytable_writer_geometry_consistent(tmp_path):
         # alpha-composited expected depth of these soft surfaces; an
         # inconsistent convention measures ~0
         assert med > 1.0, f"view {v}: median sigma {med} at GT depth"
+
+
+def test_blender_depth_sidecars(tmp_path):
+    """Optional per-view depth ``.npy`` sidecars (written by
+    make_dataset_from_ckpt --save-depth) load aligned with the blender
+    view order; views without a sidecar get zeros (= invalid downstream);
+    a dataset with no sidecars returns None."""
+    from dexnerf_tpu.data import load_blender_depths, write_blender_dataset
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=16, width=16, views_per_split=(3, 2, 2))
+    assert load_blender_depths(base) is None
+
+    # sidecars for the two test views only (the distill-bench layout)
+    d0 = np.full((16, 16), 3.25, np.float32)
+    d1 = np.full((16, 16), 4.5, np.float32)
+    np.save(os.path.join(base, "test", "d_0.npy"), d0)
+    np.save(os.path.join(base, "test", "d_1.npy"), d1)
+
+    depths = load_blender_depths(base)
+    assert depths.shape == (7, 16, 16)
+    assert np.all(depths[:5] == 0.0)
+    np.testing.assert_array_equal(depths[5], d0)
+    np.testing.assert_array_equal(depths[6], d1)
+
+    # testskip strides val/test the same way the image loader does
+    strided = load_blender_depths(base, testskip=2)
+    assert strided.shape == (5, 16, 16)  # 3 train + 1 val + 1 test
+    np.testing.assert_array_equal(strided[4], d0)
+
+    # the scene-level loader surfaces them with a correct validity mask
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train.loop import load_scene
+
+    cfg = CfgNode(
+        {"dataset": {"type": "blender", "basedir": base, "near": 2.0,
+                     "far": 6.0, "depth_valid_max": 100.0}}
+    )
+    scene = load_scene(cfg)
+    assert scene.depths is not None
+    assert scene.depths.shape[0] == scene.images.shape[0]
+    i_test = scene.i_test
+    assert np.all(scene.depths[i_test[0]] == 3.25)
