@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
         "eval_nerf.py:196-205)",
     )
     p.add_argument(
+        "--save-depth-confidence", type=float, default=None, metavar="DELTA",
+        help="write per-pixel depth-confidence maps — the weight mass "
+        "within ±DELTA of the expected depth (z-space units: meters for "
+        "world scenes, NDC units for llff) — to <savedir>/confidence/; "
+        "with --test-set the per-image mean joins metrics.json",
+    )
+    p.add_argument(
         "--num-poses", type=int, default=None, help="limit render path length"
     )
     p.add_argument(
@@ -164,6 +171,11 @@ def main(argv=None) -> int:
         raise SystemExit(
             "--test-set scores the held-out views; --refined-poses renders "
             "the train views — pick one"
+        )
+    if args.save_depth_confidence is not None and args.occupancy is not None:
+        raise SystemExit(
+            "--save-depth-confidence reconstructs full-interval z-values; "
+            "--occupancy tightens per-ray intervals — pick one"
         )
 
     import imageio.v2 as imageio
@@ -356,6 +368,8 @@ def main(argv=None) -> int:
         os.makedirs(os.path.join(args.savedir, "disparity_jet"), exist_ok=True)
     if args.save_pointcloud:
         os.makedirs(os.path.join(args.savedir, "pointcloud"), exist_ok=True)
+    if args.save_depth_confidence is not None:
+        os.makedirs(os.path.join(args.savedir, "confidence"), exist_ok=True)
     if args.sg_ir:
         if "sg" not in params:
             raise SystemExit(
@@ -416,6 +430,34 @@ def main(argv=None) -> int:
                 res["depth_dex"] = r.depth_dex[pc_thres_idx]
         if need_rays:
             res["ro"], res["rd"] = ro, rd
+        if args.save_depth_confidence is not None:
+            from dexnerf_tpu.core import depth_confidence
+            from dexnerf_tpu.core.sampling import (
+                hierarchical_z_vals,
+                stratified_z_vals,
+            )
+
+            # eval-time z-values are deterministic (perturb off, det
+            # resample), so they are reconstructable from the coarse
+            # weights — no kernel/API change needed for either path
+            nearb = jnp.full(
+                out.coarse.weights.shape[:-1], near_f,
+                out.coarse.weights.dtype,
+            )
+            z_c = stratified_z_vals(
+                nearb, jnp.full_like(nearb, far_f), s_val.num_coarse,
+                lindisp=s_val.lindisp,
+            )
+            if out.fine is not None:
+                z_w, _ = hierarchical_z_vals(
+                    None, z_c, out.coarse.weights, s_val.num_fine, det=True
+                )
+                w = out.fine.weights
+            else:
+                z_w, w = z_c, out.coarse.weights
+            res["depth_conf"] = depth_confidence(
+                w, z_w, r.depth, float(args.save_depth_confidence)
+            )
         return res
 
     if intrinsics is not None:
@@ -486,6 +528,12 @@ def main(argv=None) -> int:
                     os.path.join(args.savedir, "disparity_jet", f"{i:04d}.png"),
                     apply_jet_colormap(np.clip(disp, 0.0, 2.0) / 2.0),
                 )
+        if args.save_depth_confidence is not None:
+            conf = np.asarray(res["depth_conf"])
+            imageio.imwrite(
+                os.path.join(args.savedir, "confidence", f"{i:04d}.png"),
+                (np.clip(conf, 0.0, 1.0) * 255.0).astype(np.uint8),
+            )
         if args.save_pointcloud:
             from dexnerf_tpu.utils import depth_to_points, write_ply
 
@@ -543,6 +591,10 @@ def main(argv=None) -> int:
                 "psnr": mse2psnr(float(np.mean((rgb - gt) ** 2))),
                 "ssim": float(ssim(rgb, gt)),
             }
+            if args.save_depth_confidence is not None:
+                row["depth_conf"] = float(
+                    np.mean(np.asarray(res["depth_conf"]))
+                )
             if scene.depths is not None:
                 d_gt = np.asarray(scene.depths[idx], np.float32)
                 valid_max = float(

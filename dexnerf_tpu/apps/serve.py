@@ -157,8 +157,46 @@ class RenderService:
             # stack never crosses the (slow, remote) host link
             return jnp.take(r.depth_dex, thres_idx, axis=0)
 
+        @jax.jit
+        def frame_depth_conf(pose, delta):
+            from dexnerf_tpu.core import depth_confidence
+            from dexnerf_tpu.core.sampling import (
+                hierarchical_z_vals,
+                stratified_z_vals,
+            )
+
+            ro, rd = get_ray_bundle_c2w(self.H, self.W, self.focal, pose)
+            out = render_image(
+                coarse_fn, fine_fn, params, ro, rd, near, far, settings,
+                use_ndc=use_ndc, height=self.H, width=self.W,
+                focal_length=self.focal, rays_impl=rays_impl,
+            )
+            r = out.fine if out.fine is not None else out.coarse
+            # serve renders deterministically (eval settings), so the
+            # z-values are reconstructable from the coarse weights
+            nearb = jnp.full(
+                out.coarse.weights.shape[:-1], near,
+                out.coarse.weights.dtype,
+            )
+            z_c = stratified_z_vals(
+                nearb, jnp.full_like(nearb, far), settings.num_coarse,
+                lindisp=settings.lindisp,
+            )
+            if out.fine is not None:
+                z_w, _ = hierarchical_z_vals(
+                    None, z_c, out.coarse.weights, settings.num_fine,
+                    det=True,
+                )
+                w = out.fine.weights
+            else:
+                z_w, w = z_c, out.coarse.weights
+            return r.depth, depth_confidence(w, z_w, r.depth, delta)
+
         self._frame_rgb = frame_rgb
         self._frame_depth = frame_depth
+        # confidence reconstructs full-interval z-values; occupancy
+        # tightens per-ray intervals, so the two are mutually exclusive
+        self._frame_depth_conf = frame_depth_conf if occupancy is None else None
         # σ-threshold depth rides the FINE pass only (reference semantics,
         # renderer.py render_rays): without one, r.depth_dex is None and
         # the program would crash at trace time
@@ -221,6 +259,20 @@ class RenderService:
             self.renders_served += 1
         return d
 
+    def render_depth_conf(self, pose: np.ndarray, delta: float):
+        if self._frame_depth_conf is None:
+            raise ValueError(
+                "depth confidence reconstructs full-interval z-values and "
+                "is unavailable with --occupancy interval tightening"
+            )
+        with self.lock:
+            t0 = time.time()
+            d, c = self._frame_depth_conf(pose, np.float32(delta))
+            d, c = np.asarray(d), np.asarray(c)
+            self.last_render_s = time.time() - t0
+            self.renders_served += 1
+        return d, c
+
     def info(self) -> dict:
         return {
             "status": "ok",
@@ -231,6 +283,7 @@ class RenderService:
             "num_fine": int(self.settings.num_fine),
             "m_thres_cand": list(self.m_thres_cand),
             "occupancy": self.occupancy is not None,
+            "depth_confidence": self._frame_depth_conf is not None,
             "renders_served": self.renders_served,
             "last_render_s": self.last_render_s,
         }
@@ -312,6 +365,25 @@ def make_http_server(service: RenderService, host: str, port: int):
                         self._reply(
                             200, "application/octet-stream", _npy_bytes(d)
                         )
+                    else:
+                        self._json(400, {"error": f"unknown format {fmt!r}"})
+                elif u.path == "/confidence":
+                    delta = float(q.get("delta", ["0.05"])[0])
+                    d, c = service.render_depth_conf(_angles(q), delta)
+                    fmt = q.get("format", ["npz"])[0]
+                    if fmt == "npz":
+                        buf = io.BytesIO()
+                        np.savez(
+                            buf,
+                            depth=d.astype(np.float32),
+                            confidence=c.astype(np.float32),
+                        )
+                        self._reply(
+                            200, "application/octet-stream", buf.getvalue()
+                        )
+                    elif fmt == "png":
+                        gray = (np.clip(c, 0.0, 1.0) * 255.0).astype(np.uint8)
+                        self._reply(200, "image/png", _png_bytes(gray / 255.0))
                     else:
                         self._json(400, {"error": f"unknown format {fmt!r}"})
                 else:

@@ -35,6 +35,7 @@ from dexnerf_tpu.core.volrend import (
     VolumeRenderOutputs,
     cumprod_exclusive,
     ray_dists,
+    depth_confidence,
     sigma_threshold_depth,
     sigma_to_weights,
     volume_render_radiance_field,
@@ -67,6 +68,7 @@ __all__ = [
     "VolumeRenderOutputs",
     "cumprod_exclusive",
     "ray_dists",
+    "depth_confidence",
     "sigma_threshold_depth",
     "sigma_to_weights",
     "volume_render_radiance_field",

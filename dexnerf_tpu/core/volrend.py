@@ -149,3 +149,32 @@ def volume_render_radiance_field(
         depth=depth_map,
         depth_dex=depth_dex,
     )
+
+
+def depth_confidence(
+    weights: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    depth: jnp.ndarray,
+    delta: float,
+) -> jnp.ndarray:
+    """Per-ray confidence of a depth estimate: the weight mass within
+    ``±delta`` of ``depth`` along the ray.
+
+    ``weights`` [..., S] and ``z_vals`` [..., S] are the compositing
+    weights and their sample depths; ``depth`` [...] is the depth map being
+    trusted (expected depth or a Dex-NeRF σ-threshold depth — both live in
+    ``z_vals``' space, so for NDC scenes ``delta`` is in NDC units).
+
+    The value is UNNORMALIZED — it compounds coverage (the accumulation
+    map) with concentration: an empty ray scores ~0, a diffuse/multimodal
+    weight distribution (the transparent-object failure mode Dex-NeRF
+    exists for, where expected depth averages across surfaces that exist
+    nowhere) scores the fraction of mass actually near the reported
+    surface, and a sharp opaque hit scores ~1. Divide by
+    ``accumulation`` to measure concentration alone. Beyond-parity: the
+    reference ships no confidence signal with its depth maps
+    (``volume_rendering_utils.py:45-62``); grasp planners consuming
+    metric depth need one to reject unreliable pixels.
+    """
+    near = jnp.abs(z_vals - depth[..., None]) <= delta
+    return jnp.sum(weights * near.astype(weights.dtype), axis=-1)

@@ -555,8 +555,17 @@ def _field_parts(rays_per_block: int, samples_per_ray: int) -> int:
 
 def _ray_blocking(block_samples: int, N: int, S: int):
     """(block, pad, rays_per_block) with the block a multiple of S so the
-    per-ray dirs input tiles cleanly."""
+    per-ray dirs input tiles cleanly.
+
+    With more than one grid block, Mosaic requires the per-ray block dim
+    be a multiple of 8 (sublane tiling) — ``block_samples // S`` is not
+    one whenever S doesn't divide the budget (e.g. the hotdog config's
+    64+128 fine pass, S=192): round DOWN to the multiple of 8, with a
+    floor of 8 (the floor can exceed the nominal sample budget; Mosaic's
+    constraint wins over the knob)."""
     rays_per_block = max(1, min(block_samples // S, N))
+    if rays_per_block < N:
+        rays_per_block = max(8, (rays_per_block // 8) * 8)
     block = rays_per_block * S
     pad = (-N * S) % block
     return block, pad, rays_per_block

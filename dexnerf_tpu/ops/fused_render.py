@@ -48,6 +48,7 @@ from dexnerf_tpu.ops.fused_mlp import (
     _num_biases,
     _num_mats,
     _pe_in_kernel,
+    _ray_blocking,
     split_flex_params,
 )
 
@@ -267,9 +268,9 @@ def make_fused_render(
         total = N * S
         T = len(thresholds)
 
-        rays_per_block = max(1, min(block_samples // S, N))
-        block = rays_per_block * S
-        pad = (-total) % block
+        # shared blocking rule (multiple-of-8 ray blocks when grid > 1 —
+        # Mosaic sublane constraint; e.g. S=192 configs)
+        block, pad, rays_per_block = _ray_blocking(block_samples, N, S)
         n_ray_pad = (total + pad) // S
         # the most interleaved ray-parts whose [Rp, S] tiles keep >= 8
         # sublane rows (see the kernel comment / PERF_NOTES "interleave")

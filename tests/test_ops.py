@@ -574,3 +574,22 @@ def test_fused_loss_pallas_resample_matches_xla_resample():
     np.testing.assert_allclose(float(lx), float(lp), atol=1e-6)
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ray_blocking_mosaic_sublane_rule():
+    """Ray blocks must be multiples of 8 whenever the grid exceeds one
+    block (Mosaic sublane constraint) — regression for the S=192 (64+128
+    fine pass, e.g. the hotdog config) crash where 8192//192=42 rays/block
+    failed TPU lowering."""
+    from dexnerf_tpu.ops.fused_mlp import _ray_blocking
+
+    for S in (64, 128, 192, 96, 65):
+        for budget in (1024, 4096, 8192):
+            for N in (7, 8, 160000):
+                block, pad, rpb = _ray_blocking(budget, N, S)
+                assert block == rpb * S
+                assert (N * S + pad) % block == 0
+                n_blocks = (N * S + pad) // block
+                if n_blocks > 1:
+                    assert rpb % 8 == 0, (S, budget, N, rpb)
+                assert rpb >= 1

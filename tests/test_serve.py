@@ -92,6 +92,10 @@ def server(tmp_path_factory):
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    # stash artifact paths for tests that build a second (no-occupancy)
+    # service from the same checkpoint
+    service.test_cfg_path = str(cfg_path)
+    service.test_ckpt_dir = str(tmp / "serve" / "checkpoints")
     yield base, service
     httpd.shutdown()
     httpd.server_close()
@@ -189,3 +193,82 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
+
+
+def test_confidence_unavailable_with_occupancy(server):
+    # the module server runs with --occupancy: /confidence must refuse
+    # (full-interval z reconstruction vs tightened per-ray intervals)
+    base, service = server
+    info = json.loads(_get(base + "/healthz")[2])
+    assert info["depth_confidence"] is False
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/confidence?theta=0&phi=-45&radius=4")
+    assert e.value.code == 400
+
+
+def test_confidence_route(server):
+    """A no-occupancy service serves /confidence: npz {depth, confidence},
+    confidence in [0, 1], monotone in delta, == accumulation at huge
+    delta (weights sum)."""
+    from dexnerf_tpu.apps.serve import (
+        build_parser,
+        build_service,
+        make_http_server,
+    )
+
+    _, occ_service = server
+    args = build_parser().parse_args([
+        "--config", occ_service.test_cfg_path,
+        "--checkpoint", occ_service.test_ckpt_dir,
+        "--hwf", "8", "8", "10.0",
+    ])
+    service = build_service(args)
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        info = json.loads(_get(base + "/healthz")[2])
+        assert info["depth_confidence"] is True
+
+        status, ctype, body = _get(
+            base + "/confidence?theta=0&phi=-45&radius=4&delta=0.25"
+        )
+        assert status == 200 and ctype == "application/octet-stream"
+        z = np.load(io.BytesIO(body))
+        d, c = z["depth"], z["confidence"]
+        assert d.shape == (8, 8) and c.shape == (8, 8)
+        assert np.isfinite(c).all() and c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
+
+        _, c_wide = service.render_depth_conf(
+            service.pose_from_angles(0.0, -45.0, 4.0), 1e9
+        )
+        assert np.all(c <= c_wide + 1e-6)  # monotone in delta
+        # delta covering the whole interval -> conf == accumulation
+        import jax.numpy as jnp
+
+        from dexnerf_tpu.core.rays import get_ray_bundle_c2w
+        from dexnerf_tpu.render import render_image
+        from dexnerf_tpu.config import load_config
+        from dexnerf_tpu.train.loop import load_eval_params, setup_models
+
+        cfg = load_config(occ_service.test_cfg_path)
+        cfg, params, _, _ = load_eval_params(cfg, occ_service.test_ckpt_dir)
+        coarse_fn, fine_fn, _ = setup_models(cfg, 1)
+        ro, rd = get_ray_bundle_c2w(
+            8, 8, 10.0, jnp.asarray(service.pose_from_angles(0.0, -45.0, 4.0))
+        )
+        out = render_image(
+            coarse_fn, fine_fn, params, ro, rd, 2.0, 6.0, service.settings
+        )
+        acc = np.asarray(out.fine.accumulation)
+        np.testing.assert_allclose(c_wide, acc, atol=1e-5)
+
+        # png format renders a grayscale map
+        status, ctype, _ = _get(
+            base + "/confidence?theta=0&phi=-45&radius=4&format=png"
+        )
+        assert status == 200 and ctype == "image/png"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

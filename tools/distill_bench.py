@@ -162,7 +162,7 @@ def main(argv=None) -> int:
         ckpt_dir = os.path.join(
             args.logdir, f"{scene}-distill-tpu", "checkpoints"
         )
-        final = os.path.join(ckpt_dir, f"checkpoint_{args.iters:07d}")
+        final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
         if args.force or not os.path.exists(final):
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.train",
