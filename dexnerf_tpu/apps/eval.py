@@ -455,9 +455,14 @@ def main(argv=None) -> int:
                 w = out.fine.weights
             else:
                 z_w, w = z_c, out.coarse.weights
-            res["depth_conf"] = depth_confidence(
-                w, z_w, r.depth, float(args.save_depth_confidence)
-            )
+            delta = float(args.save_depth_confidence)
+            res["depth_conf"] = depth_confidence(w, z_w, r.depth, delta)
+            if args.save_pointcloud and pc_thres_idx is not None:
+                # the point cloud back-projects the σ-threshold depth:
+                # embed confidence around THAT surface, not expected depth
+                res["depth_conf_pc"] = depth_confidence(
+                    w, z_w, r.depth_dex[pc_thres_idx], delta
+                )
         return res
 
     if intrinsics is not None:
@@ -544,13 +549,20 @@ def main(argv=None) -> int:
             # keep pixels whose ray actually hit something (the σ-threshold
             # depth lands at the first sample when no crossing exists)
             acc = np.asarray(res["accumulation"])
-            pts, cols = depth_to_points(
+            pts, cols, keep = depth_to_points(
                 np.asarray(res["ro"]), np.asarray(res["rd"]), d,
-                rgb=rgb, mask=acc > 0.5,
+                rgb=rgb, mask=acc > 0.5, return_keep=True,
             )
+            conf_pts = None
+            if args.save_depth_confidence is not None:
+                conf_key = (
+                    "depth_conf_pc" if pc_thres_idx is not None
+                    else "depth_conf"
+                )
+                conf_pts = np.asarray(res[conf_key]).reshape(-1)[keep]
             write_ply(
                 os.path.join(args.savedir, "pointcloud", f"{i:04d}.ply"),
-                pts, cols,
+                pts, cols, confidence=conf_pts,
             )
         if args.sg_ir:
             ir = render_sg_ir_image(

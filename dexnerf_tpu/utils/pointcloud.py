@@ -25,13 +25,15 @@ def depth_to_points(
     *,
     rgb: Optional[np.ndarray] = None,
     mask: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    return_keep: bool = False,
+):
     """Back-project a depth map: ``point = o + t * d`` per pixel.
 
     ``depth`` is parametric t ([..., ] matching the leading dims of the ray
     arrays, e.g. [H, W]); ``mask`` selects pixels to keep (finite/positive
     depths are always required). Returns ``(points [M, 3], colors [M, 3]
-    float in [0, 1] | None)``.
+    float in [0, 1] | None)``, plus the flat boolean keep mask when
+    ``return_keep`` (to align per-pixel attributes with the kept points).
     """
     ro = np.asarray(ray_origins, np.float32).reshape(-1, 3)
     rd = np.asarray(ray_directions, np.float32).reshape(-1, 3)
@@ -45,13 +47,20 @@ def depth_to_points(
         colors = np.clip(
             np.asarray(rgb, np.float32).reshape(-1, 3)[keep], 0.0, 1.0
         )
+    if return_keep:
+        return pts, colors, keep
     return pts, colors
 
 
 def write_ply(
-    path: str, points: np.ndarray, colors: Optional[np.ndarray] = None
+    path: str,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    confidence: Optional[np.ndarray] = None,
 ) -> None:
-    """ASCII PLY writer (header + one vertex per line; colors as uint8)."""
+    """ASCII PLY writer (header + one vertex per line; colors as uint8;
+    optional per-vertex float ``confidence`` property — the depth-trust
+    channel grasp planners gate on)."""
     points = np.asarray(points, np.float32)
     n = points.shape[0]
     lines = [
@@ -68,21 +77,28 @@ def write_ply(
             "property uchar green",
             "property uchar blue",
         ]
+    if confidence is not None:
+        lines.append("property float confidence")
+        conf = np.asarray(confidence, np.float32).reshape(-1)
+        if conf.shape[0] != n:
+            raise ValueError(
+                f"confidence has {conf.shape[0]} values for {n} points"
+            )
     lines.append("end_header")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-        if colors is not None:
-            c8 = np.clip(np.asarray(colors) * 255.0 + 0.5, 0, 255).astype(
-                np.uint8
-            )
-            for p, c in zip(points, c8):
-                f.write(
-                    f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
-                    f"{c[0]} {c[1]} {c[2]}\n"
-                )
-        else:
-            for p in points:
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        c8 = (
+            np.clip(np.asarray(colors) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            if colors is not None
+            else None
+        )
+        for i, p in enumerate(points):
+            row = f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+            if c8 is not None:
+                row += f" {c8[i][0]} {c8[i][1]} {c8[i][2]}"
+            if confidence is not None:
+                row += f" {conf[i]:.4f}"
+            f.write(row + "\n")
 
 
 def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:

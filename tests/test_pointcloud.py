@@ -115,9 +115,14 @@ def test_eval_pointcloud_cli(tmp_path):
         "--config", cfg_path, "--checkpoint", ckpt_dir,
         "--savedir", savedir, "--num-poses", "1",
         "--save-pointcloud", "--pointcloud-threshold", "7.0",
+        "--save-depth-confidence", "0.5",
     ])
     assert rc == 0
-    assert os.path.exists(os.path.join(savedir, "pointcloud", "0000.ply"))
+    ply_path = os.path.join(savedir, "pointcloud", "0000.ply")
+    assert os.path.exists(ply_path)
+    # confidence rides the cloud as a per-vertex property (around the
+    # sigma-threshold depth, since that is what was back-projected)
+    assert "property float confidence" in open(ply_path).read(400)
 
     with pytest.raises(SystemExit, match="save-pointcloud"):
         eval_main([
@@ -183,3 +188,32 @@ def test_eval_save_gif(tmp_path):
     assert rc == 0
     frames = imageio.mimread(os.path.join(savedir, "render.gif"))
     assert len(frames) == 3
+
+
+def test_ply_confidence_property(tmp_path):
+    rng = np.random.RandomState(1)
+    pts = rng.randn(9, 3).astype(np.float32)
+    cols = rng.rand(9, 3).astype(np.float32)
+    conf = rng.rand(9).astype(np.float32)
+    path = str(tmp_path / "cloud.ply")
+    write_ply(path, pts, cols, confidence=conf)
+    header = open(path).read().split("end_header")[0]
+    assert "property float confidence" in header
+    rpts, rcols = read_ply(path)  # extra column is reader-tolerated
+    np.testing.assert_allclose(rpts, pts, atol=1e-5)
+    last_col = np.asarray(
+        [r.split()[-1] for r in open(path).read().splitlines()[-9:]],
+        np.float32,
+    )
+    np.testing.assert_allclose(last_col, conf, atol=1e-4)
+    with pytest.raises(ValueError, match="confidence"):
+        write_ply(path, pts, cols, confidence=conf[:3])
+
+
+def test_depth_to_points_return_keep():
+    ro = np.zeros((4, 3), np.float32)
+    rd = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (4, 1))
+    depth = np.array([1.0, -1.0, 2.0, np.nan], np.float32)
+    pts, _, keep = depth_to_points(ro, rd, depth, return_keep=True)
+    assert keep.tolist() == [True, False, True, False]
+    assert pts.shape == (2, 3)
