@@ -38,12 +38,22 @@ def main():
         help="cache the (slow, ~7 min) XLA reference grads across runs",
     )
     p.add_argument(
+        "--samples", type=int, nargs=2, default=(64, 64),
+        metavar=("COARSE", "FINE"),
+        help="sample counts (e.g. 64 128 = the hotdog config's S=192 "
+        "fine pass; cache is keyed on non-default counts)",
+    )
+    p.add_argument(
         "--depth-weight", type=float, default=0.0,
         help="also supervise GT depth (the in-kernel depth term): both the "
         "XLA reference and the kernel add weight * masked depth MSE; "
         "switches the ref cache to <ref-cache>.depth.npz",
     )
     args = p.parse_args()
+    if tuple(args.samples) != (64, 64) and args.ref_cache:
+        args.ref_cache = (
+        f"{args.ref_cache}.s{args.samples[0]}_{args.samples[1]}.npz"
+        )
     if args.depth_weight > 0.0 and args.ref_cache:
         # key the cache on the WEIGHT too — stale grads for a different
         # weight would read as spurious kernel mismatches
@@ -62,7 +72,8 @@ def main():
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
     settings = RenderSettings(
-        num_coarse=64, num_fine=64, perturb=True,
+        num_coarse=int(args.samples[0]), num_fine=int(args.samples[1]),
+        perturb=True,
         radiance_field_noise_std=0.2,
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )

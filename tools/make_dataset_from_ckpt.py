@@ -73,8 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="override nerf.validation.num_coarse/num_fine for the renders",
     )
     p.add_argument(
-        "--save-depth", action="store_true",
-        help="also write each test view's expected depth (test/d_{k}.npy)",
+        "--save-depth", nargs="?", const="test", default=None,
+        choices=("test", "all"),
+        help="write expected-depth sidecars (d_{k}.npy, float32 meters): "
+        "bare flag = test views only (for depth metrics); 'all' = every "
+        "split (train sidecars enable --depth-loss teacher-depth "
+        "supervision during distillation)",
     )
     p.add_argument(
         "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
@@ -172,7 +176,9 @@ def main(argv=None) -> int:
                 os.path.join(args.out, f"{rel}.png"),
                 (np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8),
             )
-            if args.save_depth and split == "test":
+            if args.save_depth == "all" or (
+                args.save_depth and split == "test"
+            ):
                 np.save(
                     os.path.join(args.out, split, f"d_{k}.npy"),
                     np.asarray(res["depth"], np.float32),
