@@ -118,12 +118,32 @@ def write_scene_config(scene: str, args, basedir: str) -> str:
     return path
 
 
+def write_report(args, results) -> None:
+    report = {
+        "protocol": (
+            f"{args.views[0]} train views rendered from the shipped "
+            f"checkpoint at {HWF[0]}x{HWF[1]}, fresh 8x128 model, fused "
+            f"loss kernel, batch 16384, {args.iters} iters; scored on "
+            f"{args.views[2]} held-out views"
+        ),
+        "scenes": results,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     os.makedirs(args.data_root, exist_ok=True)
     platform = ["--platform", args.platform] if args.platform else []
 
+    # merge with a previous (partial) run so the report accumulates
     results = {}
+    if not args.force and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f).get("scenes", {})
+        results = {s: r for s, r in prior.items() if r.get("psnr") is not None}
     for scene in args.scenes:
         if scene not in ALL_SCENES:
             raise SystemExit(f"unknown scene: {scene}")
@@ -192,19 +212,10 @@ def main(argv=None) -> int:
             "source_checkpoint": os.path.basename(ckpt),
         }
         print(f"  {scene}: {results[scene]}", flush=True)
+        # write after EVERY scene: an interrupted run still leaves a
+        # valid (partial) report, and the next run merges + resumes
+        write_report(args, results)
 
-    report = {
-        "protocol": (
-            f"{args.views[0]} train views rendered from the shipped "
-            f"checkpoint at {HWF[0]}x{HWF[1]}, fresh 8x128 model, fused "
-            f"loss kernel, batch 16384, {args.iters} iters; scored on "
-            f"{args.views[2]} held-out views"
-        ),
-        "scenes": results,
-    }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
     print(f"\nwrote {args.out}\n")
     print("| scene | test PSNR (dB) | SSIM | depth MAE (mm) | wall (s) |")
     print("|---|---|---|---|---|")
