@@ -608,16 +608,25 @@ def main(argv=None) -> int:
                     np.mean(np.asarray(res["depth_conf"]))
                 )
             if scene.depths is not None:
+                from dexnerf_tpu.core.metrics import depth_error_img
+
                 d_gt = np.asarray(scene.depths[idx], np.float32)
                 valid_max = float(
                     cfg.dataset.get("depth_valid_max", 1.25) or 1.25
                 )
                 mask = (d_gt > 0) & (d_gt < valid_max)
                 if mask.any():
-                    row.update(
-                        compute_err_metric(
-                            d_gt, np.asarray(res["depth"]), mask
-                        )
+                    d_pred = np.asarray(res["depth"])
+                    row.update(compute_err_metric(d_gt, d_pred, mask))
+                    # 11-band error colormap (reference train_utils.py:46-70)
+                    err_dir = os.path.join(args.savedir, "depth_err")
+                    os.makedirs(err_dir, exist_ok=True)
+                    err_img = depth_error_img(
+                        d_pred[None], d_gt[None], mask[None]
+                    )
+                    imageio.imwrite(
+                        os.path.join(err_dir, f"{i:04d}.png"),
+                        (np.clip(err_img, 0.0, 1.0) * 255.0).astype(np.uint8),
                     )
             per_image.append(row)
         print(f"frame {i}: {times[-1]:.3f}s")

@@ -128,9 +128,15 @@ def write_report(args, results) -> None:
         ),
         "scenes": results,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    d = os.path.dirname(args.out)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    # atomic: a kill mid-dump must not leave truncated JSON (the resume
+    # path json.loads this file)
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(report, f, indent=1)
+    os.replace(tmp, args.out)
 
 
 def main(argv=None) -> int:
@@ -138,12 +144,21 @@ def main(argv=None) -> int:
     os.makedirs(args.data_root, exist_ok=True)
     platform = ["--platform", args.platform] if args.platform else []
 
-    # merge with a previous (partial) run so the report accumulates
+    # merge with a previous (partial) run so the report accumulates; under
+    # --force drop ONLY the scenes being re-run (never other scenes'
+    # ~45-min-TPU results)
     results = {}
-    if not args.force and os.path.exists(args.out):
-        with open(args.out) as f:
-            prior = json.load(f).get("scenes", {})
-        results = {s: r for s, r in prior.items() if r.get("psnr") is not None}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f).get("scenes", {})
+        except (json.JSONDecodeError, OSError):
+            prior = {}
+        results = {
+            s: r for s, r in prior.items()
+            if r.get("psnr") is not None
+            and not (args.force and s in args.scenes)
+        }
     for scene in args.scenes:
         if scene not in ALL_SCENES:
             raise SystemExit(f"unknown scene: {scene}")
@@ -152,12 +167,14 @@ def main(argv=None) -> int:
         ref_cfg = os.path.join(PRETRAINED, f"{scene}-lowres", "config.yml")
         basedir = os.path.join(args.data_root, f"{scene}_distill")
         t_scene = time.time()
+        ran_any = False  # did any stage actually execute this invocation?
 
         # 1) dataset out of the shipped checkpoint
         if scene == "fern":
             if args.force or not os.path.exists(
                 os.path.join(basedir, "poses_bounds.npy")
             ):
+                ran_any = True
                 run(
                     [sys.executable, "tools/make_llff_dataset_from_ckpt.py",
                      "--config", ref_cfg, "--checkpoint", ckpt,
@@ -167,6 +184,7 @@ def main(argv=None) -> int:
         elif args.force or not os.path.exists(
             os.path.join(basedir, "transforms_train.json")
         ):
+            ran_any = True
             run(
                 [sys.executable, "tools/make_dataset_from_ckpt.py",
                  "--config", ref_cfg, "--checkpoint", ckpt,
@@ -184,6 +202,7 @@ def main(argv=None) -> int:
         )
         final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
         if args.force or not os.path.exists(final):
+            ran_any = True
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.train",
                  "--config", cfg_path, *platform],
@@ -194,6 +213,7 @@ def main(argv=None) -> int:
         savedir = os.path.join(args.logdir, f"{scene}-distill-tpu", "test")
         metrics_path = os.path.join(savedir, "metrics.json")
         if args.force or not os.path.exists(metrics_path):
+            ran_any = True
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.eval",
                  "--config", cfg_path, "--checkpoint", ckpt_dir,
@@ -202,13 +222,22 @@ def main(argv=None) -> int:
             )
         with open(metrics_path) as f:
             mean = json.load(f)["mean"]
+        if not ran_any and scene in results:
+            # every stage was skipped: the true wall time is the one the
+            # original run recorded, not the seconds the skip checks took
+            wall_s = results[scene].get("wall_s")
+        else:
+            wall_s = round(time.time() - t_scene, 1)
         results[scene] = {
             "psnr": mean.get("psnr"),
             "ssim": mean.get("ssim"),
             "depth_abs_err_mm": mean.get("depth_abs_err"),
             "depth_rmse_mm": mean.get("depth_rmse"),
+            "depth_err2": mean.get("depth_err2"),
+            "depth_err4": mean.get("depth_err4"),
+            "depth_err8": mean.get("depth_err8"),
             "iters": int(args.iters),
-            "wall_s": round(time.time() - t_scene, 1),
+            "wall_s": wall_s,
             "source_checkpoint": os.path.basename(ckpt),
         }
         print(f"  {scene}: {results[scene]}", flush=True)
