@@ -45,16 +45,46 @@ SPARSE_SPHERES = (
     ((0.7, -0.4, 0.4), 0.22, (0.2, 0.5, 0.9), 80.0),
 )
 
+# The TRANSPARENT-OBJECT scene (the Dex-NeRF namesake setting,
+# reference ``volume_rendering_utils.py:51-58``): an opaque object inside
+# a thin LOW-density glass shell, a second opaque object on an opaque
+# floor. Images mostly show through the glass (per-crossing optical depth
+# τ = density*thickness*sqrt(2π) ≈ 0.5 → ~60% transmission), so the
+# alpha-composited expected depth integrates through the shell and lands
+# between surfaces, while the first-σ-crossing depth recovers the shell —
+# on a TRAINED field, not just the analytic one (tools/
+# transparency_trained_check.py).
+GLASS_SPHERES = (
+    ((0.0, 0.0, 0.2), 0.45, (0.85, 0.25, 0.2), 80.0),  # core inside glass
+    ((1.1, 0.9, -0.4), 0.35, (0.2, 0.4, 0.85), 80.0),  # anchor on the floor
+)
+GLASS_SHELLS = (
+    # (center, radius, thickness, albedo, peak density)
+    ((0.0, 0.0, 0.2), 0.95, 0.04, (0.85, 0.92, 1.0), 5.0),
+)
+GLASS_PLANES = (
+    # (normal, offset, albedo, density): occupied where normal·p < offset
+    ((0.0, 0.0, 1.0), -0.75, (0.55, 0.5, 0.45), 80.0),
+)
+
 
 def analytic_field(
-    pts: jnp.ndarray, spheres=None, falloff: float = 8.0
+    pts: jnp.ndarray,
+    spheres=None,
+    falloff: float = 8.0,
+    shells=(),
+    planes=(),
 ) -> jnp.ndarray:
     """Map points [..., 3] to raw radiance-field logits [..., 4].
 
     Each sphere contributes density ``d * sigmoid(falloff * (r - |p - c|))``
-    — a smooth solid blob an MLP can fit. Outputs are *logits* (pre-sigmoid
-    rgb, pre-relu σ) so they can be fed straight into the compositor.
-    ``spheres`` defaults to the standard scene (``_SPHERES``).
+    — a smooth solid blob an MLP can fit. ``shells`` are thin Gaussian
+    spherical shells ``d * exp(-(|p-c| - R)^2 / 2t^2)`` (transparent
+    surfaces when d is low), ``planes`` are half-spaces
+    ``d * sigmoid(falloff * (offset - normal·p))`` (floors/walls).
+    Outputs are *logits* (pre-sigmoid rgb, pre-relu σ) so they can be fed
+    straight into the compositor. ``spheres`` defaults to the standard
+    scene (``_SPHERES``).
     """
     rgb_accum = jnp.zeros((*pts.shape[:-1], 3))
     sigma = jnp.zeros(pts.shape[:-1])
@@ -67,12 +97,56 @@ def analytic_field(
         sigma = sigma + density * inside
         rgb_accum = rgb_accum + inside[..., None] * jnp.asarray(albedo)
         total_w = total_w + inside
+    for center, radius, thickness, albedo, density in shells:
+        dist = jnp.linalg.norm(pts - jnp.asarray(center), axis=-1)
+        w = jnp.exp(-((dist - radius) ** 2) / (2.0 * thickness**2))
+        sigma = sigma + density * w
+        rgb_accum = rgb_accum + w[..., None] * jnp.asarray(albedo)
+        total_w = total_w + w
+    for normal, offset, albedo, density in planes:
+        s = jnp.einsum("...k,k->...", pts, jnp.asarray(normal))
+        inside = jax.nn.sigmoid(float(falloff) * (offset - s))
+        sigma = sigma + density * inside
+        rgb_accum = rgb_accum + inside[..., None] * jnp.asarray(albedo)
+        total_w = total_w + inside
     rgb = rgb_accum / jnp.maximum(total_w, 1e-6)[..., None]
     # convert rgb in (0,1) to logits; sigma stays as a positive pre-relu value
     rgb_logit = jnp.log(jnp.clip(rgb, 1e-4, 1 - 1e-4)) - jnp.log1p(
         -jnp.clip(rgb, 1e-4, 1 - 1e-4)
     )
     return jnp.concatenate([rgb_logit, sigma[..., None]], axis=-1)
+
+
+def first_surface_depth(
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    near: float = 2.0,
+    far: float = 6.0,
+    num_samples: int = 512,
+    sigma_thres: float = 1.0,
+    spheres=None,
+    falloff: float = 8.0,
+    shells=(),
+    planes=(),
+) -> np.ndarray:
+    """Ground-truth FIRST-SURFACE depth of the analytic scene along rays.
+
+    The grasp-planner ground truth for transparent scenes: the depth of the
+    first point where σ crosses ``sigma_thres`` — densely sampled, so a
+    low-density glass shell counts as a surface (unlike the
+    alpha-composited expected depth which integrates through it). Rays
+    that never cross return 0.0 (the invalid-depth marker, matching the
+    messytable convention of 0 = no reading)."""
+    t = jnp.linspace(near, far, num_samples)
+    pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
+    raw = analytic_field(
+        pts, spheres=spheres, falloff=falloff, shells=shells, planes=planes
+    )
+    sigma = raw[..., 3]
+    hit = sigma > sigma_thres
+    idx = jnp.argmax(hit, axis=-1)
+    depth = jnp.where(jnp.any(hit, axis=-1), t[idx], 0.0)
+    return np.asarray(depth)
 
 
 def render_analytic_rays(
@@ -83,11 +157,15 @@ def render_analytic_rays(
     num_samples: int = 128,
     spheres=None,
     falloff: float = 8.0,
+    shells=(),
+    planes=(),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth (rgb, depth) of the analytic scene along given rays."""
     t = jnp.linspace(near, far, num_samples)
     pts = ro[..., None, :] + rd[..., None, :] * t[..., :, None]
-    raw = analytic_field(pts, spheres=spheres, falloff=falloff)
+    raw = analytic_field(
+        pts, spheres=spheres, falloff=falloff, shells=shells, planes=planes
+    )
     z = jnp.broadcast_to(t, (*rd.shape[:-1], num_samples))
     out = volume_render_radiance_field(raw, z, rd, white_background=True)
     return np.asarray(out.rgb), np.asarray(out.depth)
@@ -103,11 +181,14 @@ def render_analytic_image(
     num_samples: int = 128,
     spheres=None,
     falloff: float = 8.0,
+    shells=(),
+    planes=(),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth (rgb, depth) of the analytic scene from one pose."""
     ro, rd = get_ray_bundle_c2w(height, width, focal, jnp.asarray(c2w))
     return render_analytic_rays(
-        ro, rd, near, far, num_samples, spheres=spheres, falloff=falloff
+        ro, rd, near, far, num_samples, spheres=spheres, falloff=falloff,
+        shells=shells, planes=planes,
     )
 
 
@@ -123,6 +204,8 @@ def make_synthetic_scene(
     spheres=None,
     falloff: float = 8.0,
     num_gt_samples: int = 128,
+    shells=(),
+    planes=(),
 ):
     """Posed ground-truth views of the analytic scene.
 
@@ -142,6 +225,7 @@ def make_synthetic_scene(
         rgb, depth = render_analytic_image(
             c2w, height, width, focal, near, far,
             num_samples=num_gt_samples, spheres=spheres, falloff=falloff,
+            shells=shells, planes=planes,
         )
         images.append(rgb)
         depths.append(depth)
