@@ -111,3 +111,75 @@ def test_llff_generator_phase_consistency(tmp_path):
     assert abs(float(imgs.mean()) - 57.0 / 255.0) < 1e-6
     # the default bounds make the loader's bd rescale exactly 1
     np.testing.assert_allclose(bds_b[:, 0], 4.0 / 3.0, rtol=1e-6)
+
+
+def test_messytable_generator_loader_roundtrip(tmp_path):
+    """--format messytable out of a real reference checkpoint: the stored
+    2x image/depth halve back through load_messytable_data to the exact
+    rendered geometry, the meta w2c/K drive get_ray_bundle_w2c rays whose
+    re-render matches the loaded image, and the GT depth unprojects onto
+    the same surfaces the expected depth reports."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+    from dexnerf_tpu.data.messytable import load_messytable_data
+    from tools.make_dataset_from_ckpt import main as gen_main
+
+    pre = "/root/reference/nerf-pytorch/pretrained/lego-lowres"
+    ckpt = sorted(
+        p for p in os.listdir(pre) if p.startswith("checkpoint")
+    )[-1]
+    base = str(tmp_path / "mt")
+    H, W, focal = 16, 28, 38.9
+    rc = gen_main([
+        "--config", os.path.join(pre, "config.yml"),
+        "--checkpoint", os.path.join(pre, ckpt),
+        "--hwf", str(H), str(W), str(focal),
+        "--out", base, "--format", "messytable",
+        "--views", "2", "1", "1", "--platform", "cpu",
+    ])
+    assert rc == 0
+
+    imgs, poses, _, hwf, i_split, intrinsics, depths = load_messytable_data(
+        base, half_res=False
+    )
+    assert imgs.shape == (4, H, W, 3)
+    assert depths.shape == (4, H, W)
+    assert [len(s) for s in i_split] == [2, 1, 1]
+    # meta K is the OUTPUT-resolution intrinsics, untouched by the loader
+    np.testing.assert_allclose(intrinsics[0][0, 0], focal, rtol=1e-6)
+    np.testing.assert_allclose(intrinsics[0][0, 2], W / 2.0, rtol=1e-6)
+    # w2c rotation block is orthonormal
+    R = poses[0][:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+
+    # re-render view 0 through the LOADER's ray convention and compare to
+    # the loaded image: geometry is consistent end to end
+    from dexnerf_tpu.config import load_config, render_settings_from_cfg
+    from dexnerf_tpu.render import render_image
+    from dexnerf_tpu.train.loop import load_eval_params, setup_models
+
+    cfg = load_config(os.path.join(pre, "config.yml"))
+    cfg, params, _, _ = load_eval_params(cfg, os.path.join(pre, ckpt))
+    coarse_fn, fine_fn, _ = setup_models(cfg, 0)
+    s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
+    ro, rd = get_ray_bundle_w2c(
+        H, W, jnp.asarray(poses[0], jnp.float64),
+        jnp.asarray(intrinsics[0], jnp.float64),
+    )
+    out = render_image(
+        coarse_fn, fine_fn, params, ro, rd,
+        float(cfg.dataset.near), float(cfg.dataset.far), s_val,
+    )
+    rgb = np.asarray(out.fine.rgb)
+    gray = rgb.mean(-1)
+    # stored as uint8 gray at 2x, nearest-halved back: quantization only
+    np.testing.assert_allclose(gray, imgs[0][..., 0], atol=2.5 / 255.0)
+    # depth: stored mm uint16, zeroed where acc < 0.5
+    acc = np.asarray(out.fine.accumulation)
+    d = np.asarray(out.fine.depth)
+    want = np.where(acc > 0.5, d, 0.0)
+    np.testing.assert_allclose(depths[0], want, atol=2e-3)

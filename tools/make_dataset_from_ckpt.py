@@ -84,7 +84,118 @@ def build_parser() -> argparse.ArgumentParser:
         "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
         help="force a JAX platform (cpu when the TPU tunnel is down)",
     )
+    p.add_argument(
+        "--format", type=str, default="blender",
+        choices=("blender", "messytable"),
+        help="on-disk layout: blender transforms JSONs, or the messytable "
+        "convention (per-scene dirs with meta.pkl w2c/K, an IR-style "
+        "grayscale PNG, and a uint16-mm depthL.png; stored at 2x so the "
+        "loader's always-halving round-trips — reference "
+        "load_messytable.py:148-165). --hwf is the LOADER-OUTPUT geometry.",
+    )
     return p
+
+
+def write_messytable(args, cfg, params, coarse_fn, fine_fn, s_val,
+                     rays_impl, H, W, focal, near, far) -> int:
+    """Messytable-convention dataset out of the checkpoint: per-scene dirs
+    with ``meta.pkl`` (w2c extrinsic_l + OUTPUT-resolution intrinsic_l),
+    an IR-style grayscale image and a uint16-mm ``depthL.png``, both
+    stored at 2x so the loader's always-halving (reference
+    ``load_messytable.py:148-165``) round-trips to the rendered geometry.
+    The trainer unprojects with ``get_ray_bundle_w2c`` using the meta K
+    directly — the proven-consistent convention of
+    ``data/synthetic.py::write_messytable_dataset``."""
+    import pickle
+
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dexnerf_tpu.core.rays import get_ray_bundle_w2c
+    from dexnerf_tpu.data.blender import pose_spherical
+    from dexnerf_tpu.render import render_image
+
+    K = np.array(
+        [[focal, 0.0, W / 2.0], [0.0, focal, H / 2.0], [0.0, 0.0, 1.0]],
+        dtype=np.float64,
+    )
+    # blender c2w looks along -z with +y up; the w2c+K pixel convention is
+    # +z forward / +y down — flip those camera axes
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+
+    @jax.jit
+    def render_frame(w2c):
+        ro, rd = get_ray_bundle_w2c(H, W, w2c, jnp.asarray(K))
+        out = render_image(
+            coarse_fn, fine_fn, params, ro, rd, near, far, s_val,
+            rays_impl=rays_impl,
+        )
+        r = out.fine if out.fine is not None else out.coarse
+        return {"rgb": r.rgb, "depth": r.depth, "acc": r.accumulation}
+
+    rng = np.random.default_rng(args.seed)
+    train_spacing = 360.0 / max(int(args.views[0]), 1)
+    times = []
+    for si, (split, n) in enumerate(zip(("train", "val", "test"),
+                                        args.views)):
+        for k in range(int(n)):
+            theta = (
+                -180.0
+                + 360.0 * k / max(int(n), 1)
+                + train_spacing * si / 3.0
+            )
+            phi = float(rng.uniform(*args.phi_range))
+            c2w = pose_spherical(
+                theta, phi, float(args.radius)
+            ).astype(np.float64) @ flip
+            w2c = np.linalg.inv(c2w)
+            t0 = time.time()
+            res = render_frame(jnp.asarray(w2c))
+            times.append(time.time() - t0)
+            gray = (np.clip(
+                np.asarray(res["rgb"]).mean(-1), 0.0, 1.0
+            ) * 255.0).astype(np.uint8)
+            depth = np.asarray(res["depth"], np.float64)
+            # 0 = no reading (the messytable invalid marker): rays whose
+            # accumulation never hit matter have meaningless expected depth
+            depth = np.where(np.asarray(res["acc"]) > 0.5, depth, 0.0)
+            depth_mm = np.clip(depth * 1000.0, 0.0, 65535.0).astype(
+                np.uint16
+            )
+            d = os.path.join(args.out, split, f"scene-{k:03d}")
+            os.makedirs(d, exist_ok=True)
+            imageio.imwrite(
+                os.path.join(d, "0128_irL_kuafu_half.png"),
+                np.repeat(np.repeat(gray, 2, axis=0), 2, axis=1),
+            )
+            Image.fromarray(
+                np.repeat(np.repeat(depth_mm, 2, axis=0), 2, axis=1),
+                mode="I;16",
+            ).save(os.path.join(d, "depthL.png"))
+            with open(os.path.join(d, "meta.pkl"), "wb") as f:
+                pickle.dump({"extrinsic_l": w2c, "intrinsic_l": K}, f)
+        print(f"{split}: {n} views written")
+    with open(os.path.join(args.out, "source.json"), "w") as f:
+        json.dump(
+            {
+                "format": "messytable",
+                "checkpoint": os.path.abspath(args.checkpoint),
+                "config": os.path.abspath(args.config),
+                "hwf": [H, W, focal],
+                "radius": float(args.radius),
+                "phi_range": list(args.phi_range),
+                "seed": int(args.seed),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        f"messytable dataset at {args.out}: H/W/focal {H}/{W}/{focal:.3f}, "
+        f"avg {np.mean(times):.3f}s/frame"
+    )
+    return 0
 
 
 def main(argv=None) -> int:
@@ -145,7 +256,11 @@ def main(argv=None) -> int:
             rays_impl=rays_impl,
         )
         r = out.fine if out.fine is not None else out.coarse
-        return {"rgb": r.rgb, "depth": r.depth}
+        return {"rgb": r.rgb, "depth": r.depth, "acc": r.accumulation}
+
+    if args.format == "messytable":
+        return write_messytable(args, cfg, params, coarse_fn, fine_fn,
+                                s_val, rays_impl, H, W, focal, near, far)
 
     rng = np.random.default_rng(args.seed)
     camera_angle_x = 2.0 * float(np.arctan(0.5 * W / focal))

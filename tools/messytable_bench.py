@@ -1,0 +1,221 @@
+"""The messytable convention at reference scale, driven on chip.
+
+The reference's canonical working path is messytable IR training at
+1024–2048 rays x 64–192 samples per ray (reference
+``config/messytable-obj.yml:131-140``, ``load_messytable.py:17``). This
+driver exercises that path end to end on the TPU at full convention
+fidelity — w2c extrinsics + full-K intrinsics rays, IR luminance
+supervision, the Dex σ-threshold validation sweep, GT-depth supervision
+from the mm depth PNGs — on a messytable-format dataset rendered out of a
+shipped reference checkpoint (no reference dataset ships with the repo):
+
+  1. ``make_dataset_from_ckpt --format messytable`` renders posed IR-style
+     views + uint16-mm depthL.png out of the lego checkpoint at the
+     half-res messytable geometry (270x480);
+  2. train ``--dex --ir --depth-loss`` at 2048 rays x 64+128 samples (the
+     S=192 fused-kernel path) for --iters;
+  3. record the final validation's PSNR + mm depth metrics (sweep-selected
+     best threshold, abs err, err2/4/8) in ``docs/MESSYTABLE_CHIP.json``.
+
+    python tools/messytable_bench.py                    # TPU, ~20 min
+    python tools/messytable_bench.py --platform cpu \
+        --size 32 --views 3 1 1 --iters 20 --rays 256 --samples 8 16  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PRETRAINED = "/root/reference/nerf-pytorch/pretrained"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="lego")
+    p.add_argument("--iters", type=int, default=15000)
+    p.add_argument("--rays", type=int, default=2048,
+                   help="num_random_rays (reference edward config: 2048)")
+    p.add_argument("--samples", type=int, nargs=2, default=(64, 128),
+                   metavar=("COARSE", "FINE"),
+                   help="64+128 = the S=192 fine-pass kernel path")
+    p.add_argument("--size", type=int, default=270,
+                   help="output image height (480*size/270 wide: the "
+                   "half-res messytable aspect)")
+    p.add_argument("--views", type=int, nargs=3, default=(36, 2, 4))
+    p.add_argument("--depth-weight", type=float, default=0.1)
+    p.add_argument("--m-thres", type=int, default=100,
+                   help="sweep candidates arange(5, m+5, 5) — the "
+                   "reference validation grid")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-root", default=os.path.join(REPO, "data"))
+    p.add_argument("--logdir", default=os.path.join(REPO, "logs"))
+    p.add_argument("--out", default=os.path.join(
+        REPO, "docs", "MESSYTABLE_CHIP.json"))
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", args.platform)
+
+    import glob
+
+    import numpy as np
+
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import run_training
+
+    H = int(args.size)
+    W = int(round(H * 480.0 / 270.0))
+    # blender-synthetic camera_angle_x ~0.6911 -> focal 555.555 at 400 px
+    focal = 555.555 * W / 400.0
+
+    cands = sorted(glob.glob(os.path.join(
+        PRETRAINED, f"{args.scene}-lowres", "checkpoint*.ckpt")))
+    if not cands:
+        raise SystemExit(f"no shipped checkpoint for {args.scene}")
+    ckpt = cands[-1]
+    ref_cfg = os.path.join(PRETRAINED, f"{args.scene}-lowres", "config.yml")
+
+    basedir = os.path.join(args.data_root, f"{args.scene}_messytable")
+    t_all = time.time()
+    if args.force or not os.path.exists(
+        os.path.join(basedir, "train", "scene-000", "meta.pkl")
+    ):
+        from tools.make_dataset_from_ckpt import main as gen_main
+
+        gen_args = [
+            "--config", ref_cfg, "--checkpoint", ckpt,
+            "--hwf", str(H), str(W), str(focal),
+            "--out", basedir, "--format", "messytable",
+            "--views", *[str(v) for v in args.views],
+            "--seed", str(args.seed),
+        ]
+        if args.platform:
+            gen_args += ["--platform", args.platform]
+        rc = gen_main(gen_args)
+        if rc:
+            raise SystemExit(f"dataset generation failed ({rc})")
+
+    nc, nf = int(args.samples[0]), int(args.samples[1])
+    mode = {
+        "num_random_rays": int(args.rays),
+        "chunksize": 65536,
+        "perturb": True,
+        "num_coarse": nc,
+        "num_fine": nf,
+        "white_background": True,
+        "radiance_field_noise_std": 0.0,
+        "lindisp": False,
+        "m_thres": int(args.m_thres),
+    }
+    val_mode = dict(mode, perturb=False)
+    cfg = CfgNode({
+        "experiment": {
+            "id": f"{args.scene}-messytable-chip",
+            "logdir": args.logdir,
+            "randomseed": int(args.seed),
+            "train_iters": int(args.iters),
+            "validate_every": int(args.iters),
+            "save_every": 0,
+            "print_every": max(1, args.iters // 10),
+        },
+        "dataset": {
+            "type": "messytable",
+            "basedir": basedir,
+            "half_res": False,
+            "testskip": 1,
+            "no_ndc": True,
+            "near": 2.0,
+            "far": 6.0,
+            "depth_valid_max": 6.0,
+        },
+        "models": {
+            name: {
+                "type": "FlexibleNeRFModel",
+                "num_layers": 8,
+                "hidden_size": 128,
+                "skip_connect_every": 3,
+                "num_encoding_fn_xyz": 10,
+                "num_encoding_fn_dir": 4,
+            }
+            for name in ("coarse", "fine")
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "use_pallas": jax.default_backend() != "cpu",
+            "train": mode,
+            "validation": val_mode,
+        },
+    })
+    out = run_training(
+        cfg, dex=True, supervision="luminance",
+        depth_loss_weight=float(args.depth_weight),
+        use_tensorboard=False,
+    )
+    val = out["final_validation"]
+    best = val["dex_errors"][val["best_threshold_index"]]
+    report = {
+        "protocol": (
+            f"messytable-convention (w2c + full-K) IR training on chip at "
+            f"the reference operating point: {args.rays} rays x {nc}+{nf} "
+            f"samples (S={nc + nf} fine pass), --dex --ir --depth-loss "
+            f"{args.depth_weight}, {args.iters} iters; dataset rendered "
+            f"from the shipped {args.scene} checkpoint at {H}x{W} "
+            f"(half-res messytable geometry), GT mm depth from "
+            f"depthL.png; sweep arange(5, {args.m_thres}+5, 5) with "
+            f"min-abs-err selection (reference "
+            f"train_dexnerf_rgb.py:393-427)"
+        ),
+        "backend": jax.default_backend(),
+        "source_checkpoint": os.path.basename(ckpt),
+        "config": {
+            "iters": int(args.iters), "rays": int(args.rays),
+            "num_coarse": nc, "num_fine": nf, "hw": [H, W],
+            "views": list(args.views), "depth_weight": args.depth_weight,
+            "seed": int(args.seed),
+        },
+        "wall_s": round(time.time() - t_all, 1),
+        "val_psnr_db": round(float(val["psnr"]), 2),
+        "best_threshold": val["best_threshold"],
+        "dex_min_abs_err_mm": round(float(val["min_abs_err"]), 2),
+        "dex_best": {
+            "depth_rmse_mm": round(float(best["depth_rmse"]), 2),
+            "err2": round(float(best["depth_err2"]), 4),
+            "err4": round(float(best["depth_err4"]), 4),
+            "err8": round(float(best["depth_err8"]), 4),
+        },
+        "expected_depth_abs_err_mm": (
+            round(float(val["depth_abs_err"]), 2)
+            if val.get("depth_abs_err") is not None else None
+        ),
+    }
+    d = os.path.dirname(args.out)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=1)
+    os.replace(tmp, args.out)
+    print(json.dumps(report, indent=1))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
