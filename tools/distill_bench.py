@@ -167,14 +167,13 @@ def main(argv=None) -> int:
         ref_cfg = os.path.join(PRETRAINED, f"{scene}-lowres", "config.yml")
         basedir = os.path.join(args.data_root, f"{scene}_distill")
         t_scene = time.time()
-        ran_any = False  # did any stage actually execute this invocation?
+        ran_train = False  # wall_s is only meaningful when training ran
 
         # 1) dataset out of the shipped checkpoint
         if scene == "fern":
             if args.force or not os.path.exists(
                 os.path.join(basedir, "poses_bounds.npy")
             ):
-                ran_any = True
                 run(
                     [sys.executable, "tools/make_llff_dataset_from_ckpt.py",
                      "--config", ref_cfg, "--checkpoint", ckpt,
@@ -184,7 +183,6 @@ def main(argv=None) -> int:
         elif args.force or not os.path.exists(
             os.path.join(basedir, "transforms_train.json")
         ):
-            ran_any = True
             run(
                 [sys.executable, "tools/make_dataset_from_ckpt.py",
                  "--config", ref_cfg, "--checkpoint", ckpt,
@@ -202,7 +200,7 @@ def main(argv=None) -> int:
         )
         final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
         if args.force or not os.path.exists(final):
-            ran_any = True
+            ran_train = True
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.train",
                  "--config", cfg_path, *platform],
@@ -213,7 +211,6 @@ def main(argv=None) -> int:
         savedir = os.path.join(args.logdir, f"{scene}-distill-tpu", "test")
         metrics_path = os.path.join(savedir, "metrics.json")
         if args.force or not os.path.exists(metrics_path):
-            ran_any = True
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.eval",
                  "--config", cfg_path, "--checkpoint", ckpt_dir,
@@ -222,9 +219,10 @@ def main(argv=None) -> int:
             )
         with open(metrics_path) as f:
             mean = json.load(f)["mean"]
-        if not ran_any and scene in results:
-            # every stage was skipped: the true wall time is the one the
-            # original run recorded, not the seconds the skip checks took
+        if not ran_train and scene in results:
+            # training didn't run this invocation (skip-resume, or an
+            # eval-only refresh): keep the originally recorded wall time
+            # rather than the seconds this invocation took
             wall_s = results[scene].get("wall_s")
         else:
             wall_s = round(time.time() - t_scene, 1)

@@ -294,9 +294,18 @@ def main(argv=None) -> int:
             if args.save_depth == "all" or (
                 args.save_depth and split == "test"
             ):
-                np.save(
-                    os.path.join(args.out, split, f"d_{k}.npy"),
+                # 0 = no reading: rays whose accumulation never hit matter
+                # have meaningless expected depth — without this mask,
+                # background pixels carry plausible-looking junk that
+                # passes the d>0 validity check and dominates the depth
+                # metrics (hotdog: 2179 mm MAE before, object-only after)
+                depth = np.where(
+                    np.asarray(res["acc"]) > 0.5,
                     np.asarray(res["depth"], np.float32),
+                    np.float32(0.0),
+                )
+                np.save(
+                    os.path.join(args.out, split, f"d_{k}.npy"), depth
                 )
             frames.append(
                 {"file_path": rel, "transform_matrix": c2w.tolist()}
