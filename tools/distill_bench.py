@@ -169,10 +169,13 @@ def main(argv=None) -> int:
         t_scene = time.time()
         ran_train = False  # wall_s is only meaningful when training ran
 
-        # 1) dataset out of the shipped checkpoint
+        # 1) dataset out of the shipped checkpoint. Completion is keyed on
+        # source.json — the LAST artifact either generator writes — so a
+        # run killed mid-generation (e.g. fern's phase-A placeholders
+        # with no renders) is re-run, not silently trained on
         if scene == "fern":
             if args.force or not os.path.exists(
-                os.path.join(basedir, "poses_bounds.npy")
+                os.path.join(basedir, "source.json")
             ):
                 run(
                     [sys.executable, "tools/make_llff_dataset_from_ckpt.py",
@@ -181,7 +184,7 @@ def main(argv=None) -> int:
                     f"/tmp/distill_{scene}_data.log",
                 )
         elif args.force or not os.path.exists(
-            os.path.join(basedir, "transforms_train.json")
+            os.path.join(basedir, "source.json")
         ):
             run(
                 [sys.executable, "tools/make_dataset_from_ckpt.py",
