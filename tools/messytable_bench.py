@@ -118,11 +118,15 @@ def main(argv=None) -> int:
         "num_coarse": nc,
         "num_fine": nf,
         "white_background": True,
-        "radiance_field_noise_std": 0.0,
+        # the reference's own recipe (messytable-obj.yml:145): σ-noise
+        # 0.2 during training, 0 at validation — without it this
+        # white-background training collapses to fog (measured: train
+        # PSNR pinned ~7.6 dB)
+        "radiance_field_noise_std": 0.2,
         "lindisp": False,
         "m_thres": int(args.m_thres),
     }
-    val_mode = dict(mode, perturb=False)
+    val_mode = dict(mode, perturb=False, radiance_field_noise_std=0.0)
     cfg = CfgNode({
         "experiment": {
             "id": f"{args.scene}-messytable-chip",
