@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=64,
                    help="coarse == fine samples per ray")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr-decay", type=float, default=50.0,
+                   help="exponential-decay horizon in kilo-steps (the "
+                   "reference's 250 suits 200k-iter runs; short runs "
+                   "need the lr actually down by the end)")
     p.add_argument("--path", default=None, choices=("xla", "fused_loss"),
                    help="train path (default: fused_loss on TPU, xla on CPU)")
     p.add_argument("--m-max", type=float, default=10.0)
@@ -138,7 +142,7 @@ def main(argv=None) -> int:
         "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
     }
     store = build_ray_store(train_imgs, train_poses, hwf, near, far)
-    tx = make_optimizer(5e-3, lr_decay=250, lr_decay_factor=0.1)
+    tx = make_optimizer(5e-3, lr_decay=args.lr_decay, lr_decay_factor=0.1)
     state = init_train_state(params, tx)
     fused_loss = None
     if path == "fused_loss":
