@@ -162,6 +162,20 @@ def build_parser() -> argparse.ArgumentParser:
         "standard NeRF test-set protocol the reference's eval lacks "
         "(eval_nerf.py renders poses only)",
     )
+    p.add_argument(
+        "--dex-depth",
+        action="store_true",
+        help="with --test-set: also score σ-threshold (Dex-NeRF) depth — "
+        "render the full nerf.validation.m_thres candidate sweep per view "
+        "and select the min-abs-err threshold, the reference's validation "
+        "protocol (train_dexnerf_rgb.py:393-427). Scored against "
+        "d_dex_{k}.npy sidecars (the teacher's σ-surface, "
+        "make_dataset_from_ckpt.py --save-depth-dex) when the dataset "
+        "carries them, else against the expected-depth GT. Expected depth "
+        "is unconstrained by RGB on textureless surfaces "
+        "(docs/TEACHER_DEPTH_AMBIGUITY.json); this column is the "
+        "surface-true comparison",
+    )
     return p
 
 
@@ -261,9 +275,16 @@ def main(argv=None) -> int:
     want_dex_pc = args.pointcloud_threshold is not None
     if want_dex_pc and not args.save_pointcloud:
         raise SystemExit("--pointcloud-threshold needs --save-pointcloud")
+    if args.dex_depth and not args.test_set:
+        raise SystemExit("--dex-depth scores the test set: add --test-set")
     s_val = render_settings_from_cfg(
-        cfg, "validation", dex=want_dex_pc
+        cfg, "validation", dex=want_dex_pc or args.dex_depth
     ).eval_variant()
+    if args.dex_depth and not tuple(s_val.m_thres_cand or ()):
+        raise SystemExit(
+            "--dex-depth: the config defines no dex threshold candidates "
+            "(set nerf.validation.m_thres)"
+        )
     pc_thres_idx = None
     if want_dex_pc:
         cands = tuple(s_val.m_thres_cand)
@@ -390,6 +411,25 @@ def main(argv=None) -> int:
     need_disparity = args.save_disparity_image or args.save_jet_disparity
     need_depth = args.save_pointcloud and pc_thres_idx is None
     need_test_depth = args.test_set and scene.depths is not None
+    depths_dex_gt = None
+    if args.dex_depth and need_test_depth:
+        if str(cfg.dataset.type).lower() == "blender":
+            from dexnerf_tpu.data.blender import load_blender_depths
+
+            ds = cfg.dataset
+            depths_dex_gt = load_blender_depths(
+                ds.basedir,
+                testskip=int(ds.get("testskip", 1) or 1),
+                half_res=bool(ds.get("half_res", False)),
+                debug=bool(ds.get("debug", False)),
+                prefix="d_dex_",
+            )
+        print(
+            "dex-depth GT: "
+            + ("σ-surface sidecars (d_dex_*.npy)"
+               if depths_dex_gt is not None
+               else "expected-depth sidecars (no d_dex_*.npy found)")
+        )
     need_rays = args.save_pointcloud or args.sg_ir
     near_f, far_f = float(cfg.dataset.near), float(cfg.dataset.far)
 
@@ -418,6 +458,14 @@ def main(argv=None) -> int:
             res["disparity"] = r.disparity
         if need_depth or need_test_depth:
             res["depth"] = r.depth
+        if args.dex_depth and need_test_depth:
+            if r.depth_dex is None:
+                raise SystemExit(
+                    "--dex-depth: σ-threshold depth rides the fine pass "
+                    "(reference semantics) — set nerf.validation.num_fine "
+                    "> 0"
+                )
+            res["depth_dex_all"] = r.depth_dex  # [T, H, W]
         if args.save_pointcloud:
             res["accumulation"] = r.accumulation
             if pc_thres_idx is not None:
@@ -618,6 +666,32 @@ def main(argv=None) -> int:
                 if mask.any():
                     d_pred = np.asarray(res["depth"])
                     row.update(compute_err_metric(d_gt, d_pred, mask))
+                if "depth_dex_all" in res:
+                    # the reference's validation protocol: sweep the
+                    # threshold candidates, select min-abs-err per view
+                    # (train_dexnerf_rgb.py:393-427); scored against the
+                    # σ-surface sidecars when present (surface-vs-surface)
+                    gt_dex, m_dex = d_gt, mask
+                    if depths_dex_gt is not None:
+                        gt_dex = np.asarray(
+                            depths_dex_gt[idx], np.float32
+                        )
+                        m_dex = (gt_dex > 0) & (gt_dex < valid_max)
+                    if m_dex.any():
+                        d_dex_all = np.asarray(res["depth_dex_all"])
+                        cands = tuple(s_val.m_thres_cand)
+                        d_errs = [
+                            compute_err_metric(gt_dex, d_dex_all[t], m_dex)
+                            for t in range(len(cands))
+                        ]
+                        best = int(np.argmin(
+                            [e["depth_abs_err"] for e in d_errs]
+                        ))
+                        row.update({
+                            "dex_" + k.removeprefix("depth_"): v
+                            for k, v in d_errs[best].items()
+                        })
+                        row["dex_best_m"] = float(cands[best])
                     # 11-band error colormap (reference train_utils.py:46-70)
                     err_dir = os.path.join(args.savedir, "depth_err")
                     os.makedirs(err_dir, exist_ok=True)

@@ -68,6 +68,7 @@ def load_blender_depths(
     testskip: int = 1,
     half_res: bool = False,
     debug: bool = False,
+    prefix: str = "d_",
 ):
     """Load optional per-view metric-depth sidecars for a blender dataset.
 
@@ -79,7 +80,9 @@ def load_blender_depths(
     reference ``train_nerf_rgb.py:390``), or ``None`` when the dataset
     carries no sidecars at all. The reference format has no depth channel;
     this is the extension that lets the Dex-NeRF depth metrics score
-    blender scenes too.
+    blender scenes too. ``prefix="d_dex_"`` loads the σ-threshold
+    (surface-true) sidecar family instead
+    (``make_dataset_from_ckpt.py --save-depth-dex``).
     """
     splits = ["train", "val", "test"]
     per_view, found = [], False
@@ -92,7 +95,7 @@ def load_blender_depths(
             d, base = os.path.split(rel)
             sidecar = None
             if base.startswith("r_"):
-                cand = os.path.join(basedir, d, "d_" + base[2:] + ".npy")
+                cand = os.path.join(basedir, d, prefix + base[2:] + ".npy")
                 if os.path.exists(cand):
                     sidecar = np.load(cand).astype(np.float32)
                     found = True

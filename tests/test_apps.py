@@ -543,3 +543,109 @@ def test_make_dataset_from_ckpt_roundtrip(tmp_path):
     with open(os.path.join(out, "source.json")) as f:
         src = json.load(f)
     assert src["hwf"] == [10, 12, 14.0]
+
+
+def test_generator_dex_sidecars_and_eval_dex_depth(tmp_path):
+    """--save-depth-dex writes σ-surface sidecars the d_dex_ loader prefix
+    finds, and apps.eval --test-set --dex-depth runs the reference's
+    threshold sweep + min-abs-err selection against them
+    (train_dexnerf_rgb.py:393-427). Expected depth is unconstrained on
+    textureless surfaces (docs/TEACHER_DEPTH_AMBIGUITY.json), so the
+    surface-vs-surface column is the trustworthy geometric comparison."""
+    import json
+
+    import yaml
+
+    sys_tools = os.path.join(os.path.dirname(os.path.dirname(__file__)))
+    import sys
+
+    sys.path.insert(0, os.path.join(sys_tools, "tools"))
+    from make_dataset_from_ckpt import main as mk_main
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.data.blender import load_blender_depths
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import setup_models
+
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path), "randomseed": 1,
+                       "train_iters": 1, "validate_every": 1,
+                       "save_every": 1, "print_every": 1},
+        "dataset": {"type": "blender", "basedir": str(tmp_path / "views"),
+                    "near": 2.0, "far": 6.0, "no_ndc": True,
+                    "depth_valid_max": 100.0},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+            "fine": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                     "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                     "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False, "m_thres": 20},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    out = str(tmp_path / "views")
+    rc = mk_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir, "--out", out,
+        "--hwf", "10", "12", "14.0", "--views", "3", "1", "2",
+        "--save-depth", "--save-depth-dex", "5", "--platform", "cpu",
+    ])
+    assert rc == 0
+
+    # dex sidecars exist for the test split, acc-masked like d_{k}
+    d_exp = np.load(os.path.join(out, "test", "d_0.npy"))
+    d_dex = np.load(os.path.join(out, "test", "d_dex_0.npy"))
+    assert d_dex.shape == d_exp.shape and np.isfinite(d_dex).all()
+    np.testing.assert_array_equal(d_dex[d_exp == 0.0], 0.0)
+    with open(os.path.join(out, "source.json")) as f:
+        assert json.load(f)["depth_dex_m"] == 5.0
+
+    # loader prefix finds them, aligned with the global view order
+    dex_all = load_blender_depths(out, prefix="d_dex_")
+    assert dex_all is not None and dex_all.shape[0] == 6
+    np.testing.assert_array_equal(dex_all[4], d_dex)  # first test view
+
+    # eval scores the sweep against the σ-surface sidecars
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--savedir", savedir, "--test-set", "--dex-depth",
+        "--platform", "cpu",
+    ])
+    assert rc == 0
+    with open(os.path.join(savedir, "metrics.json")) as f:
+        mean = json.load(f)["mean"]
+    # sweep grid arange(5, 25, 5): the selected threshold is one of them
+    assert mean["dex_best_m"] in {5.0, 10.0, 15.0, 20.0} or (
+        5.0 <= mean["dex_best_m"] <= 20.0  # per-view means may average
+    )
+    for k in ("dex_abs_err", "dex_rmse", "dex_err8"):
+        assert np.isfinite(mean[k])
+    # the checkpoint the sidecars came from is the model being evaluated:
+    # σ-surface depth must agree with itself far better than the random
+    # field's expected depth agrees with anything
+    assert mean["dex_abs_err"] < 1e-3

@@ -49,6 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scenes", nargs="+", default=list(ALL_SCENES))
     p.add_argument("--iters", type=int, default=12500)
+    p.add_argument(
+        "--depth-loss", type=float, default=None, metavar="W",
+        help="distill the teacher's DEPTH too: write expected-depth "
+        "sidecars for every split and train with --depth-loss W (masked "
+        "depth MSE on expected depth). RGB-only distillation leaves "
+        "textureless-surface geometry unconstrained (hotdog's white "
+        "plate: 2179 mm student error against a teacher whose own "
+        "expected depth is σ-surface-consistent to 2.6 mm — "
+        "docs/TEACHER_DEPTH_AMBIGUITY.json); supervising on the "
+        "teacher's depth closes that ambiguity. Protocol-divergent rows "
+        "record their weight under 'depth_loss'",
+    )
     p.add_argument("--views", type=int, nargs=3, default=(36, 4, 8))
     p.add_argument(
         "--data-root", type=str, default=os.path.join(REPO, "data")
@@ -102,6 +114,9 @@ def write_scene_config(scene: str, args, basedir: str) -> str:
     cfg["experiment"]["logdir"] = args.logdir
     cfg["experiment"]["train_iters"] = int(args.iters)
     cfg["dataset"]["basedir"] = basedir
+    # dex-depth scoring sweep: the reference grid arange(5, m_thres+5, 5)
+    # (train_dexnerf_rgb.py:153-154; eval --dex-depth consumes it)
+    cfg["nerf"]["validation"]["m_thres"] = 80
     if scene == "fern":
         # LLFF/NDC semantics (reference config/fern.yml): forward-facing,
         # black background, sigma noise 1.0, NDC near/far 0..1
@@ -192,7 +207,9 @@ def main(argv=None) -> int:
                  "--hwf", *[str(v) for v in HWF],
                  "--out", basedir,
                  "--views", *[str(v) for v in args.views],
-                 "--save-depth", *platform],
+                 "--save-depth",
+                 *(["all"] if args.depth_loss is not None else []),
+                 "--save-depth-dex", "25", *platform],
                 f"/tmp/distill_{scene}_data.log",
             )
         cfg_path = write_scene_config(scene, args, basedir)
@@ -204,9 +221,11 @@ def main(argv=None) -> int:
         final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
         if args.force or not os.path.exists(final):
             ran_train = True
+            dl = ([] if args.depth_loss is None
+                  else ["--depth-loss", str(args.depth_loss)])
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.train",
-                 "--config", cfg_path, *platform],
+                 "--config", cfg_path, *dl, *platform],
                 f"/tmp/distill_{scene}_train.log",
             )
 
@@ -214,10 +233,11 @@ def main(argv=None) -> int:
         savedir = os.path.join(args.logdir, f"{scene}-distill-tpu", "test")
         metrics_path = os.path.join(savedir, "metrics.json")
         if args.force or not os.path.exists(metrics_path):
+            dex = [] if scene == "fern" else ["--dex-depth"]
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.eval",
                  "--config", cfg_path, "--checkpoint", ckpt_dir,
-                 "--savedir", savedir, "--test-set", *platform],
+                 "--savedir", savedir, "--test-set", *dex, *platform],
                 f"/tmp/distill_{scene}_eval.log",
             )
         with open(metrics_path) as f:
@@ -237,9 +257,19 @@ def main(argv=None) -> int:
             "depth_err2": mean.get("depth_err2"),
             "depth_err4": mean.get("depth_err4"),
             "depth_err8": mean.get("depth_err8"),
+            # σ-threshold (Dex-NeRF) depth, swept + min-abs-err selected,
+            # scored against the teacher's σ-surface sidecars — the
+            # surface-true column (expected-vs-expected is ambiguous on
+            # textureless surfaces, docs/TEACHER_DEPTH_AMBIGUITY.json)
+            "depth_dex_abs_err_mm": mean.get("dex_abs_err"),
+            "depth_dex_rmse_mm": mean.get("dex_rmse"),
+            "depth_dex_err8": mean.get("dex_err8"),
+            "dex_best_m": mean.get("dex_best_m"),
             "iters": int(args.iters),
             "wall_s": wall_s,
             "source_checkpoint": os.path.basename(ckpt),
+            **({} if args.depth_loss is None
+               else {"depth_loss": float(args.depth_loss)}),
         }
         print(f"  {scene}: {results[scene]}", flush=True)
         # write after EVERY scene: an interrupted run still leaves a

@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
         "supervision during distillation)",
     )
     p.add_argument(
+        "--save-depth-dex", type=float, default=None, metavar="M",
+        help="additionally write the teacher's σ-threshold (Dex-NeRF) "
+        "depth at fixed threshold M as d_dex_{k}.npy sidecars (same "
+        "splits as --save-depth). Expected depth is unconstrained by RGB "
+        "on textureless low-texture surfaces (shape-radiance ambiguity — "
+        "hotdog's white plate reads ~2.2 m of mutual expected-depth "
+        "disagreement at 36.6 dB PSNR); the σ-threshold read is the "
+        "reference's own trustworthy depth of a trained field "
+        "(volume_rendering_utils.py:51-58), so σ-surface GT is what "
+        "student σ-surface depth should be scored against",
+    )
+    p.add_argument(
         "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
         help="force a JAX platform (cpu when the TPU tunnel is down)",
     )
@@ -235,13 +247,18 @@ def main(argv=None) -> int:
         )
 
     s_val = render_settings_from_cfg(cfg, "validation").eval_variant()
-    if args.samples is not None:
-        import dataclasses
+    import dataclasses
 
+    if args.samples is not None:
         s_val = dataclasses.replace(
             s_val,
             num_coarse=int(args.samples[0]),
             num_fine=int(args.samples[1]),
+        )
+    if args.save_depth_dex is not None:
+        # σ-threshold depth rides the fine pass (reference semantics)
+        s_val = dataclasses.replace(
+            s_val, m_thres_cand=(float(args.save_depth_dex),)
         )
     rays_impl = maybe_fused_render_impl(cfg, s_val)
     near, far = float(cfg.dataset.near), float(cfg.dataset.far)
@@ -256,7 +273,10 @@ def main(argv=None) -> int:
             rays_impl=rays_impl,
         )
         r = out.fine if out.fine is not None else out.coarse
-        return {"rgb": r.rgb, "depth": r.depth, "acc": r.accumulation}
+        res = {"rgb": r.rgb, "depth": r.depth, "acc": r.accumulation}
+        if args.save_depth_dex is not None:
+            res["depth_dex"] = r.depth_dex[0]
+        return res
 
     if args.format == "messytable":
         return write_messytable(args, cfg, params, coarse_fn, fine_fn,
@@ -297,16 +317,32 @@ def main(argv=None) -> int:
                 # 0 = no reading: rays whose accumulation never hit matter
                 # have meaningless expected depth — without this mask,
                 # background pixels carry plausible-looking junk that
-                # passes the d>0 validity check and dominates the depth
-                # metrics (hotdog: 2179 mm MAE before, object-only after)
+                # passes the d>0 validity check. NOTE the mask only fixes
+                # MISS rays; on HIT rays over textureless surfaces the
+                # expected depth itself is the ambiguous quantity (hotdog's
+                # white plate: acc≈1 everywhere, yet teacher expected depth
+                # sits meters off its own σ-surface —
+                # docs/TEACHER_DEPTH_AMBIGUITY.json); use --save-depth-dex
+                # for a surface-true GT there
+                acc = np.asarray(res["acc"]) > 0.5
                 depth = np.where(
-                    np.asarray(res["acc"]) > 0.5,
+                    acc,
                     np.asarray(res["depth"], np.float32),
                     np.float32(0.0),
                 )
                 np.save(
                     os.path.join(args.out, split, f"d_{k}.npy"), depth
                 )
+                if args.save_depth_dex is not None:
+                    d_dex = np.where(
+                        acc,
+                        np.asarray(res["depth_dex"], np.float32),
+                        np.float32(0.0),
+                    )
+                    np.save(
+                        os.path.join(args.out, split, f"d_dex_{k}.npy"),
+                        d_dex,
+                    )
             frames.append(
                 {"file_path": rel, "transform_matrix": c2w.tolist()}
             )
@@ -326,6 +362,10 @@ def main(argv=None) -> int:
                 "radius": float(args.radius),
                 "phi_range": list(args.phi_range),
                 "seed": int(args.seed),
+                "depth_dex_m": (
+                    None if args.save_depth_dex is None
+                    else float(args.save_depth_dex)
+                ),
             },
             f,
             indent=1,
