@@ -666,6 +666,16 @@ def main(argv=None) -> int:
                 if mask.any():
                     d_pred = np.asarray(res["depth"])
                     row.update(compute_err_metric(d_gt, d_pred, mask))
+                    # 11-band error colormap (reference train_utils.py:46-70)
+                    err_dir = os.path.join(args.savedir, "depth_err")
+                    os.makedirs(err_dir, exist_ok=True)
+                    err_img = depth_error_img(
+                        d_pred[None], d_gt[None], mask[None]
+                    )
+                    imageio.imwrite(
+                        os.path.join(err_dir, f"{i:04d}.png"),
+                        (np.clip(err_img, 0.0, 1.0) * 255.0).astype(np.uint8),
+                    )
                 if "depth_dex_all" in res:
                     # the reference's validation protocol: sweep the
                     # threshold candidates, select min-abs-err per view
@@ -692,16 +702,6 @@ def main(argv=None) -> int:
                             for k, v in d_errs[best].items()
                         })
                         row["dex_best_m"] = float(cands[best])
-                    # 11-band error colormap (reference train_utils.py:46-70)
-                    err_dir = os.path.join(args.savedir, "depth_err")
-                    os.makedirs(err_dir, exist_ok=True)
-                    err_img = depth_error_img(
-                        d_pred[None], d_gt[None], mask[None]
-                    )
-                    imageio.imwrite(
-                        os.path.join(err_dir, f"{i:04d}.png"),
-                        (np.clip(err_img, 0.0, 1.0) * 255.0).astype(np.uint8),
-                    )
             per_image.append(row)
         print(f"frame {i}: {times[-1]:.3f}s")
 
