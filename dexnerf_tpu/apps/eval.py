@@ -424,11 +424,27 @@ def main(argv=None) -> int:
                 debug=bool(ds.get("debug", False)),
                 prefix="d_dex_",
             )
+        elif str(cfg.dataset.type).lower() == "llff":
+            from dexnerf_tpu.data.llff import load_llff_depths
+
+            depths_dex_gt = load_llff_depths(
+                cfg.dataset.basedir, len(scene.images), prefix="d_dex_"
+            )
         print(
             "dex-depth GT: "
             + ("σ-surface sidecars (d_dex_*.npy)"
                if depths_dex_gt is not None
                else "expected-depth sidecars (no d_dex_*.npy found)")
+        )
+    if args.dex_depth and args.test_set and scene.depths is None:
+        # silent-degradation guard (advisor round-4): without any depth
+        # sidecars the sweep has nothing to score against, and a caller
+        # recording "dex columns" would get an unlabeled no-op
+        raise SystemExit(
+            "--dex-depth: the dataset carries no depth sidecars "
+            "(d_*.npy) — no ground truth to sweep against. Generate the "
+            "dataset with --save-depth (and --save-depth-dex for "
+            "σ-surface GT), or drop --dex-depth."
         )
     need_rays = args.save_pointcloud or args.sg_ir
     near_f, far_f = float(cfg.dataset.near), float(cfg.dataset.far)
@@ -466,6 +482,23 @@ def main(argv=None) -> int:
                     "> 0"
                 )
             res["depth_dex_all"] = r.depth_dex  # [T, H, W]
+        if need_test_depth and scene.use_ndc:
+            # NDC renders report depth as the NDC ray parameter; the
+            # sidecars are metric ray distance in scene units — convert
+            # the SCORED depths here (exact for the σ-threshold surface,
+            # f(E[t]) for expected depth; both sides of the comparison
+            # use the same map). Disparity/pointcloud outputs keep their
+            # NDC semantics.
+            from dexnerf_tpu.core.rays import ndc_t_to_world_depth
+
+            if "depth" in res:
+                res["depth"] = ndc_t_to_world_depth(
+                    res["depth"], ro, rd, H, W, focal
+                )
+            if "depth_dex_all" in res:
+                res["depth_dex_all"] = ndc_t_to_world_depth(
+                    res["depth_dex_all"], ro, rd, H, W, focal
+                )
         if args.save_pointcloud:
             res["accumulation"] = r.accumulation
             if pc_thres_idx is not None:
@@ -724,6 +757,14 @@ def main(argv=None) -> int:
             "mean": mean,
             "avg_s_per_image": float(np.mean(times)),
         }
+        if args.dex_depth and need_test_depth:
+            # record which ground truth the dex_* columns were scored
+            # against so downstream tables can't mislabel the column
+            # (advisor round-4 finding)
+            report["dex_gt"] = (
+                "sigma_sidecar" if depths_dex_gt is not None
+                else "expected"
+            )
         with open(os.path.join(args.savedir, "metrics.json"), "w") as f:
             json.dump(report, f, indent=1)
         print(

@@ -21,6 +21,7 @@ from dexnerf_tpu.core.rays import (
     get_ray_bundle_w2c,
     meshgrid_xy,
     ndc_rays,
+    ndc_t_to_world_depth,
     pixel_grid,
 )
 from dexnerf_tpu.core.sampling import (
@@ -58,6 +59,7 @@ __all__ = [
     "get_ray_bundle_w2c",
     "meshgrid_xy",
     "ndc_rays",
+    "ndc_t_to_world_depth",
     "pixel_grid",
     "hierarchical_z_vals",
     "perturb_z_vals",

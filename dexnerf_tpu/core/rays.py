@@ -173,3 +173,46 @@ def ndc_rays(
     d2 = -2.0 * near / oz
 
     return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def ndc_t_to_world_depth(
+    t: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    height: int,
+    width: int,
+    focal_length,
+    near: float = 1.0,
+) -> jnp.ndarray:
+    """Convert NDC ray parameters to metric world-space ray distance.
+
+    The NDC render path (reference ``nerf_helpers.py:172-199`` semantics)
+    samples ``t`` in [0, 1] along the projected ray, so its depth outputs
+    (expected depth AND the σ-threshold Dex-NeRF depth,
+    ``volume_rendering_utils.py:51-58``) are NDC parameters, not metric.
+    This inverts the projective map: the NDC point ``o' + t·d'`` has
+    world z = ``2·near/(p_z − 1)`` (the z-component of ``ndc_rays`` is
+    ``1 + 2·near/z``), x/y follow from the perspective divide, and the
+    returned value is the Euclidean distance from the ORIGINAL world ray
+    origin to that reconstructed point — in scene units (for LLFF scenes
+    that is the loader's bd-rescaled unit, not millimetres; scale is
+    consistent between any two fields rendered through the same loader).
+
+    NDC preserves straight lines, so for sample-valued ``t`` (the
+    σ-threshold first-crossing) the conversion is exact; for EXPECTED
+    depth it converts the expectation's location (f(E[t]), not E[f(t)]) —
+    fine for surface comparison as long as both sides use it.
+
+    ``t`` broadcasts against the ray batch: [H, W] rays accept [H, W] or
+    [T, H, W] (threshold-swept) parameters.
+    """
+    o_ndc, d_ndc = ndc_rays(height, width, focal_length, near, rays_o, rays_d)
+    p = o_ndc + t[..., None] * d_ndc
+    sx = -1.0 / (width / (2.0 * focal_length))
+    sy = -1.0 / (height / (2.0 * focal_length))
+    # p_z → 1 is the far plane at infinity; clamp so t == 1 stays finite
+    z = 2.0 * near / jnp.minimum(p[..., 2] - 1.0, -1e-6)
+    x = p[..., 0] * z / sx
+    y = p[..., 1] * z / sy
+    pw = jnp.stack([x, y, z], axis=-1)
+    return jnp.linalg.norm(pw - rays_o, axis=-1)

@@ -7,7 +7,7 @@ from dexnerf_tpu.data.blender import (
     pose_spherical,
     spherical_render_poses,
 )
-from dexnerf_tpu.data.llff import load_llff_data
+from dexnerf_tpu.data.llff import load_llff_data, load_llff_depths
 from dexnerf_tpu.data.messytable import load_messytable_data
 from dexnerf_tpu.data.host_store import (
     HostRayLoader,
@@ -36,6 +36,7 @@ __all__ = [
     "pose_spherical",
     "spherical_render_poses",
     "load_llff_data",
+    "load_llff_depths",
     "load_messytable_data",
     "HostRayLoader",
     "RayStore",

@@ -317,3 +317,23 @@ def load_llff_data(
     dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
     i_test = int(np.argmin(dists))
     return images.astype(np.float32), poses.astype(np.float32), bds, render_poses, i_test
+
+
+def load_llff_depths(
+    basedir: str, n: int, prefix: str = "d_"
+) -> Optional[np.ndarray]:
+    """Load per-view depth sidecars for an LLFF scene.
+
+    ``tools/make_llff_dataset_from_ckpt.py --save-depth`` writes
+    ``{basedir}/depths/{prefix}{k}.npy`` (float32, metric ray distance in
+    scene units, 0 = no reading) indexed like the sorted image list the
+    loader consumes — ``prefix="d_"`` for the teacher's expected depth,
+    ``"d_dex_"`` for its σ-threshold surface. Returns [N, H, W] float32,
+    or None when the sidecar set is absent/incomplete (all-or-nothing, so
+    a partially written set can't silently score against zeros).
+    """
+    d = os.path.join(basedir, "depths")
+    paths = [os.path.join(d, f"{prefix}{k}.npy") for k in range(n)]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    return np.stack([np.load(p).astype(np.float32) for p in paths], axis=0)

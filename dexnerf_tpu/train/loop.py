@@ -146,6 +146,8 @@ def load_scene(cfg: CfgNode) -> SceneData:
         i_train = np.array(
             [i for i in np.arange(n) if i not in set(i_val.tolist())]
         )
+        from dexnerf_tpu.data.llff import load_llff_depths
+
         return SceneData(
             images=images,
             poses=poses44,
@@ -154,6 +156,10 @@ def load_scene(cfg: CfgNode) -> SceneData:
             i_val=i_val,
             # LLFF convention: the llffhold views ARE the held-out set
             i_test=i_val,
+            # teacher-depth sidecars (metric ray distance in scene units,
+            # converted from NDC at generation time —
+            # tools/make_llff_dataset_from_ckpt.py --save-depth)
+            depths=load_llff_depths(ds.basedir, n),
             render_poses=render_poses,
             use_ndc=not bool(_get(ds, "no_ndc", True)),
         )
@@ -658,7 +664,13 @@ def validate(
         metrics["depth_dex"] = np.asarray(slim["depth_dex"])  # [T, H, W]
         metrics["m_thres_cand"] = tuple(s_val.m_thres_cand)
 
-    if scene.depths is not None:
+    if scene.depths is not None and scene.use_ndc:
+        # NDC renders report depth as the NDC ray parameter while sidecars
+        # are metric ray distance — comparing them here would log junk.
+        # apps.eval --test-set does the NDC→world conversion and is the
+        # scored surface for LLFF depth (core.rays.ndc_t_to_world_depth).
+        pass
+    elif scene.depths is not None:
         gt = scene.depths[idx]
         # validity mask 0 < d < depth_valid_max, default 1.25 m
         # (reference hardcodes 1.25, train_nerf_rgb.py:390)
@@ -993,6 +1005,12 @@ def run_training(
             raise ValueError(
                 "depth_loss_weight > 0 but the dataset has no GT depth "
                 "maps (messytable carries depthL.png / depth.png)"
+            )
+        if scene.use_ndc:
+            raise ValueError(
+                "depth supervision under NDC is unsupported: the render "
+                "depth is an NDC ray parameter while depth sidecars are "
+                "metric ray distance (see core.rays.ndc_t_to_world_depth)"
             )
     host_rows = host_depth = host_loader = None
     if pose_opt:

@@ -132,6 +132,68 @@ def test_ndc_rays_z_mapping():
     np.testing.assert_allclose(d[0, 2], 2.0, atol=1e-6)
 
 
+def test_ndc_t_to_world_depth_inverts_projection():
+    """NDC preserves straight lines, so a sample at NDC parameter t lies
+    on the original world ray; converting t must recover the Euclidean
+    distance from the world ray origin to that point."""
+    from dexnerf_tpu.core import ndc_t_to_world_depth
+
+    H, W, f, near = 12, 16, 20.0, 1.0
+    rng = np.random.default_rng(3)
+    # forward-facing camera-ish rays: origins near z=0, directions with
+    # dz < 0 (looking down -z, the LLFF convention)
+    ro = rng.uniform(-0.2, 0.2, (5, 3)).astype(np.float32)
+    rd = np.stack(
+        [
+            rng.uniform(-0.3, 0.3, 5),
+            rng.uniform(-0.3, 0.3, 5),
+            -np.ones(5),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    t = rng.uniform(0.05, 0.95, (5,)).astype(np.float32)
+
+    got = np.asarray(
+        ndc_t_to_world_depth(jnp.asarray(t), jnp.asarray(ro),
+                             jnp.asarray(rd), H, W, f, near)
+    )
+
+    # independent expectation: find the NDC sample's z, invert the z map
+    # (z' = 1 + 2n/z), then walk the ORIGINAL ray to that world z
+    o_ndc, d_ndc = ndc_rays(H, W, f, near, jnp.asarray(ro), jnp.asarray(rd))
+    pz = np.asarray(o_ndc)[:, 2] + t * np.asarray(d_ndc)[:, 2]
+    z_world = 2.0 * near / (pz - 1.0)
+    u = (z_world - ro[:, 2]) / rd[:, 2]
+    p_world = ro + u[:, None] * rd
+    expected = np.linalg.norm(p_world - ro, axis=-1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    # t=0 is the near-plane intersection of the ray
+    d0 = np.asarray(
+        ndc_t_to_world_depth(jnp.zeros(5), jnp.asarray(ro),
+                             jnp.asarray(rd), H, W, f, near)
+    )
+    u_near = -(near + ro[:, 2]) / rd[:, 2]
+    np.testing.assert_allclose(
+        d0, u_near * np.linalg.norm(rd, axis=-1), rtol=1e-4
+    )
+
+    # threshold-swept shapes broadcast: [T, N] against [N, 3] rays
+    t2 = np.stack([t, t * 0.5], axis=0)
+    got2 = np.asarray(
+        ndc_t_to_world_depth(jnp.asarray(t2), jnp.asarray(ro),
+                             jnp.asarray(rd), H, W, f, near)
+    )
+    assert got2.shape == (2, 5)
+    np.testing.assert_allclose(got2[0], got, rtol=1e-5)
+    # t=1 (the far plane at infinity) stays finite via the clamp
+    d1 = np.asarray(
+        ndc_t_to_world_depth(jnp.ones(5), jnp.asarray(ro),
+                             jnp.asarray(rd), H, W, f, near)
+    )
+    assert np.all(np.isfinite(d1))
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_stratified_z_vals_linear_and_lindisp():

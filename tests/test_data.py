@@ -324,3 +324,22 @@ def test_blender_depth_sidecars(tmp_path):
     assert scene.depths.shape[0] == scene.images.shape[0]
     i_test = scene.i_test
     assert np.all(scene.depths[i_test[0]] == 3.25)
+
+
+def test_load_llff_depths_all_or_nothing(tmp_path):
+    from dexnerf_tpu.data import load_llff_depths
+
+    d = tmp_path / "depths"
+    d.mkdir()
+    import numpy as np
+
+    for k in range(3):
+        np.save(d / f"d_{k}.npy", np.full((4, 5), float(k + 1), np.float32))
+    got = load_llff_depths(str(tmp_path), 3)
+    assert got.shape == (3, 4, 5) and got.dtype == np.float32
+    assert got[2, 0, 0] == 3.0
+    # a partially written sidecar set must not load (it would silently
+    # score against zeros)
+    assert load_llff_depths(str(tmp_path), 4) is None
+    # a different prefix set is independent
+    assert load_llff_depths(str(tmp_path), 3, prefix="d_dex_") is None

@@ -183,3 +183,121 @@ def test_messytable_generator_loader_roundtrip(tmp_path):
     d = np.asarray(out.fine.depth)
     want = np.where(acc > 0.5, d, 0.0)
     np.testing.assert_allclose(depths[0], want, atol=2e-3)
+
+
+def test_llff_generator_depth_sidecars_and_eval(tmp_path):
+    """LLFF/NDC depth round 5: the generator writes metric-unit teacher
+    depth sidecars (expected + σ-surface, NDC-converted through
+    core.rays.ndc_t_to_world_depth), the llff loader finds them, and
+    apps.eval --test-set --dex-depth scores the student in the SAME unit
+    system. Self-consistency: the teacher checkpoint evaluated against
+    its own sidecars must read ~0 σ-surface error."""
+    import json
+
+    import yaml
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from make_llff_dataset_from_ckpt import main as mk_main
+
+    from dexnerf_tpu.apps.eval import main as eval_main
+    from dexnerf_tpu.config import load_config
+    from dexnerf_tpu.train import init_train_state, make_optimizer
+    from dexnerf_tpu.train.checkpoints import save_checkpoint
+    from dexnerf_tpu.train.loop import load_scene, setup_models
+
+    out = str(tmp_path / "llff")
+    cfg_dict = {
+        "experiment": {"id": "exp", "logdir": str(tmp_path),
+                       "randomseed": 1, "train_iters": 1,
+                       "validate_every": 1, "save_every": 1,
+                       "print_every": 1},
+        "dataset": {"type": "llff", "basedir": out,
+                    "downsample_factor": 1, "llffhold": 8,
+                    "no_ndc": False, "near": 0, "far": 1,
+                    "depth_valid_max": 20.0},
+        "models": {
+            "coarse": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                       "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                       "num_encoding_fn_dir": 1},
+            "fine": {"type": "FlexibleNeRFModel", "num_layers": 2,
+                     "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                     "num_encoding_fn_dir": 1},
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {"num_random_rays": 16, "chunksize": 64,
+                      "perturb": True, "num_coarse": 4, "num_fine": 4,
+                      "white_background": False,
+                      "radiance_field_noise_std": 0.0, "lindisp": False},
+            "validation": {"chunksize": 64, "perturb": False,
+                           "num_coarse": 4, "num_fine": 4,
+                           "white_background": False,
+                           "radiance_field_noise_std": 0.0,
+                           "lindisp": False, "m_thres": 20},
+        },
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    cfg = load_config(cfg_path)
+    _, _, params = setup_models(cfg, 1)
+    # a freshly initialized field is too thin for NDC sampling to reach
+    # acc > 0.5 anywhere — push the σ head's bias up so every ray hits
+    # (Dense_3 is FlexibleNeRFModel's 1-wide alpha head)
+    for sub in ("coarse", "fine"):
+        head = params[sub]["params"]["Dense_3"]
+        head["bias"] = head["bias"] + 8.0
+    state = init_train_state(params, make_optimizer(5e-3))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    rc = mk_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir, "--out", out,
+        "--views", "8", "--size", "10", "12", "--focal", "10.0",
+        "--save-depth", "--depth-dex-m", "5", "--platform", "cpu",
+    ])
+    assert rc == 0
+
+    d_exp = np.load(os.path.join(out, "depths", "d_0.npy"))
+    d_dex = np.load(os.path.join(out, "depths", "d_dex_0.npy"))
+    assert d_exp.shape == (10, 12) and np.isfinite(d_dex).all()
+    # metric units: the dense fog surfaces at the near plane, so depths
+    # sit near the ~1-unit near-plane distance — not the ~0.1 NDC
+    # parameter an unconverted sidecar would carry
+    hits = d_exp > 0
+    assert hits.any(), "dense field never reached acc>0.5 — vacuous test"
+    assert float(d_exp[hits].min()) > 0.5
+    np.testing.assert_array_equal(d_dex[d_exp == 0.0], 0.0)
+    with open(os.path.join(out, "source.json")) as f:
+        src = json.load(f)
+    assert src["depth_sidecars"] is True and src["depth_dex_m"] == 5.0
+
+    # the llff loader attaches the sidecars to the scene
+    scene = load_scene(cfg)
+    assert scene.depths is not None and scene.depths.shape[0] == 8
+    assert scene.use_ndc
+
+    # eval: sweep against σ-surface sidecars, converted student depths
+    savedir = str(tmp_path / "renders")
+    rc = eval_main([
+        "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--savedir", savedir, "--test-set", "--dex-depth",
+        "--platform", "cpu",
+    ])
+    assert rc == 0
+    with open(os.path.join(savedir, "metrics.json")) as f:
+        report = json.load(f)
+    assert report["dex_gt"] == "sigma_sidecar"
+    mean = report["mean"]
+    # teacher-vs-own-sidecar: the σ-surface read is exact under the
+    # shared NDC→world conversion
+    assert mean["dex_abs_err"] < 1e-3
+    assert np.isfinite(mean["depth_abs_err"])

@@ -105,12 +105,61 @@ def run(cmd, log_path):
     return dt
 
 
+def run_id(scene: str, args) -> str:
+    """Logdir id carries the training protocol: a --depth-loss run must
+    never skip-resume onto (or relabel) an RGB-only run's checkpoints or
+    metrics (advisor round-4 finding)."""
+    if args.depth_loss is None:
+        return f"{scene}-distill-tpu"
+    return f"{scene}-distill-dl{args.depth_loss:g}"
+
+
+def dataset_complete(basedir: str, scene: str, args) -> bool:
+    """A dataset dir satisfies the CURRENT protocol only if source.json
+    (the generator's last artifact) exists AND every sidecar this run
+    consumes is present — an older pre-sidecar dataset would otherwise be
+    silently trained with all-masked depth supervision and eval would
+    silently fall back to expected-depth GT (advisor round-4 finding)."""
+    if not os.path.exists(os.path.join(basedir, "source.json")):
+        return False
+    if scene == "fern":
+        # NDC teacher-depth sidecars (expected + σ-surface; written in
+        # metric scene units by the generator)
+        if not all(
+            os.path.exists(os.path.join(basedir, "depths", f))
+            for f in ("d_0.npy", "d_dex_0.npy")
+        ):
+            print(
+                f"  dataset at {basedir} lacks NDC depth sidecars — "
+                "regenerating",
+                flush=True,
+            )
+            return False
+        return True
+    needed = [
+        os.path.join(basedir, "test", "d_0.npy"),
+        os.path.join(basedir, "test", "d_dex_0.npy"),
+    ]
+    if args.depth_loss is not None:
+        needed.append(os.path.join(basedir, "train", "d_0.npy"))
+    missing = [p for p in needed if not os.path.exists(p)]
+    if missing:
+        print(
+            f"  dataset at {basedir} lacks required sidecars "
+            f"({', '.join(os.path.relpath(m, basedir) for m in missing)})"
+            " — regenerating",
+            flush=True,
+        )
+        return False
+    return True
+
+
 def write_scene_config(scene: str, args, basedir: str) -> str:
     import yaml
 
     with open(os.path.join(REPO, "configs", "lego-distill-tpu.yml")) as f:
         cfg = yaml.safe_load(f)
-    cfg["experiment"]["id"] = f"{scene}-distill-tpu"
+    cfg["experiment"]["id"] = run_id(scene, args)
     cfg["experiment"]["logdir"] = args.logdir
     cfg["experiment"]["train_iters"] = int(args.iters)
     cfg["dataset"]["basedir"] = basedir
@@ -119,11 +168,18 @@ def write_scene_config(scene: str, args, basedir: str) -> str:
     cfg["nerf"]["validation"]["m_thres"] = 80
     if scene == "fern":
         # LLFF/NDC semantics (reference config/fern.yml): forward-facing,
-        # black background, sigma noise 1.0, NDC near/far 0..1
+        # black background, sigma noise 1.0, NDC near/far 0..1.
+        # depth_valid_max covers the generator's world bounds (far 8.0 in
+        # scene units; beyond-far NDC t→1 converts to huge distances that
+        # the validity ceiling excludes)
         cfg["dataset"] = {
             "type": "llff", "basedir": basedir, "downsample_factor": 1,
             "llffhold": 8, "no_ndc": False, "near": 0, "far": 1,
+            "depth_valid_max": 20.0,
         }
+        # the NDC field trains under σ-noise 1.0 and a different dist
+        # scale — give the sweep headroom above the blender grid
+        cfg["nerf"]["validation"]["m_thres"] = 160
         for mode in ("train", "validation"):
             cfg["nerf"][mode]["white_background"] = False
         cfg["nerf"]["train"]["radiance_field_noise_std"] = 1.0
@@ -187,36 +243,37 @@ def main(argv=None) -> int:
         # 1) dataset out of the shipped checkpoint. Completion is keyed on
         # source.json — the LAST artifact either generator writes — so a
         # run killed mid-generation (e.g. fern's phase-A placeholders
-        # with no renders) is re-run, not silently trained on
-        if scene == "fern":
-            if args.force or not os.path.exists(
-                os.path.join(basedir, "source.json")
-            ):
+        # with no renders) is re-run, not silently trained on; AND on the
+        # sidecars the current protocol consumes (dataset_complete)
+        if args.force or not dataset_complete(basedir, scene, args):
+            if scene == "fern":
                 run(
                     [sys.executable, "tools/make_llff_dataset_from_ckpt.py",
                      "--config", ref_cfg, "--checkpoint", ckpt,
-                     "--out", basedir, "--views", "44", *platform],
+                     "--out", basedir, "--views", "44", "--save-depth",
+                     *platform],
                     f"/tmp/distill_{scene}_data.log",
                 )
-        elif args.force or not os.path.exists(
-            os.path.join(basedir, "source.json")
-        ):
-            run(
-                [sys.executable, "tools/make_dataset_from_ckpt.py",
-                 "--config", ref_cfg, "--checkpoint", ckpt,
-                 "--hwf", *[str(v) for v in HWF],
-                 "--out", basedir,
-                 "--views", *[str(v) for v in args.views],
-                 "--save-depth",
-                 *(["all"] if args.depth_loss is not None else []),
-                 "--save-depth-dex", "25", *platform],
-                f"/tmp/distill_{scene}_data.log",
-            )
+            else:
+                run(
+                    [sys.executable, "tools/make_dataset_from_ckpt.py",
+                     "--config", ref_cfg, "--checkpoint", ckpt,
+                     "--hwf", *[str(v) for v in HWF],
+                     "--out", basedir,
+                     "--views", *[str(v) for v in args.views],
+                     # always 'all': train-split sidecars make the same
+                     # dataset dir valid for both the RGB-only and the
+                     # --depth-loss protocol (training ignores them
+                     # without the flag)
+                     "--save-depth", "all",
+                     "--save-depth-dex", "25", *platform],
+                    f"/tmp/distill_{scene}_data.log",
+                )
         cfg_path = write_scene_config(scene, args, basedir)
 
         # 2) train a fresh model on the rendered train views
         ckpt_dir = os.path.join(
-            args.logdir, f"{scene}-distill-tpu", "checkpoints"
+            args.logdir, run_id(scene, args), "checkpoints"
         )
         final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
         if args.force or not os.path.exists(final):
@@ -230,10 +287,12 @@ def main(argv=None) -> int:
             )
 
         # 3) score the held-out test views
-        savedir = os.path.join(args.logdir, f"{scene}-distill-tpu", "test")
+        savedir = os.path.join(args.logdir, run_id(scene, args), "test")
         metrics_path = os.path.join(savedir, "metrics.json")
         if args.force or not os.path.exists(metrics_path):
-            dex = [] if scene == "fern" else ["--dex-depth"]
+            # fern too: NDC depths are converted to metric scene units at
+            # eval time (round-5; fern's depth cells were null before)
+            dex = ["--dex-depth"]
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.eval",
                  "--config", cfg_path, "--checkpoint", ckpt_dir,

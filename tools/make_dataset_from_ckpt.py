@@ -84,13 +84,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--save-depth-dex", type=float, default=None, metavar="M",
         help="additionally write the teacher's σ-threshold (Dex-NeRF) "
         "depth at fixed threshold M as d_dex_{k}.npy sidecars (same "
-        "splits as --save-depth). Expected depth is unconstrained by RGB "
-        "on textureless low-texture surfaces (shape-radiance ambiguity — "
-        "hotdog's white plate reads ~2.2 m of mutual expected-depth "
-        "disagreement at 36.6 dB PSNR); the σ-threshold read is the "
-        "reference's own trustworthy depth of a trained field "
-        "(volume_rendering_utils.py:51-58), so σ-surface GT is what "
-        "student σ-surface depth should be scored against",
+        "splits as --save-depth; requires --save-depth). The teacher's "
+        "own expected depth is σ-surface-consistent (hotdog median "
+        "2.6 mm — docs/TEACHER_DEPTH_AMBIGUITY.json); the ~2.2 m "
+        "failure mode is the RGB-only STUDENT's expected depth drifting "
+        "from the teacher's on textureless surfaces (shape-radiance "
+        "ambiguity). The σ-threshold read is the reference's own "
+        "trustworthy depth of a trained field "
+        "(volume_rendering_utils.py:51-58), so σ-surface GT is the "
+        "matching target for student σ-surface depth",
     )
     p.add_argument(
         "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
@@ -211,7 +213,13 @@ def write_messytable(args, cfg, params, coarse_fn, fine_fn, s_val,
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.save_depth_dex is not None and args.save_depth is None:
+        # the d_dex write is nested inside the --save-depth branch; without
+        # this guard the flag is a silent no-op that still records
+        # depth_dex_m in source.json (advisor round-4 finding)
+        parser.error("--save-depth-dex requires --save-depth")
 
     import imageio.v2 as imageio
     import jax
@@ -318,12 +326,14 @@ def main(argv=None) -> int:
                 # have meaningless expected depth — without this mask,
                 # background pixels carry plausible-looking junk that
                 # passes the d>0 validity check. NOTE the mask only fixes
-                # MISS rays; on HIT rays over textureless surfaces the
-                # expected depth itself is the ambiguous quantity (hotdog's
-                # white plate: acc≈1 everywhere, yet teacher expected depth
-                # sits meters off its own σ-surface —
-                # docs/TEACHER_DEPTH_AMBIGUITY.json); use --save-depth-dex
-                # for a surface-true GT there
+                # MISS rays; on HIT rays over textureless surfaces an
+                # RGB-only STUDENT's expected depth can drift meters from
+                # the teacher's (hotdog's white plate: ~2.2 m student
+                # error while the teacher's own expected depth stays
+                # σ-surface-consistent to 2.6 mm median —
+                # docs/TEACHER_DEPTH_AMBIGUITY.json); --save-depth-dex
+                # adds the σ-surface GT that student σ-surface depth
+                # should be scored against
                 acc = np.asarray(res["acc"]) > 0.5
                 depth = np.where(
                     acc,
@@ -365,6 +375,15 @@ def main(argv=None) -> int:
                 "depth_dex_m": (
                     None if args.save_depth_dex is None
                     else float(args.save_depth_dex)
+                ),
+                # which splits carry d_{k}.npy (and d_dex when depth_dex_m
+                # is set) — stage-resume drivers key dataset completeness
+                # on this (advisor round-4: a pre-sidecar dataset must not
+                # be silently reused by a --depth-loss protocol)
+                "depth_splits": (
+                    [] if args.save_depth is None
+                    else list(splits) if args.save_depth == "all"
+                    else ["test"]
                 ),
             },
             f,

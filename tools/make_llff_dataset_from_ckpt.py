@@ -73,6 +73,21 @@ def build_parser() -> argparse.ArgumentParser:
         metavar=("COARSE", "FINE"),
     )
     p.add_argument(
+        "--save-depth", action="store_true",
+        help="write per-view teacher-depth sidecars depths/d_{k}.npy "
+        "(expected depth) and depths/d_dex_{k}.npy (σ-threshold surface "
+        "at --depth-dex-m), float32 METRIC ray distance in scene units — "
+        "the NDC render's [0,1] ray parameter is converted through "
+        "core.rays.ndc_t_to_world_depth, so LLFF/NDC depth becomes "
+        "scoreable with the same mm metrics as the blender scenes "
+        "(× the LLFF loader's arbitrary scene scale)",
+    )
+    p.add_argument(
+        "--depth-dex-m", type=float, default=25.0, metavar="M",
+        help="σ threshold for the d_dex sidecars (the blender generator's "
+        "default grid midpoint; the eval sweep re-selects per view)",
+    )
+    p.add_argument(
         "--platform", type=str, default=None, choices=("cpu", "tpu", "axon"),
     )
     return p
@@ -155,6 +170,16 @@ def main(argv=None) -> int:
         )
     rays_impl = maybe_fused_render_impl(cfg, s_val)
     focal_loaded = float(poses[0, 2, 4])
+    if args.save_depth:
+        import dataclasses
+
+        from dexnerf_tpu.core.rays import ndc_t_to_world_depth
+
+        # σ-threshold depth rides the fine pass (reference semantics)
+        s_val = dataclasses.replace(
+            s_val, m_thres_cand=(float(args.depth_dex_m),)
+        )
+        os.makedirs(os.path.join(args.out, "depths"), exist_ok=True)
 
     @jax.jit
     def render_frame(pose44):
@@ -165,14 +190,28 @@ def main(argv=None) -> int:
             rays_impl=rays_impl,
         )
         r = out.fine if out.fine is not None else out.coarse
-        return r.rgb
+        res = {"rgb": r.rgb}
+        if args.save_depth:
+            res["acc"] = r.accumulation
+            # NDC ray parameter -> metric ray distance (scene units); the
+            # same conversion apps.eval applies to the student, so
+            # sidecar and prediction live in one unit system
+            res["depth"] = ndc_t_to_world_depth(
+                r.depth, ro, rd, H, W, focal_loaded
+            )
+            res["depth_dex"] = ndc_t_to_world_depth(
+                r.depth_dex[0], ro, rd, H, W, focal_loaded
+            )
+        return res
 
     times = []
+    exp_vs_dex = []
     for k in range(n):
         pose44 = np.eye(4, dtype=np.float32)
         pose44[:3, :4] = poses[k, :3, :4]
         t0 = time.time()
-        rgb = np.asarray(render_frame(jnp.asarray(pose44)))
+        res = render_frame(jnp.asarray(pose44))
+        rgb = np.asarray(res["rgb"])
         times.append(time.time() - t0)
         png = (np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
         # the loader reads images_1/ at factor 1 (a _minify copy of the
@@ -181,6 +220,26 @@ def main(argv=None) -> int:
         p1 = os.path.join(args.out, "images_1", f"r_{k:03d}.png")
         if os.path.exists(os.path.dirname(p1)):
             imageio.imwrite(p1, png)
+        if args.save_depth:
+            # 0 = no reading (rays that never hit matter)
+            hit = np.asarray(res["acc"]) > 0.5
+            d_exp = np.where(
+                hit, np.asarray(res["depth"], np.float32), np.float32(0.0)
+            )
+            d_dex = np.where(
+                hit, np.asarray(res["depth_dex"], np.float32),
+                np.float32(0.0),
+            )
+            np.save(os.path.join(args.out, "depths", f"d_{k}.npy"), d_exp)
+            np.save(
+                os.path.join(args.out, "depths", f"d_dex_{k}.npy"), d_dex
+            )
+            if hit.any():
+                # teacher self-consistency: expected depth vs its own
+                # σ-surface — validates --depth-dex-m for THIS field
+                exp_vs_dex.append(
+                    float(np.median(np.abs(d_exp - d_dex)[hit]))
+                )
 
     with open(os.path.join(args.out, "source.json"), "w") as f:
         json.dump(
@@ -194,6 +253,15 @@ def main(argv=None) -> int:
                 "focus": float(args.focus),
                 "bounds": list(args.bounds),
                 "seed": int(args.seed),
+                "depth_sidecars": bool(args.save_depth),
+                "depth_dex_m": (
+                    float(args.depth_dex_m) if args.save_depth else None
+                ),
+                "depth_units": (
+                    "metric ray distance, LLFF scene units "
+                    "(NDC-converted via core.rays.ndc_t_to_world_depth)"
+                    if args.save_depth else None
+                ),
             },
             f,
             indent=1,
@@ -202,6 +270,12 @@ def main(argv=None) -> int:
         f"LLFF dataset at {args.out}: {n} views {H}x{W} f={focal_loaded:.1f}, "
         f"avg {np.mean(times):.3f}s/frame"
     )
+    if exp_vs_dex:
+        print(
+            "teacher exp-vs-dex median agreement: "
+            f"{1000.0 * float(np.median(exp_vs_dex)):.1f} scene-mm "
+            f"(σ threshold {args.depth_dex_m:g})"
+        )
     return 0
 
 

@@ -86,6 +86,13 @@ def main(argv=None) -> int:
     # the reference's own sweep grid: arange(5, m_thres+5, 5)
     # (train_dexnerf_rgb.py:153-154)
     m_grid = tuple(float(m) for m in np.arange(5.0, args.m_max + 5.0, 5.0))
+    # the plateau-stability read spans thresholds 20..60; a narrower
+    # --m-max would silently index an empty mid-grid below
+    if not any(20.0 <= m <= 60.0 for m in m_grid):
+        raise SystemExit(
+            f"--m-max {args.m_max:g} leaves no thresholds in the 20..60 "
+            "plateau window — use --m-max >= 20"
+        )
 
     report = {}
     for scene in args.scenes:
@@ -98,6 +105,13 @@ def main(argv=None) -> int:
         rays_impl = maybe_fused_render_impl(cfg, s_val)
         near, far = float(cfg.dataset.near), float(cfg.dataset.far)
 
+        if fine_fn is None:
+            raise SystemExit(
+                f"{scene}: coarse-only checkpoint — σ-threshold depth "
+                "rides the fine pass (reference semantics); this probe "
+                "needs a hierarchical model"
+            )
+
         @jax.jit
         def render_frame(pose):
             ro, rd = get_ray_bundle_c2w(H, W, focal, pose)
@@ -106,6 +120,11 @@ def main(argv=None) -> int:
                 rays_impl=rays_impl, height=H, width=W, focal_length=focal,
             )
             r = out.fine
+            if r is None or r.depth_dex is None:
+                raise SystemExit(
+                    f"{scene}: render produced no fine-pass σ-threshold "
+                    "depth (check nerf.validation.num_fine > 0)"
+                )
             return r.depth, r.depth_dex, r.accumulation
 
         # the generator's test-split protocol poses (held-out azimuths,
@@ -141,6 +160,11 @@ def main(argv=None) -> int:
             "hit_frac": round(n_hit / hit.size, 4),
             "plateau_mm": round(plateau_mm, 1),
             "best_m": m_grid[best],
+            # argmin landing on the grid boundary means the true optimum
+            # may lie outside the sweep (per_m was still decreasing at
+            # m_max on both committed scenes) — flag it so best_m is read
+            # as grid-clamped, not an interior optimum
+            "best_m_grid_clamped": best in (0, len(m_grid) - 1),
             "exp_vs_dex_mm": round(per_m[best], 1),
             "exp_vs_dex_mean_mm": round(
                 float(np.mean(np.abs(signed))), 1),
