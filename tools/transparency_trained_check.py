@@ -49,7 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--samples", type=int, default=64,
                    help="coarse == fine samples per ray")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=str, default="0",
+                   help="comma list; each seed trains separately and the "
+                   "report records mean ± spread (round-4 lesson: single "
+                   "runs carry no variance information)")
     p.add_argument("--lr-decay", type=float, default=50.0,
                    help="exponential-decay horizon in kilo-steps (the "
                    "reference's 250 suits 200k-iter runs; short runs "
@@ -66,14 +69,37 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+def _edge_split(mask: "np.ndarray", width: int = 1):
+    """Split a [V, H, W] boolean mask into (interior, edge): edge pixels
+    sit within ``width`` 4-neighborhood steps of the mask boundary —
+    where GT and prediction both mix surfaces, so per-class error tails
+    separate real geometry failure from mixture pixels (the
+    distill-tail lesson, docs/DISTILL_TAIL.json)."""
+    import numpy as np
 
+    eroded = mask.copy()
+    for _ in range(width):
+        e = eroded
+        for axis in (1, 2):
+            for shift in (1, -1):
+                rolled = np.roll(e, shift, axis=axis)
+                # rolled-in borders count as outside
+                if axis == 1:
+                    if shift == 1:
+                        rolled[:, 0, :] = False
+                    else:
+                        rolled[:, -1, :] = False
+                else:
+                    if shift == 1:
+                        rolled[:, :, 0] = False
+                    else:
+                        rolled[:, :, -1] = False
+                eroded = eroded & rolled
+    return eroded, mask & ~eroded
+
+
+def run_seed(args, seed: int):
     import jax
-
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -116,7 +142,7 @@ def main(argv=None) -> int:
     print(f"rendering {n_total} GT views at {H}x{W} ...", flush=True)
     images, _, poses, hwf = make_synthetic_scene(
         num_views=n_total, height=H, width=W, near=near, far=far,
-        num_gt_samples=512, seed=args.seed, **glass_kw,
+        num_gt_samples=512, seed=seed, **glass_kw,
     )
     train_imgs, train_poses = images[:-2], poses[:-2]
     test_imgs, test_poses = images[-2:], poses[-2:]
@@ -136,7 +162,7 @@ def main(argv=None) -> int:
         num_encoding_fn_xyz=enc_xyz, num_encoding_fn_dir=enc_dir,
     )
     in_dim = encoding_dim(3, enc_xyz) + encoding_dim(3, enc_dir)
-    key = jax.random.PRNGKey(args.seed)
+    key = jax.random.PRNGKey(seed)
     params = {
         "coarse": model.init(key, jnp.ones((1, in_dim))),
         "fine": model.init(jax.random.fold_in(key, 1), jnp.ones((1, in_dim))),
@@ -228,6 +254,18 @@ def main(argv=None) -> int:
     d_dex = np.stack([pv["d_dex"] for pv in per_view], axis=1)  # [T, V, H, W]
     conf_exp = np.stack([pv["conf_exp"] for pv in per_view])
 
+    # per-pixel-class decomposition (round-5, VERDICT item 3): separate
+    # real geometry failure from boundary-mixture pixels, and flag the
+    # grazing-incidence floor (slanted first surface: depth changes fast
+    # per pixel, so small lateral error reads as large depth error)
+    glass_int, glass_edge = _edge_split(glass)
+    opq_int, opq_edge = _edge_split(opaque)
+    classes = {
+        "glass": glass, "glass_interior": glass_int,
+        "glass_edge": glass_edge, "opaque": opaque,
+        "opaque_interior": opq_int, "opaque_edge": opq_edge,
+    }
+
     def mm(err, mask):
         if not mask.any():
             return None
@@ -243,15 +281,26 @@ def main(argv=None) -> int:
     sweep = []
     for ti, m in enumerate(m_grid):
         err = np.abs(d_dex[ti] - d_gt)
-        sweep.append({
-            "m": m,
-            "abs_err_mm": mm(err, valid),
-            "glass_abs_err_mm": mm(err, glass),
-            "opaque_abs_err_mm": mm(err, opaque),
-        })
+        row = {"m": m, "abs_err_mm": mm(err, valid)}
+        for name, cmask in classes.items():
+            row[f"{name}_abs_err_mm"] = mm(err, cmask)
+        sweep.append(row)
     best_i = int(np.argmin([s["abs_err_mm"] for s in sweep]))
     best = sweep[best_i]
     d_best = d_dex[best_i]
+    # the per-class optimum vs the protocol-selected m: how much the
+    # single global threshold costs each class
+    class_optimal_m = {}
+    for name in classes:
+        errs = [s[f"{name}_abs_err_mm"] for s in sweep]
+        if all(e is None for e in errs):
+            continue
+        ci = int(np.argmin([np.inf if e is None else e for e in errs]))
+        class_optimal_m[name] = {
+            "m": sweep[ci]["m"],
+            "abs_err_mm": errs[ci],
+            "at_selected_m_mm": best[f"{name}_abs_err_mm"],
+        }
 
     # confidence of the WINNING σ-threshold depth (same weights/z-values)
     conf_dex = np.empty_like(conf_exp)
@@ -262,40 +311,28 @@ def main(argv=None) -> int:
         )).reshape(H, W)
 
     err_exp = np.abs(d_exp - d_gt)
-    err_best = np.abs(d_best - d_gt)
-    report = {
-        "protocol": (
-            f"train a fresh 8x128 NeRF ({path} path) on {args.views} RGB "
-            f"views of the GLASS scene at {H}x{W} (no depth supervision), "
-            f"sweep m_thres_cand on 2 held-out views, min-abs-err "
-            f"selection; GT is analytic first-surface depth, masks are "
-            f"analytic (glass = first surface is the σ-peak-"
-            f"{GLASS_SHELLS[0][4]} shell)"
-        ),
+    expected_depth = {
+        "abs_err_mm": mm(err_exp, valid),
+        "rmse_mm": rmse_mm(d_exp - d_gt, valid),
+    }
+    dex_depth_best = {
+        "abs_err_mm": best["abs_err_mm"],
+        "rmse_mm": rmse_mm(d_best - d_gt, valid),
+    }
+    for name, cmask in classes.items():
+        expected_depth[f"{name}_abs_err_mm"] = mm(err_exp, cmask)
+        dex_depth_best[f"{name}_abs_err_mm"] = best[f"{name}_abs_err_mm"]
+    return {
+        "seed": int(seed),
         "backend": jax.default_backend(),
-        "config": {
-            "iters": args.iters, "batch": args.batch, "size": H,
-            "views": args.views, "samples": S, "seed": args.seed,
-            "path": path, "m_grid": [args.m_step, args.m_max, args.m_step],
-            "conf_delta": args.conf_delta,
-        },
         "train_s": round(train_s, 1),
         "holdout_psnr_db": round(float(np.mean(psnrs)), 2),
-        "n_px": {"glass": int(glass.sum()), "opaque": int(opaque.sum()),
-                 "valid": int(valid.sum())},
+        "n_px": {name: int(cmask.sum()) for name, cmask in classes.items()}
+        | {"valid": int(valid.sum())},
         "best_threshold": best["m"],
-        "expected_depth": {
-            "abs_err_mm": mm(err_exp, valid),
-            "rmse_mm": rmse_mm(d_exp - d_gt, valid),
-            "glass_abs_err_mm": mm(err_exp, glass),
-            "opaque_abs_err_mm": mm(err_exp, opaque),
-        },
-        "dex_depth_best": {
-            "abs_err_mm": best["abs_err_mm"],
-            "rmse_mm": rmse_mm(d_best - d_gt, valid),
-            "glass_abs_err_mm": best["glass_abs_err_mm"],
-            "opaque_abs_err_mm": best["opaque_abs_err_mm"],
-        },
+        "expected_depth": expected_depth,
+        "dex_depth_best": dex_depth_best,
+        "class_optimal_m": class_optimal_m,
         "confidence": {
             "expected_on_glass_mean": float(np.mean(conf_exp[glass])),
             "dex_on_glass_mean": float(np.mean(conf_dex[glass])),
@@ -309,25 +346,118 @@ def main(argv=None) -> int:
         },
         "sweep": sweep,
     }
-    d = os.path.dirname(args.out)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    tmp = args.out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(report, f, indent=1)
-    os.replace(tmp, args.out)
-    print(json.dumps({k: v for k, v in report.items() if k != "sweep"},
-                     indent=1))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from dexnerf_tpu.data.synthetic import GLASS_SHELLS
+
+    path = args.path or (
+        "xla" if jax.default_backend() == "cpu" else "fused_loss"
+    )
+    seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
+
+    # resume: keep prior seeds' ~25-min-TPU rows
+    runs = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                for r in json.load(f).get("runs", []):
+                    runs[int(r["seed"])] = r
+        except (json.JSONDecodeError, OSError, KeyError):
+            pass
+
+    def write_report():
+        rows = [runs[s] for s in sorted(runs)]
+
+        def agg(path_fn):
+            vals = [path_fn(r) for r in rows]
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                return None
+            return {
+                "mean": round(float(np.mean(vals)), 1),
+                "spread": round(float(np.max(vals) - np.min(vals)), 1),
+                "per_seed": [round(float(v), 1) for v in vals],
+            }
+
+        report = {
+            "protocol": (
+                f"train a fresh 8x128 NeRF ({path} path) on {args.views} "
+                f"RGB views of the GLASS scene at {args.size}x{args.size} "
+                f"(no depth supervision), sweep m_thres_cand on 2 "
+                f"held-out views, min-abs-err selection; GT is analytic "
+                f"first-surface depth, masks are analytic (glass = first "
+                f"surface is the σ-peak-{GLASS_SHELLS[0][4]} shell); "
+                f"interior/edge split by 1-px 4-neighborhood erosion; "
+                f"seeds {sorted(runs)}"
+            ),
+            "config": {
+                "iters": args.iters, "batch": args.batch,
+                "size": args.size, "views": args.views,
+                "samples": args.samples, "path": path,
+                "m_grid": [args.m_step, args.m_max, args.m_step],
+                "conf_delta": args.conf_delta,
+            },
+            "summary": {
+                "holdout_psnr_db": agg(lambda r: r["holdout_psnr_db"]),
+                "dex_glass_abs_err_mm": agg(
+                    lambda r: r["dex_depth_best"]["glass_abs_err_mm"]),
+                "dex_glass_interior_abs_err_mm": agg(
+                    lambda r: r["dex_depth_best"].get(
+                        "glass_interior_abs_err_mm")),
+                "expected_glass_abs_err_mm": agg(
+                    lambda r: r["expected_depth"]["glass_abs_err_mm"]),
+                "dex_opaque_abs_err_mm": agg(
+                    lambda r: r["dex_depth_best"]["opaque_abs_err_mm"]),
+                "expected_opaque_abs_err_mm": agg(
+                    lambda r: r["expected_depth"]["opaque_abs_err_mm"]),
+            },
+            "runs": rows,
+        }
+        d = os.path.dirname(args.out)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(tmp, args.out)
+        return report
+
+    for seed in seeds:
+        if seed in runs:
+            print(f"seed {seed}: recorded, skipping (delete {args.out} "
+                  "to re-run)", flush=True)
+            continue
+        print(f"== seed {seed} ==", flush=True)
+        runs[seed] = run_seed(args, seed)
+        write_report()
+        print(json.dumps(
+            {k: v for k, v in runs[seed].items() if k != "sweep"},
+            indent=1), flush=True)
+
+    report = write_report()
+    print(json.dumps(report["summary"], indent=1))
     print(f"wrote {args.out}")
 
-    g_dex = best["glass_abs_err_mm"]
-    g_exp = report["expected_depth"]["glass_abs_err_mm"]
+    g_dex = report["summary"]["dex_glass_abs_err_mm"]
+    g_exp = report["summary"]["expected_glass_abs_err_mm"]
     verdict = (
-        g_dex is not None and g_exp is not None and g_dex < g_exp
+        g_dex is not None and g_exp is not None
+        and g_dex["mean"] < g_exp["mean"]
     )
     print(
-        f"TRAINED glass-pixel depth: dex {g_dex:.1f} mm vs expected "
-        f"{g_exp:.1f} mm -> {'DEX WINS' if verdict else 'FAIL'}"
+        f"TRAINED glass-pixel depth (mean over seeds {sorted(runs)}): "
+        f"dex {g_dex['mean']:.1f} mm vs expected {g_exp['mean']:.1f} mm "
+        f"-> {'DEX WINS' if verdict else 'FAIL'}"
     )
     return 0 if verdict else 1
 
