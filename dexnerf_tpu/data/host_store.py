@@ -206,3 +206,197 @@ class HostRayLoader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# --------------------------------------------------------------- packed wire
+#
+# The row loader above ships 56 B/ray (12 f32 rows + near/far + 3 f32
+# target). On a remote-tunnel rig that wire IS the host-store tax
+# (docs/HOST_STORE_SCALE.json: +160 ms/step at batch 16384). But almost
+# none of those bytes carry information: rays are a pure function of
+# (image pose table, pixel index), and the target rgb was u8 on disk.
+# The packed wire ships 7 B/ray — a u32 global ray index + 3 u8 rgb
+# (+ 4 B optional f32 depth) — and reconstructs rays IN the jitted train
+# step from a device-resident pose table (a few KB). TPU-native answer:
+# recompute beats transfer.
+
+
+def build_pose_tables(
+    poses: np.ndarray,
+    hwf,
+    *,
+    intrinsics: Optional[np.ndarray] = None,
+    use_ndc: bool = False,
+):
+    """Precompute the per-image tables ray reconstruction needs.
+
+    Returns a dict of host numpy arrays (jit-constant once closed over):
+    ``rot`` [N, 3, 3] camera-to-world rotations, ``origin`` [N, 3] camera
+    centers, and for the w2c+K convention the pixel-projection params
+    ``fx/fy/cx/cy`` [N] (the reference's fx-for-both-axes quirk included,
+    ``nerf_helpers.py:100-101``).
+    """
+    poses = np.asarray(poses, np.float32)
+    n = poses.shape[0]
+    if intrinsics is not None:
+        # messytable convention: stored pose is w2c; invert on host once
+        c2w = np.linalg.inv(poses[:, :4, :4].astype(np.float64))
+        K = np.asarray(intrinsics, np.float64)
+        fx = K[:, 0, 0]
+        return {
+            "convention": "w2c",
+            "rot": np.linalg.inv(
+                poses[:, :3, :3].astype(np.float64)
+            ).astype(np.float32),
+            "origin": c2w[:, :3, 3].astype(np.float32),
+            "fx": fx.astype(np.float32),
+            "fy": fx.astype(np.float32),  # reference quirk: fx both axes
+            "cx": K[:, 0, 2].astype(np.float32),
+            "cy": K[:, 1, 2].astype(np.float32),
+            "hwf": [int(hwf[0]), int(hwf[1]), float(hwf[2])],
+            "use_ndc": bool(use_ndc),
+        }
+    return {
+        "convention": "c2w",
+        "rot": poses[:, :3, :3].astype(np.float32),
+        "origin": poses[:, :3, -1].astype(np.float32),
+        "hwf": [int(hwf[0]), int(hwf[1]), float(hwf[2])],
+        "use_ndc": bool(use_ndc),
+    }
+
+
+def make_ray_unpack(tables, near: float, far: float):
+    """Build the in-step unpack: ``(packed dict) -> (RayBatch, target
+    [, depth_gt])``.
+
+    The returned function runs INSIDE the jitted train step
+    (``make_batch_train_step(unpack=...)``), so the wire carries only
+    ``idx`` (u32 global ray index), ``rgb`` (u8), and optionally
+    ``depth`` (f32). Ray math mirrors ``core.rays.get_ray_bundle_c2w`` /
+    ``get_ray_bundle_w2c`` per-ray (same formulas, f32), then NDC
+    reparameterization when the store was built with it.
+    """
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.core.rays import ndc_rays
+
+    H, W, focal = tables["hwf"]
+    rot = jnp.asarray(tables["rot"])
+    origin = jnp.asarray(tables["origin"])
+    w2c = tables["convention"] == "w2c"
+    if w2c:
+        fx = jnp.asarray(tables["fx"])
+        fy = jnp.asarray(tables["fy"])
+        cx = jnp.asarray(tables["cx"])
+        cy = jnp.asarray(tables["cy"])
+    use_ndc = tables["use_ndc"]
+
+    def unpack(packed):
+        idx = packed["idx"].astype(jnp.int32)
+        img = idx // (H * W)
+        pix = idx - img * (H * W)
+        col = (pix % W).astype(jnp.float32)
+        row = (pix // W).astype(jnp.float32)
+        if w2c:
+            dirs = jnp.stack(
+                [
+                    (col - cx[img]) / fx[img],
+                    (row - cy[img]) / fy[img],
+                    jnp.ones_like(col),
+                ],
+                axis=-1,
+            )
+        else:
+            dirs = jnp.stack(
+                [
+                    (col - W * 0.5) / focal,
+                    -(row - H * 0.5) / focal,
+                    -jnp.ones_like(col),
+                ],
+                axis=-1,
+            )
+        # per-ray rotation: out[b, r] = sum_c dirs[b, c] * rot[img[b], r, c]
+        rd = jnp.sum(dirs[:, None, :] * rot[img], axis=-1)
+        ro = origin[img]
+        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        if use_ndc:
+            ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
+        n = idx.shape[0]
+        rays = RayBatch(
+            origins=ro,
+            directions=rd,
+            viewdirs=viewdirs,
+            near=jnp.full((n,), float(near), jnp.float32),
+            far=jnp.full((n,), float(far), jnp.float32),
+        )
+        target = packed["rgb"].astype(jnp.float32) * (1.0 / 255.0)
+        if "depth" in packed:
+            return rays, target, packed["depth"]
+        return rays, target
+
+    return unpack
+
+
+class HostPixelLoader:
+    """Packed-wire analog of :class:`HostRayLoader`: ships ``{idx: u32,
+    rgb: u8[, depth: f32]}`` per batch (7-11 B/ray vs 56) and lets the
+    jitted step reconstruct rays from the pose table
+    (:func:`make_ray_unpack`). Same uniform-with-replacement host-PRNG
+    draw contract as HostRayLoader — same seed, same index stream.
+    """
+
+    def __init__(
+        self,
+        rgb_u8: np.ndarray,
+        batch_size: int,
+        seed: int,
+        *,
+        depth: Optional[np.ndarray] = None,
+        prefetch: int = 2,
+    ) -> None:
+        if rgb_u8.ndim != 2 or rgb_u8.shape[1] != 3 or \
+                rgb_u8.dtype != np.uint8:
+            raise ValueError(
+                f"rgb_u8 must be [N, 3] uint8, got {rgb_u8.shape} "
+                f"{rgb_u8.dtype}"
+            )
+        self._rgb = rgb_u8
+        self._depth = depth
+        self._batch = int(batch_size)
+        self._rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, int(prefetch)))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    @property
+    def num_rays(self) -> int:
+        return self._rgb.shape[0]
+
+    def _make_batch(self):
+        idx = self._rng.integers(0, self._rgb.shape[0], self._batch)
+        packed = {
+            "idx": jax.device_put(idx.astype(np.uint32)),
+            "rgb": jax.device_put(np.take(self._rgb, idx, axis=0)),
+        }
+        if self._depth is not None:
+            packed["depth"] = jax.device_put(
+                np.take(self._depth, idx, axis=0)
+            )
+        return packed
+
+    _work = HostRayLoader._work
+    __next__ = HostRayLoader.__next__
+    __iter__ = HostRayLoader.__iter__
+    close = HostRayLoader.close
+    __enter__ = HostRayLoader.__enter__
+    __exit__ = HostRayLoader.__exit__
+
+
+def images_to_u8(images: np.ndarray) -> np.ndarray:
+    """Flatten [N, H, W, 3] float images (0..1) to the [N*H*W, 3] u8 store
+    the packed wire ships — lossless w.r.t. the original 8-bit pixels."""
+    return np.clip(
+        np.round(np.asarray(images[..., :3], np.float32) * 255.0),
+        0.0, 255.0,
+    ).astype(np.uint8).reshape(-1, 3)

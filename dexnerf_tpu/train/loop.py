@@ -1017,7 +1017,7 @@ def run_training(
                 "depth is an NDC ray parameter while depth sidecars are "
                 "metric ray distance (see core.rays.ndc_t_to_world_depth)"
             )
-    host_rows = host_depth = host_loader = None
+    host_rows = host_depth = host_loader = host_tables = None
     if pose_opt:
         # camera-frame store: world rays are re-generated from the refined
         # poses inside the step (cache shards bake world rays and carry no
@@ -1044,22 +1044,55 @@ def run_training(
         # (one image's bundle of device memory at a time). Takes
         # precedence over an offline cache: the explicit host_store says
         # the rays do NOT fit on-device, which the cache path would do.
-        from dexnerf_tpu.data.host_store import build_host_ray_rows
+        # dataset.host_wire: "packed" (default) ships u32 pixel indices +
+        # u8 rgb and reconstructs rays in the jitted step (8x fewer wire
+        # bytes); "rows" ships precomputed f32 ray rows.
+        host_wire = str(_get(cfg.dataset, "host_wire", "packed"))
+        if host_wire == "packed":
+            from dexnerf_tpu.data.host_store import (
+                build_pose_tables,
+                images_to_u8,
+            )
 
-        host_rows, host_depth = build_host_ray_rows(
-            scene.images[scene.i_train],
-            scene.poses[scene.i_train],
-            scene.hwf,
-            intrinsics=(
-                scene.intrinsics[scene.i_train]
-                if scene.intrinsics is not None
-                else None
-            ),
-            use_ndc=scene.use_ndc,
-            depths=(
-                scene.depths[scene.i_train] if depth_w > 0.0 else None
-            ),
-        )
+            host_rows = images_to_u8(scene.images[scene.i_train])
+            host_tables = build_pose_tables(
+                scene.poses[scene.i_train],
+                scene.hwf,
+                intrinsics=(
+                    scene.intrinsics[scene.i_train]
+                    if scene.intrinsics is not None
+                    else None
+                ),
+                use_ndc=scene.use_ndc,
+            )
+            host_depth = (
+                np.asarray(
+                    scene.depths[scene.i_train], np.float32
+                ).reshape(-1)
+                if depth_w > 0.0 else None
+            )
+        elif host_wire == "rows":
+            from dexnerf_tpu.data.host_store import build_host_ray_rows
+
+            host_rows, host_depth = build_host_ray_rows(
+                scene.images[scene.i_train],
+                scene.poses[scene.i_train],
+                scene.hwf,
+                intrinsics=(
+                    scene.intrinsics[scene.i_train]
+                    if scene.intrinsics is not None
+                    else None
+                ),
+                use_ndc=scene.use_ndc,
+                depths=(
+                    scene.depths[scene.i_train] if depth_w > 0.0 else None
+                ),
+            )
+        else:
+            raise ValueError(
+                f"dataset.host_wire must be 'packed' or 'rows', got "
+                f"{host_wire!r}"
+            )
         store = None
     elif (
         cachedir
@@ -1268,38 +1301,80 @@ def run_training(
                 "dataset.host_store supports uniform sampling only "
                 "(the loader draws uniform-over-all-rays batches)"
             )
-        from dexnerf_tpu.data.host_store import HostRayLoader
         from dexnerf_tpu.train.step import make_batch_train_step
 
-        host_loader = HostRayLoader(
-            host_rows,
-            float(cfg.dataset.near),
-            float(cfg.dataset.far),
-            batch_size,
-            seed,
-            depth=host_depth if depth_w > 0.0 else None,
-            prefetch=int(_get(cfg.dataset, "host_prefetch", 2) or 2),
-        )
-        _bstep = make_batch_train_step(
-            coarse_fn, fine_fn, tx, s_train,
-            supervision=supervision,
-            coarse_field=coarse_field,
-            fine_field=fine_field,
-            fused_loss=fused_loss,
-            depth_loss_weight=depth_w,
-            depth_valid_max=depth_valid_max,
-        )
-
-        def train_step(state, _store, key):
-            keys = (
-                jax.random.split(key, steps_per_call)
-                if steps_per_call > 1
-                else [key]
+        if host_tables is not None:
+            # packed wire: u32 indices + u8 rgb; rays reconstructed in
+            # the jitted step from the pose table
+            from dexnerf_tpu.data.host_store import (
+                HostPixelLoader,
+                make_ray_unpack,
             )
-            for k in keys:
-                batch = next(host_loader)
-                state, metrics = _bstep(state, *batch[:2], k, *batch[2:])
-            return state, metrics
+
+            host_loader = HostPixelLoader(
+                host_rows,
+                batch_size,
+                seed,
+                depth=host_depth if depth_w > 0.0 else None,
+                prefetch=int(_get(cfg.dataset, "host_prefetch", 2) or 2),
+            )
+            _bstep = make_batch_train_step(
+                coarse_fn, fine_fn, tx, s_train,
+                supervision=supervision,
+                coarse_field=coarse_field,
+                fine_field=fine_field,
+                fused_loss=fused_loss,
+                depth_loss_weight=depth_w,
+                depth_valid_max=depth_valid_max,
+                unpack=make_ray_unpack(
+                    host_tables,
+                    float(cfg.dataset.near),
+                    float(cfg.dataset.far),
+                ),
+            )
+
+            def train_step(state, _store, key):
+                keys = (
+                    jax.random.split(key, steps_per_call)
+                    if steps_per_call > 1
+                    else [key]
+                )
+                for k in keys:
+                    packed = next(host_loader)
+                    state, metrics = _bstep(state, packed, k)
+                return state, metrics
+        else:
+            from dexnerf_tpu.data.host_store import HostRayLoader
+
+            host_loader = HostRayLoader(
+                host_rows,
+                float(cfg.dataset.near),
+                float(cfg.dataset.far),
+                batch_size,
+                seed,
+                depth=host_depth if depth_w > 0.0 else None,
+                prefetch=int(_get(cfg.dataset, "host_prefetch", 2) or 2),
+            )
+            _bstep = make_batch_train_step(
+                coarse_fn, fine_fn, tx, s_train,
+                supervision=supervision,
+                coarse_field=coarse_field,
+                fine_field=fine_field,
+                fused_loss=fused_loss,
+                depth_loss_weight=depth_w,
+                depth_valid_max=depth_valid_max,
+            )
+
+            def train_step(state, _store, key):
+                keys = (
+                    jax.random.split(key, steps_per_call)
+                    if steps_per_call > 1
+                    else [key]
+                )
+                for k in keys:
+                    batch = next(host_loader)
+                    state, metrics = _bstep(state, *batch[:2], k, *batch[2:])
+                return state, metrics
     else:
         train_step = make_train_step(
             coarse_fn, fine_fn, tx, s_train, batch_size,

@@ -298,6 +298,7 @@ def make_batch_train_step(
     fused_loss=None,
     depth_loss_weight: float = 0.0,
     depth_valid_max: Optional[float] = None,
+    unpack=None,
 ):
     """Train step over an EXPLICIT ray batch (the host-streaming data path,
     ``data/host_store.py``): sampling happens on the host, so the jitted
@@ -310,6 +311,12 @@ def make_batch_train_step(
     Returns ``step(state, rays, target, key[, depth_gt]) ->
     (state, metrics)`` (the depth argument exists iff
     ``depth_loss_weight > 0``).
+
+    ``unpack`` switches to the PACKED wire
+    (``data/host_store.py::make_ray_unpack``): the step becomes
+    ``step(state, packed_dict, key)`` and reconstructs
+    ``(rays, target[, depth_gt])`` from the u32 indices + u8 rgb inside
+    the jitted program — the 8x wire-byte cut for remote/streamed data.
     """
     use_depth = depth_loss_weight > 0.0
     fused_depth = use_depth and getattr(fused_loss, "supports_depth", False)
@@ -362,6 +369,35 @@ def make_batch_train_step(
                        opt_state=opt_state),
             metrics,
         )
+
+    if unpack is not None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def packed_step(state: TrainState, packed, key):
+            parts = unpack(packed)
+            rays, target = parts[0], parts[1]
+            depth_gt = parts[2] if use_depth else None
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, rays, target, key, depth_gt)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            photometric = (
+                metrics["coarse_loss"] + metrics["fine_loss"]
+                if "coarse_loss" in metrics
+                else metrics["loss"]
+            )
+            metrics["psnr"] = -10.0 * jnp.log10(
+                jnp.maximum(photometric, 1e-10)
+            )
+            return (
+                TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state),
+                metrics,
+            )
+
+        return packed_step
 
     if use_depth:
         return batch_step

@@ -244,3 +244,141 @@ def test_host_store_rejects_parallel_and_per_image(tmp_path):
         run_training(cfg(), num_devices=8)
     with pytest.raises(ValueError, match="uniform sampling"):
         run_training(cfg(), sampling="per_image")
+
+
+def test_packed_wire_matches_row_wire():
+    """The packed wire (u32 idx + u8 rgb, rays reconstructed in-step from
+    the pose table) must reproduce the row wire's rays/targets: same-seed
+    loaders draw the same index stream, and the device-side ray math is
+    the same formula as build_host_ray_rows' — for all three conventions
+    (c2w, w2c+K, c2w+NDC)."""
+    import jax.numpy as jnp
+
+    from dexnerf_tpu.data.host_store import (
+        HostPixelLoader,
+        HostRayLoader,
+        build_host_ray_rows,
+        build_pose_tables,
+        images_to_u8,
+        make_ray_unpack,
+    )
+
+    rng = np.random.default_rng(0)
+    H = W = 6
+    n_img = 3
+    # u8-sourced pixels: the packed wire is lossless for real datasets
+    images = (
+        rng.integers(0, 256, (n_img, H, W, 3)).astype(np.float32) / 255.0
+    )
+    # orthonormal-ish c2w poses
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    for i in range(n_img):
+        q, _ = np.linalg.qr(np.eye(3) + 0.1 * rng.standard_normal((3, 3)))
+        poses[i, :3, :3] = q
+        poses[i, :3, 3] = rng.uniform(-1, 1, 3)
+    hwf = [H, W, 8.0]
+    K = np.array([[8.0, 0, 3.0], [0, 8.0, 2.5], [0, 0, 1]], np.float32)
+    Ks = np.tile(K, (n_img, 1, 1))
+    depths = rng.uniform(2.0, 6.0, (n_img, H, W)).astype(np.float32)
+
+    for convention in ("c2w", "w2c", "ndc"):
+        kw = {}
+        if convention == "w2c":
+            kw["intrinsics"] = Ks
+        if convention == "ndc":
+            kw["use_ndc"] = True
+        rows, depth_flat = build_host_ray_rows(
+            images, poses, hwf, depths=depths, **kw
+        )
+        tables = build_pose_tables(poses, hwf, **kw)
+        unpack = make_ray_unpack(tables, 2.0, 6.0)
+
+        with HostRayLoader(rows, 2.0, 6.0, 64, seed=7,
+                           depth=depth_flat) as rl, \
+                HostPixelLoader(images_to_u8(images), 64, seed=7,
+                                depth=depths.reshape(-1)) as pl:
+            row_rays, row_target, row_depth = next(rl)
+            packed = next(pl)
+        got_rays, got_target, got_depth = unpack(packed)
+
+        np.testing.assert_allclose(
+            np.asarray(got_rays.origins), np.asarray(row_rays.origins),
+            atol=1e-5, err_msg=convention,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_rays.directions),
+            np.asarray(row_rays.directions), atol=1e-5, err_msg=convention,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_rays.viewdirs), np.asarray(row_rays.viewdirs),
+            atol=1e-5, err_msg=convention,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_rays.near), np.asarray(row_rays.near)
+        )
+        # u8 round-trip of u8-sourced pixels is exact
+        np.testing.assert_allclose(
+            np.asarray(got_target), np.asarray(row_target), atol=1e-7,
+            err_msg=convention,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_depth), np.asarray(row_depth)
+        )
+
+
+def test_run_training_host_wire_packed_vs_rows(tmp_path):
+    """Both wire formats train end-to-end through run_training and land
+    in the same loss regime (identical index draws; the only delta is u8
+    target quantization of u8-sourced pixels = none)."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.data import write_blender_dataset
+    from dexnerf_tpu.train import run_training
+
+    base = str(tmp_path / "blender")
+    write_blender_dataset(base, height=10, width=10, views_per_split=(2, 1, 1))
+
+    def cfg(wire):
+        return CfgNode({
+            "experiment": {
+                "id": f"wire-{wire}", "logdir": str(tmp_path / "logs"),
+                "randomseed": 1, "train_iters": 4, "validate_every": 0,
+                "save_every": 0, "print_every": 2,
+            },
+            "dataset": {
+                "type": "blender", "basedir": base, "near": 2.0,
+                "far": 6.0, "no_ndc": True, "host_store": True,
+                "host_wire": wire,
+            },
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 32, "chunksize": 256,
+                    "perturb": True, "num_coarse": 4, "num_fine": 0,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+                "validation": {
+                    "chunksize": 256, "perturb": False, "num_coarse": 4,
+                    "num_fine": 0, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        })
+
+    out_p = run_training(cfg("packed"))
+    out_r = run_training(cfg("rows"))
+    lp = float(out_p["final_train_metrics"]["loss"])
+    lr = float(out_r["final_train_metrics"]["loss"])
+    assert np.isfinite(lp) and np.isfinite(lr)
+    # identical draws + lossless target -> identical trajectories up to
+    # op-ordering noise
+    assert abs(lp - lr) < 1e-4 * max(1.0, abs(lr))

@@ -77,6 +77,15 @@ def stage_bank(args) -> None:
     rows, _ = build_host_ray_rows(images, poses, hwf)
     os.makedirs(args.workdir, exist_ok=True)
     np.save(os.path.join(args.workdir, "rows_base.npy"), rows)
+    # packed-wire ingredients: u8 pixels + the pose table inputs
+    from dexnerf_tpu.data.host_store import images_to_u8
+
+    np.savez(
+        os.path.join(args.workdir, "bank_meta.npz"),
+        rgb_u8=images_to_u8(images),
+        poses=np.asarray(poses, np.float32),
+        hwf=np.asarray([hwf[0], hwf[1], hwf[2]], np.float64),
+    )
     print(
         f"bank: {args.bank_views} views at {args.hw}x{args.hw} -> "
         f"{rows.shape[0]} rays ({rows.nbytes / 2**30:.2f} GiB) in "
@@ -105,9 +114,24 @@ def stage_pack(args) -> int:
             print(f"pack: {r + 1}/{reps} replicas", flush=True)
     mm.flush()
     del mm
+    # the packed-wire u8 pixel store over the SAME logical rays (16x
+    # smaller on disk; the wire, not the store, is what the run stage
+    # measures)
+    bank = np.load(os.path.join(args.workdir, "bank_meta.npz"))
+    rgb_base = bank["rgb_u8"]
+    rgb_mm = np.memmap(
+        os.path.join(args.workdir, "store_rgb.mmap"), dtype=np.uint8,
+        mode="w+", shape=(n, 3),
+    )
+    for r in range(reps):
+        rgb_mm[r * rgb_base.shape[0] : (r + 1) * rgb_base.shape[0]] = \
+            rgb_base
+    rgb_mm.flush()
+    del rgb_mm
     gib = n * 48 / 2**30
     print(
         f"pack: {n} rays, {gib:.1f} GiB at {path} "
+        f"(+{n * 3 / 2**30:.1f} GiB u8 pixel store) "
         f"({time.time() - t0:.0f}s, {reps} replicas)",
         flush=True,
     )
@@ -186,6 +210,51 @@ def stage_run(args) -> None:
             best = dt if best is None else min(best, dt)
     dt_host = best
 
+    # --- packed wire over the same logical store ----------------------
+    # u32 idx + u8 rgb (7 B/ray vs 56); rays reconstructed in-step from
+    # the replicated pose table (data/host_store.py round-5)
+    from dexnerf_tpu.data.host_store import (
+        HostPixelLoader,
+        build_pose_tables,
+        make_ray_unpack,
+    )
+
+    bank = np.load(os.path.join(args.workdir, "bank_meta.npz"))
+    poses_rep = np.tile(bank["poses"], (meta["reps"], 1, 1))
+    tables = build_pose_tables(poses_rep, list(bank["hwf"]))
+    rgb_mm = np.memmap(
+        os.path.join(args.workdir, "store_rgb.mmap"), dtype=np.uint8,
+        mode="r", shape=(meta["n"], 3),
+    )
+    pstep = make_batch_train_step(
+        model.apply, model.apply, tx, settings,
+        unpack=make_ray_unpack(tables, near, far),
+    )
+    state = init_train_state(jax.tree.map(jnp.asarray, params_copy), tx)
+    p_losses = []
+    best_p = None
+    with HostPixelLoader(rgb_mm, args.batch, 0, prefetch=3) as loader:
+        k = jax.random.PRNGKey(1)
+        k, sub = jax.random.split(k)
+        state, m = pstep(state, next(loader), sub)  # compile
+        jax.block_until_ready(m["loss"])
+        p_losses.append(float(m["loss"]))
+        for b in range(args.blocks):
+            t0 = time.time()
+            for _ in range(args.steps):
+                k, sub = jax.random.split(k)
+                state, m = pstep(state, next(loader), sub)
+            jax.block_until_ready(m["loss"])
+            dt = (time.time() - t0) / args.steps
+            p_losses.append(float(m["loss"]))
+            print(
+                f"packed block {b}: {dt * 1e3:.2f} ms/step "
+                f"({args.batch / dt:.0f} rays/s), loss {p_losses[-1]:.4f}",
+                flush=True,
+            )
+            best_p = dt if best_p is None else min(best_p, dt)
+    dt_packed = best_p
+
     # --- resident A/B on the base slice (fits HBM) --------------------
     base = np.load(
         os.path.join(args.workdir, "rows_base.npy"), mmap_mode="r"
@@ -230,13 +299,20 @@ def stage_run(args) -> None:
         "store_gib": round(meta["gib"], 2),
         "host_ms_per_step": round(dt_host * 1e3, 2),
         "host_rays_per_s": round(args.batch / dt_host, 0),
+        "packed_ms_per_step": round(dt_packed * 1e3, 2),
+        "packed_rays_per_s": round(args.batch / dt_packed, 0),
+        "packed_wire_bytes_per_ray": 7,
+        "rows_wire_bytes_per_ray": 56,
         "resident_ms_per_step": round(dt_res * 1e3, 2),
         "resident_rays_per_s": round(args.batch / dt_res, 0),
         "tax_ms_per_step": round((dt_host - dt_res) * 1e3, 2),
         "tax_pct": round((dt_host / dt_res - 1) * 100, 1),
+        "packed_tax_ms_per_step": round((dt_packed - dt_res) * 1e3, 2),
+        "packed_tax_pct": round((dt_packed / dt_res - 1) * 100, 1),
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "loss_decreased": bool(losses[-1] < losses[0]),
+        "packed_loss_decreased": bool(p_losses[-1] < p_losses[0]),
         "batch": int(args.batch),
     }
     d = os.path.dirname(args.out)
