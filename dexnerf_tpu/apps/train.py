@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
         "metric mask limit, default 1.25 m)",
     )
     p.add_argument(
+        "--depth-warmup",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --depth-loss: run the first N iterations RGB-only "
+        "before switching the depth term on (overrides "
+        "cfg.nerf.train.depth_warmup). Depth supervision from iteration "
+        "0 can lock the white-background fog collapse in (measured: "
+        "drums/materials pinned ~9-12 dB train PSNR under --depth-loss "
+        "0.1 without warmup)",
+    )
+    p.add_argument(
         "--occupancy",
         type=float,
         default=None,
@@ -164,6 +176,7 @@ def main(argv=None) -> int:
         steps_per_call=args.steps_per_call,
         pose_opt=args.pose_opt or None,
         depth_loss_weight=args.depth_loss,
+        depth_warmup=args.depth_warmup,
         occupancy=args.occupancy,
     )
     print(

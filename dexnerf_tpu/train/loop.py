@@ -805,6 +805,7 @@ def run_training(
     steps_per_call: Optional[int] = None,
     pose_opt: Optional[bool] = None,
     depth_loss_weight: Optional[float] = None,
+    depth_warmup: Optional[int] = None,
     occupancy: Optional[float] = None,
 ) -> Dict[str, Any]:
     """Train a NeRF per ``cfg``. Returns a summary dict (final metrics).
@@ -997,6 +998,29 @@ def run_training(
     if _dvm is None:
         _dvm = _get(cfg.dataset, "depth_valid_max", None)
     depth_valid_max = float(_dvm) if _dvm is not None else None
+    # RGB-first warmup: run the first N iterations WITHOUT the depth term,
+    # then switch to the supervised step. Depth supervision applied from
+    # iteration 0 can lock the white-background fog collapse in (measured
+    # round 5: drums/materials train PSNR pinned ~9-12 dB under
+    # --depth-loss 0.1 while the same recipe without it reaches ~30 dB;
+    # the field must commit to surfaces photometrically before the depth
+    # target is trustworthy to follow).
+    depth_warmup_iters = int(
+        depth_warmup
+        if depth_warmup is not None
+        else (_get(cfg.nerf.train, "depth_warmup", 0) or 0)
+    )
+    if depth_w <= 0.0:
+        depth_warmup_iters = 0
+    # -1 = AUTO: stay RGB-only until the train PSNR clears the fog band
+    # (cfg.nerf.train.depth_warmup_psnr, default 14 dB — collapse pins
+    # ~9-12, healthy escape passes 14 fast), checked at print cadence.
+    # A fixed count needs per-scene tuning (materials' escape is later
+    # than 1000); the threshold does not.
+    warmup_auto = depth_warmup_iters < 0
+    warmup_psnr = float(
+        _get(cfg.nerf.train, "depth_warmup_psnr", 14.0) or 14.0
+    )
     if depth_w > 0.0:
         if pose_opt:
             raise ValueError(
@@ -1388,6 +1412,34 @@ def run_training(
             depth_valid_max=depth_valid_max,
         )
 
+    warmup_step = None
+    if depth_warmup_iters != 0:
+        if (
+            host_rows is not None
+            or pose_opt
+            or (num_devices is not None and num_devices > 1)
+        ):
+            raise ValueError(
+                "depth_warmup supports the single-device resident-store "
+                "path (the distillation protocol)"
+            )
+        # the depth-free step is a separate compiled program (depth weight
+        # is compile-time in the fused kernel); its program is the same
+        # one every RGB-only run compiles, so it is cache-warm
+        warm_fused = (
+            None if fused_loss is None
+            else maybe_fused_loss(cfg, s_train, supervision)
+        )
+        warmup_step = make_train_step(
+            coarse_fn, fine_fn, tx, s_train, batch_size,
+            supervision=supervision,
+            coarse_field=coarse_field,
+            fine_field=fine_field,
+            fused_loss=warm_fused,
+            sampling=sampling,
+            steps_per_call=steps_per_call,
+        )
+
     train_iters = (
         int(max_iters)
         if max_iters is not None
@@ -1418,10 +1470,20 @@ def run_training(
         return every > 0 and (hi // every) > ((lo - 1) // every) if lo else True
 
     i = start_iter
+    depth_on_step: Optional[int] = None  # auto-warmup switch point
     try:
         while i < train_iters:
             key, sub = jax.random.split(key)
-            state, metrics = train_step(state, store, sub)
+            if warmup_step is None:
+                step_fn = train_step
+            elif warmup_auto:
+                step_fn = train_step if depth_on_step is not None \
+                    else warmup_step
+            else:
+                step_fn = (
+                    warmup_step if i < depth_warmup_iters else train_step
+                )
+            state, metrics = step_fn(state, store, sub)
             last = min(i + steps_per_call, train_iters) - 1
 
             if occ_rebake is not None and last + 1 >= occ_next:
@@ -1443,6 +1505,20 @@ def run_training(
             if _crosses(i, last, print_every) or last == train_iters - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics = metrics
+                if (
+                    warmup_auto
+                    and depth_on_step is None
+                    and metrics.get("psnr", 0.0) > warmup_psnr
+                ):
+                    depth_on_step = last + 1
+                    logger.scalar("train/depth_on_step", depth_on_step,
+                                  last)
+                    print(
+                        f"[depth warmup] train PSNR "
+                        f"{metrics['psnr']:.1f} > {warmup_psnr:g} dB at "
+                        f"iter {last}: depth supervision ON",
+                        flush=True,
+                    )
                 logger.scalars(
                     {f"train/{k}": v for k, v in metrics.items()}, last
                 )
@@ -1514,6 +1590,8 @@ def run_training(
         extra["refined_poses"] = np.asarray(
             refined_c2w(store.base_c2w, state.params["pose"])
         )
+    if warmup_auto:
+        extra["depth_on_step"] = depth_on_step
     return {
         **extra,
         "state": state,

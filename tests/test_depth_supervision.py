@@ -312,3 +312,131 @@ def test_parallel_depth_supervision_fused_kernel():
     state, metrics = step(state, store, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["depth_loss"]))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_depth_warmup_switches_supervision_on(tmp_path):
+    """--depth-warmup N runs the first N iterations RGB-only (no
+    depth_loss in metrics) then switches the supervised step in; the
+    warmup step must not perturb the depth machinery (final metrics carry
+    depth_loss). Round-5 stabilizer: depth supervision from iteration 0
+    locks the white-background fog collapse in on some scenes."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import SceneData, run_training
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.array([0, 1]), i_val=np.array([2]), depths=depths,
+    )
+    cfg = CfgNode({
+        "experiment": {
+            "id": "depthwarm", "logdir": str(tmp_path), "randomseed": 1,
+            "train_iters": 4, "validate_every": 0, "save_every": 0,
+            "print_every": 1,
+        },
+        "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                    "far": 6.0, "no_ndc": True},
+        "models": {
+            "coarse": {
+                "type": "FlexibleNeRFModel", "num_layers": 2,
+                "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                "num_encoding_fn_dir": 1,
+            },
+        },
+        "optimizer": {"type": "Adam", "lr": 5.0e-3},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+        "nerf": {
+            "use_viewdirs": True,
+            "train": {
+                "num_random_rays": 16, "chunksize": 64, "perturb": True,
+                "num_coarse": 4, "num_fine": 0, "white_background": False,
+                "radiance_field_noise_std": 0.0, "lindisp": False,
+            },
+            "validation": {
+                "chunksize": 64, "perturb": False, "num_coarse": 4,
+                "num_fine": 0, "white_background": False,
+                "radiance_field_noise_std": 0.0, "lindisp": False,
+            },
+        },
+    })
+    out = run_training(
+        cfg, scene=scene, use_tensorboard=False, depth_loss_weight=0.5,
+        depth_warmup=2,
+    )
+    # after the switch, the supervised step's metrics carry depth_loss
+    assert np.isfinite(out["final_train_metrics"]["depth_loss"])
+
+    # warmup covering the whole run: final metrics are RGB-only
+    out2 = run_training(
+        cfg, scene=scene, use_tensorboard=False, depth_loss_weight=0.5,
+        depth_warmup=10,
+    )
+    assert "depth_loss" not in out2["final_train_metrics"]
+
+
+def test_depth_warmup_auto_switches_on_psnr(tmp_path):
+    """depth_warmup=-1 (auto) stays RGB-only until train PSNR clears the
+    fog threshold, then switches depth on; the switch step is recorded."""
+    from dexnerf_tpu.config import CfgNode
+    from dexnerf_tpu.train import SceneData, run_training
+
+    images, depths, poses, hwf = make_synthetic_scene(
+        num_views=3, height=8, width=8
+    )
+    scene = SceneData(
+        images=images, poses=poses, hwf=hwf,
+        i_train=np.array([0, 1]), i_val=np.array([2]), depths=depths,
+    )
+
+    def cfg(thresh):
+        return CfgNode({
+            "experiment": {
+                "id": f"warmauto{thresh}", "logdir": str(tmp_path),
+                "randomseed": 1, "train_iters": 4, "validate_every": 0,
+                "save_every": 0, "print_every": 1,
+            },
+            "dataset": {"type": "blender", "basedir": "", "near": 2.0,
+                        "far": 6.0, "no_ndc": True},
+            "models": {
+                "coarse": {
+                    "type": "FlexibleNeRFModel", "num_layers": 2,
+                    "hidden_size": 16, "num_encoding_fn_xyz": 2,
+                    "num_encoding_fn_dir": 1,
+                },
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {
+                    "num_random_rays": 16, "chunksize": 64,
+                    "perturb": True, "num_coarse": 4, "num_fine": 0,
+                    "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                    "depth_warmup_psnr": thresh,
+                },
+                "validation": {
+                    "chunksize": 64, "perturb": False, "num_coarse": 4,
+                    "num_fine": 0, "white_background": False,
+                    "radiance_field_noise_std": 0.0, "lindisp": False,
+                },
+            },
+        })
+
+    # threshold below any real PSNR -> switches at the first print point
+    out = run_training(
+        cfg(-100.0), scene=scene, use_tensorboard=False,
+        depth_loss_weight=0.5, depth_warmup=-1,
+    )
+    assert out["depth_on_step"] is not None
+    assert np.isfinite(out["final_train_metrics"]["depth_loss"])
+
+    # unreachable threshold -> never switches, run stays RGB-only
+    out2 = run_training(
+        cfg(1000.0), scene=scene, use_tensorboard=False,
+        depth_loss_weight=0.5, depth_warmup=-1,
+    )
+    assert out2["depth_on_step"] is None
+    assert "depth_loss" not in out2["final_train_metrics"]

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
         "teacher's depth closes that ambiguity. Protocol-divergent rows "
         "record their weight under 'depth_loss'",
     )
+    p.add_argument(
+        "--depth-warmup", type=int, default=0, metavar="N",
+        help="with --depth-loss: first N iterations RGB-only before the "
+        "depth term switches on. Depth supervision from iteration 0 "
+        "locks the white-background fog collapse in on some scenes "
+        "(drums/materials, measured round 5)",
+    )
     p.add_argument("--views", type=int, nargs=3, default=(36, 4, 8))
     p.add_argument(
         "--data-root", type=str, default=os.path.join(REPO, "data")
@@ -89,6 +96,10 @@ def latest_ckpt(scene: str) -> str:
 
 
 def run(cmd, log_path):
+    # settle gap between successive chip claimants: a new process claiming
+    # the tunnel immediately after the previous one exits can wedge it
+    # (two round-5 wedges, both at stage start)
+    time.sleep(20)
     print(f"  $ {' '.join(cmd)}\n    -> {log_path}", flush=True)
     t0 = time.time()
     with open(log_path, "w") as log:
@@ -111,7 +122,13 @@ def run_id(scene: str, args) -> str:
     metrics (advisor round-4 finding)."""
     if args.depth_loss is None:
         return f"{scene}-distill-tpu"
-    return f"{scene}-distill-dl{args.depth_loss:g}"
+    if args.depth_warmup < 0:
+        suffix = "-wauto"
+    elif args.depth_warmup:
+        suffix = f"-w{args.depth_warmup}"
+    else:
+        suffix = ""
+    return f"{scene}-distill-dl{args.depth_loss:g}{suffix}"
 
 
 def dataset_complete(basedir: str, scene: str, args) -> bool:
@@ -279,7 +296,9 @@ def main(argv=None) -> int:
         if args.force or not os.path.exists(final):
             ran_train = True
             dl = ([] if args.depth_loss is None
-                  else ["--depth-loss", str(args.depth_loss)])
+                  else ["--depth-loss", str(args.depth_loss)]
+                  + (["--depth-warmup", str(args.depth_warmup)]
+                     if args.depth_warmup else []))
             run(
                 [sys.executable, "-m", "dexnerf_tpu.apps.train",
                  "--config", cfg_path, *dl, *platform],
@@ -328,7 +347,13 @@ def main(argv=None) -> int:
             "wall_s": wall_s,
             "source_checkpoint": os.path.basename(ckpt),
             **({} if args.depth_loss is None
-               else {"depth_loss": float(args.depth_loss)}),
+               else {"depth_loss": float(args.depth_loss),
+                     "depth_warmup": int(args.depth_warmup)}),
+            # LLFF scale is arbitrary: fern "mm" is scene-units x 1000
+            # (NDC->world via core.rays.ndc_t_to_world_depth; generator
+            # bounds [4/3, 8] scene units)
+            **({"depth_units": "scene-mm (LLFF arbitrary scale)"}
+               if scene == "fern" else {}),
         }
         print(f"  {scene}: {results[scene]}", flush=True)
         # write after EVERY scene: an interrupted run still leaves a
