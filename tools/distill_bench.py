@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
         "locks the white-background fog collapse in on some scenes "
         "(drums/materials, measured round 5)",
     )
+    p.add_argument(
+        "--train-seed", type=int, default=None,
+        help="override experiment.randomseed (template: 42). The "
+        "white-background fog collapse is seed-dependent (the round-2 "
+        "seed study's 31-36 dB spread); a scene pinned ~9 dB at one "
+        "seed can train cleanly at another",
+    )
     p.add_argument("--views", type=int, nargs=3, default=(36, 4, 8))
     p.add_argument(
         "--data-root", type=str, default=os.path.join(REPO, "data")
@@ -120,15 +127,18 @@ def run_id(scene: str, args) -> str:
     """Logdir id carries the training protocol: a --depth-loss run must
     never skip-resume onto (or relabel) an RGB-only run's checkpoints or
     metrics (advisor round-4 finding)."""
+    seed_sfx = (
+        f"-s{args.train_seed}" if args.train_seed is not None else ""
+    )
     if args.depth_loss is None:
-        return f"{scene}-distill-tpu"
+        return f"{scene}-distill-tpu{seed_sfx}"
     if args.depth_warmup < 0:
         suffix = "-wauto"
     elif args.depth_warmup:
         suffix = f"-w{args.depth_warmup}"
     else:
         suffix = ""
-    return f"{scene}-distill-dl{args.depth_loss:g}{suffix}"
+    return f"{scene}-distill-dl{args.depth_loss:g}{suffix}{seed_sfx}"
 
 
 def dataset_complete(basedir: str, scene: str, args) -> bool:
@@ -179,6 +189,8 @@ def write_scene_config(scene: str, args, basedir: str) -> str:
     cfg["experiment"]["id"] = run_id(scene, args)
     cfg["experiment"]["logdir"] = args.logdir
     cfg["experiment"]["train_iters"] = int(args.iters)
+    if args.train_seed is not None:
+        cfg["experiment"]["randomseed"] = int(args.train_seed)
     cfg["dataset"]["basedir"] = basedir
     # dex-depth scoring sweep: the reference grid arange(5, m_thres+5, 5)
     # (train_dexnerf_rgb.py:153-154; eval --dex-depth consumes it)
@@ -354,6 +366,8 @@ def main(argv=None) -> int:
             # bounds [4/3, 8] scene units)
             **({"depth_units": "scene-mm (LLFF arbitrary scale)"}
                if scene == "fern" else {}),
+            **({} if args.train_seed is None
+               else {"train_seed": int(args.train_seed)}),
         }
         print(f"  {scene}: {results[scene]}", flush=True)
         # write after EVERY scene: an interrupted run still leaves a
