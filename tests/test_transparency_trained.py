@@ -133,11 +133,20 @@ def test_tool_pipeline_smoke(tmp_path):
         "--m-max", "4.0", "--m-step", "1.0", "--out", str(out),
     ])
     rep = json.loads(out.read_text())
-    for block in ("expected_depth", "dex_depth_best", "confidence"):
-        assert block in rep
-    assert rep["n_px"]["glass"] > 0 and rep["n_px"]["opaque"] > 0
-    assert np.isfinite(rep["holdout_psnr_db"])
-    assert len(rep["sweep"]) == 4
-    assert rep["best_threshold"] in [s["m"] for s in rep["sweep"]]
-    for s in rep["sweep"]:
+    # round-5 schema: per-seed rows under "runs" + mean/spread "summary"
+    assert rep["summary"]["dex_glass_abs_err_mm"] is not None
+    assert len(rep["runs"]) == 1
+    run = rep["runs"][0]
+    for block in ("expected_depth", "dex_depth_best", "confidence",
+                  "class_optimal_m"):
+        assert block in run
+    assert run["n_px"]["glass"] > 0 and run["n_px"]["opaque"] > 0
+    # the interior/edge split partitions each class
+    assert run["n_px"]["glass"] == (
+        run["n_px"]["glass_interior"] + run["n_px"]["glass_edge"]
+    )
+    assert np.isfinite(run["holdout_psnr_db"])
+    assert len(run["sweep"]) == 4
+    assert run["best_threshold"] in [s["m"] for s in run["sweep"]]
+    for s in run["sweep"]:
         assert np.isfinite(s["abs_err_mm"])
