@@ -168,18 +168,22 @@ def main(argv=None) -> int:
             num_coarse=int(args.samples[0]),
             num_fine=int(args.samples[1]),
         )
-    rays_impl = maybe_fused_render_impl(cfg, s_val)
-    focal_loaded = float(poses[0, 2, 4])
     if args.save_depth:
         import dataclasses
 
         from dexnerf_tpu.core.rays import ndc_t_to_world_depth
 
-        # σ-threshold depth rides the fine pass (reference semantics)
+        # σ-threshold depth rides the fine pass (reference semantics).
+        # MUST precede maybe_fused_render_impl: the fused kernel bakes
+        # its settings at construction, so a post-hoc m_thres_cand is
+        # invisible to it (depth_dex comes back None on the TPU path —
+        # found on chip; the CPU/XLA path reads settings at call time)
         s_val = dataclasses.replace(
             s_val, m_thres_cand=(float(args.depth_dex_m),)
         )
         os.makedirs(os.path.join(args.out, "depths"), exist_ok=True)
+    rays_impl = maybe_fused_render_impl(cfg, s_val)
+    focal_loaded = float(poses[0, 2, 4])
 
     @jax.jit
     def render_frame(pose44):
