@@ -46,7 +46,7 @@ for attempt in 1 2 3 4 5; do
       stale=0
     fi
     prev=$cur
-    if [ "$stale" -ge 8 ]; then
+    if [ "$stale" -ge 12 ]; then
       echo "WATCHDOG: no CPU growth for 8 min — killing tree (attempt $attempt)" >> "$LOG"
       wedged=1
       for p in $(descendants "$PID" | sort -rn); do
