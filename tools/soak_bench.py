@@ -50,6 +50,11 @@ def build_parser():
         REPO, "docs", "SOAK_100K.json"))
     p.add_argument("--smoke", action="store_true",
                    help="tiny model/views for an off-chip pipeline check")
+    p.add_argument("--partial-report", action="store_true",
+                   help="assemble the artifact from whatever the (possibly "
+                        "still-running or interrupted) run has recorded so "
+                        "far: skip dataset/train/eval stages, tolerate a "
+                        "missing test-set score, mark the report partial")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
     return p
 
@@ -81,7 +86,8 @@ def main(argv=None) -> int:
         raise SystemExit(f"no shipped checkpoint for {scene}")
     ref_cfg = os.path.join(PRETRAINED, f"{scene}-lowres", "config.yml")
 
-    if not os.path.exists(os.path.join(basedir, "source.json")):
+    if not args.partial_report and not os.path.exists(
+            os.path.join(basedir, "source.json")):
         hw = "64" if args.smoke else "400"
         views = ("6", "2", "2") if args.smoke else ("36", "4", "8")
         run([sys.executable, "tools/make_dataset_from_ckpt.py",
@@ -124,14 +130,15 @@ def main(argv=None) -> int:
     ckpt_dir = os.path.join(logdir, "checkpoints")
     final = os.path.join(ckpt_dir, f"checkpoint_{args.iters - 1:07d}")
     t_train = None
-    if not os.path.exists(final):
+    if not args.partial_report and not os.path.exists(final):
         t_train = run(
             [sys.executable, "-m", "dexnerf_tpu.apps.train",
              "--config", cfg_path, *platform],
             f"/tmp/soak_{scene}_train.log")
 
     savedir = os.path.join(logdir, "test")
-    if not os.path.exists(os.path.join(savedir, "metrics.json")):
+    if not args.partial_report and not os.path.exists(
+            os.path.join(savedir, "metrics.json")):
         run([sys.executable, "-m", "dexnerf_tpu.apps.eval",
              "--config", cfg_path, "--checkpoint", ckpt_dir,
              "--savedir", savedir, "--test-set", "--dex-depth",
@@ -151,8 +158,18 @@ def main(argv=None) -> int:
                 train_loss.append((int(r["step"]), float(r["value"])))
             elif r["tag"] == "train/psnr":
                 train_psnr.append((int(r["step"]), float(r["value"])))
-    with open(os.path.join(savedir, "metrics.json")) as f:
-        test = json.load(f)["mean"]
+    test_metrics_path = os.path.join(savedir, "metrics.json")
+    if os.path.exists(test_metrics_path):
+        with open(test_metrics_path) as f:
+            test = json.load(f)["mean"]
+    elif args.partial_report:
+        test = {}
+    else:
+        raise SystemExit(f"missing {test_metrics_path}")
+
+    done_iters = max(
+        [s for s, _ in train_loss] + [s for s, _ in val_psnr] + [0])
+    partial = args.partial_report and done_iters < args.iters - 1
 
     lr0 = float(cfg["optimizer"]["lr"])
     decay = float(cfg["scheduler"]["lr_decay"]) * 1000.0
@@ -163,7 +180,8 @@ def main(argv=None) -> int:
     ]
 
     peak = max(v for _, v in val_psnr) if val_psnr else None
-    finals = [v for s, v in val_psnr if s >= 0.9 * args.iters]
+    horizon = done_iters if partial else args.iters
+    finals = [v for s, v in val_psnr if s >= 0.9 * horizon]
     final_band = float(np.mean(finals)) if finals else None
     tail = [v for _, v in train_loss[-50:]]
     report = {
@@ -177,6 +195,8 @@ def main(argv=None) -> int:
             f"held-out test split"
         ),
         "iters": int(args.iters),
+        "iters_completed": int(done_iters),
+        "partial": bool(partial),
         "train_wall_s": round(t_train, 1) if t_train else None,
         "validation_psnr_curve": [
             [s, round(v, 2)] for s, v in val_psnr
