@@ -42,7 +42,10 @@ def build_parser():
     p.add_argument("--scene", default="lego")
     p.add_argument("--iters", type=int, default=100000)
     p.add_argument("--validate-every", type=int, default=2500)
-    p.add_argument("--save-every", type=int, default=25000)
+    p.add_argument("--save-every", type=int, default=5000,
+                   help="checkpoint cadence; keep it tight — the tunnel "
+                        "wedges mid-run and the watchdog's retry resumes "
+                        "from the latest checkpoint (--auto-resume)")
     p.add_argument("--steps-per-call", type=int, default=25)
     p.add_argument("--data-root", default=os.path.join(REPO, "data"))
     p.add_argument("--logdir", default=os.path.join(REPO, "logs"))
@@ -133,7 +136,7 @@ def main(argv=None) -> int:
     if not args.partial_report and not os.path.exists(final):
         t_train = run(
             [sys.executable, "-m", "dexnerf_tpu.apps.train",
-             "--config", cfg_path, *platform],
+             "--config", cfg_path, "--auto-resume", *platform],
             f"/tmp/soak_{scene}_train.log")
 
     savedir = os.path.join(logdir, "test")
@@ -158,6 +161,15 @@ def main(argv=None) -> int:
                 train_loss.append((int(r["step"]), float(r["value"])))
             elif r["tag"] == "train/psnr":
                 train_psnr.append((int(r["step"]), float(r["value"])))
+    # a watchdog-retried run re-logs steps it re-trains (wedge -> kill ->
+    # --auto-resume from the last checkpoint); keep the LAST record per step
+    def _dedupe(series):
+        return sorted({s: v for s, v in series}.items())
+
+    val_psnr = _dedupe(val_psnr)
+    train_loss = _dedupe(train_loss)
+    train_psnr = _dedupe(train_psnr)
+
     test_metrics_path = os.path.join(savedir, "metrics.json")
     if os.path.exists(test_metrics_path):
         with open(test_metrics_path) as f:
