@@ -145,6 +145,10 @@ def main(argv=None) -> int:
         n_hit = int(hit.sum())
         # σ-surface stability across the mid-grid (indices of 20..60)
         mid = [i for i, m in enumerate(m_grid) if 20.0 <= m <= 60.0]
+        if not mid:
+            raise SystemExit(
+                "--m-max too small: the 20..60 plateau window is empty, "
+                "so σ-surface stability cannot be measured")
         spread = np.abs(dex[mid[-1]] - dex[mid[0]])
         plateau_mm = float(np.median(spread[hit]) * 1000.0)
         # expected-vs-dex agreement at the best threshold
